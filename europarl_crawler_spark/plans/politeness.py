@@ -1,0 +1,136 @@
+"""Per-host token-bucket politeness — exact state machine of the reference.
+
+Reference semantics (europarl/workers/tokenbucket.py):
+
+- throttle(): drains the bucket and doubles INTERVAL_SECS, capped strictly
+  below MIN*65536 → max reached value is MIN * 2^16 (tokenbucket.py:48-66;
+  truth table tests/workers/test_tokenbucket.py:171-188).
+- unthrottle(): halves INTERVAL_SECS, floored at MIN (tokenbucket.py:68-79;
+  tests :191-210).
+- apply_throttling(codes) precedence: {429,460} → throttle; else any
+  500..598 → throttle; else any {200,404} → unthrottle; else no-op
+  (tokenbucket.py:80-100; truth table tests :113-168 — note the reference's
+  ``range(500,599)`` excludes 599, preserved here).
+- check cadence: act only when now > next_check; window = [last_check, now];
+  next_check = now + INTERVAL_SECS * THROTTLING_FACTOR (tokenbucket.py:102-122;
+  tests :56-110).
+
+This is *control-plane* state: one TokenBucket per host, a handful of floats,
+evaluated driver-side per epoch from the epoch's status-code histogram (a
+groupBy("host_hash","status_code").count() — data-plane). The per-epoch fetch
+budget replaces the queue: budget = floor(epoch_secs / INTERVAL_SECS), capped
+at bucket capacity 100 (reference jobs/crawler.py:64 — excess tokens are
+discarded, tokenbucket.py:135-141).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+MIN_INTERVAL_SECS = 3.0  # reference settings.ini:30 (MinIntervalSecs)
+THROTTLING_FACTOR = 10.0  # reference settings.ini:33
+BUCKET_CAPACITY = 100  # reference jobs/crawler.py:64
+MAX_FACTOR = 65536  # 2^16, reference tokenbucket.py:58-59
+
+THROTTLE_RATELIMIT = frozenset({429, 460})
+# reference uses list(range(500, 599)) — 599 intentionally NOT included
+THROTTLE_SERVER_ERROR = frozenset(range(500, 599))
+UNTHROTTLE_OK = frozenset({200, 404})
+
+
+@dataclass
+class TokenBucket:
+    """One host's politeness state. Pure, no I/O, no clock of its own."""
+
+    min_interval_secs: float = MIN_INTERVAL_SECS
+    throttling_factor: float = THROTTLING_FACTOR
+    interval_secs: float = field(default=None)  # type: ignore[assignment]
+    last_check: float | None = None  # epoch seconds
+    next_check: float | None = None
+
+    def __post_init__(self) -> None:
+        if self.interval_secs is None:
+            self.interval_secs = self.min_interval_secs
+
+    def startup(self, now: float) -> None:
+        self.last_check = now
+        self.next_check = now + self.interval_secs * self.throttling_factor
+
+    def throttle(self) -> None:
+        # strict '<' against MIN*65536: the interval tops out AT MIN*2^16
+        if self.interval_secs < self.min_interval_secs * MAX_FACTOR:
+            self.interval_secs = self.interval_secs * 2
+
+    def unthrottle(self) -> None:
+        if self.interval_secs > self.min_interval_secs:
+            self.interval_secs = self.interval_secs / 2
+
+    def apply_throttling(self, status_codes) -> None:
+        codes = [int(c) for c in status_codes]
+        if any(c in THROTTLE_RATELIMIT for c in codes):
+            self.throttle()
+            return
+        if any(c in THROTTLE_SERVER_ERROR for c in codes):
+            self.throttle()
+            return
+        if any(c in UNTHROTTLE_OK for c in codes):
+            self.unthrottle()
+            return
+
+    def check_throttling(self, now: float, status_codes) -> bool:
+        """Apply the cadence gate; returns True if a check fired."""
+        if self.next_check is None:
+            self.startup(now)
+        if now > self.next_check:
+            self.last_check = now
+            self.next_check = now + self.interval_secs * self.throttling_factor
+            self.apply_throttling(status_codes)
+            return True
+        return False
+
+    def epoch_budget(self, epoch_secs: float) -> int:
+        """Tokens generated during one epoch, capped by bucket capacity."""
+        return min(BUCKET_CAPACITY, int(math.floor(epoch_secs / self.interval_secs)))
+
+
+class PolitenessState:
+    """Driver-side map host_hash → TokenBucket with (de)serialization to rows
+    so the state checkpoints into the ``politeness`` epoch table."""
+
+    def __init__(self, min_interval_secs: float = MIN_INTERVAL_SECS):
+        self.min_interval_secs = min_interval_secs
+        self.buckets: dict[int, TokenBucket] = {}
+
+    def bucket(self, host_hash: int) -> TokenBucket:
+        if host_hash not in self.buckets:
+            self.buckets[host_hash] = TokenBucket(self.min_interval_secs)
+        return self.buckets[host_hash]
+
+    def update_from_histogram(self, now: float, codes_by_host: dict[int, list[int]]) -> None:
+        """codes_by_host: host_hash → distinct status codes seen in the window
+        (the reference passes ``Counter(...).keys()`` — membership only)."""
+        for host, codes in codes_by_host.items():
+            self.bucket(host).check_throttling(now, codes)
+
+    def budgets(self, epoch_secs: float, hosts) -> dict[int, int]:
+        return {h: self.bucket(h).epoch_budget(epoch_secs) for h in hosts}
+
+    def to_rows(self, epoch: int) -> list[tuple]:
+        return [
+            (h, b.interval_secs, b.last_check, b.next_check, epoch)
+            for h, b in sorted(self.buckets.items())
+        ]
+
+    @classmethod
+    def from_rows(cls, rows, min_interval_secs: float = MIN_INTERVAL_SECS) -> "PolitenessState":
+        st = cls(min_interval_secs)
+        for h, interval, last_check, next_check, _epoch in rows:
+            st.buckets[int(h)] = TokenBucket(
+                min_interval_secs,
+                THROTTLING_FACTOR,
+                float(interval),
+                last_check,
+                next_check,
+            )
+        return st

@@ -1,0 +1,107 @@
+"""Token-bucket truth tables ported verbatim from the reference
+(tests/workers/test_tokenbucket.py:56-210)."""
+
+from __future__ import annotations
+
+import pytest
+
+from europarl_crawler_spark.plans.politeness import (
+    MIN_INTERVAL_SECS,
+    PolitenessState,
+    TokenBucket,
+)
+
+
+@pytest.mark.parametrize(
+    "status_codes,throttles,unthrottles",
+    [
+        ([200], 0, 1),
+        ([100], 0, 0),
+        ([300], 0, 0),
+        ([400], 0, 0),
+        ([500], 1, 0),
+        ([408], 0, 0),
+        ([429], 1, 0),
+        ([200, 100, 408], 0, 1),
+        ([200, 100, 500], 1, 0),
+        # boundary: reference uses range(500,599) → 598 throttles, 599 doesn't
+        ([598], 1, 0),
+        ([599], 0, 0),
+        ([460], 1, 0),
+        ([404], 0, 1),
+    ],
+)
+def test_apply_throttling_truth_table(status_codes, throttles, unthrottles):
+    tb = TokenBucket()
+    calls = {"t": 0, "u": 0}
+    tb.throttle = lambda: calls.__setitem__("t", calls["t"] + 1)  # type: ignore[method-assign]
+    tb.unthrottle = lambda: calls.__setitem__("u", calls["u"] + 1)  # type: ignore[method-assign]
+    tb.apply_throttling(status_codes)
+    assert calls["t"] == throttles
+    assert calls["u"] == unthrottles
+
+
+def test_throttle_doubles_with_2pow16_cap():
+    tb = TokenBucket()
+    for i in range(20):
+        old = tb.interval_secs
+        tb.throttle()
+        if i < 16:
+            assert tb.interval_secs == 2 * old
+        else:
+            assert tb.interval_secs == old
+    assert tb.interval_secs == MIN_INTERVAL_SECS * (2**16)
+
+
+def test_unthrottle_halves_with_floor():
+    tb = TokenBucket()
+    for _ in range(16):
+        tb.throttle()
+    assert tb.interval_secs == MIN_INTERVAL_SECS * (2**16)
+    for i in range(20):
+        old = tb.interval_secs
+        tb.unthrottle()
+        if i < 16:
+            assert tb.interval_secs == old / 2
+        else:
+            assert tb.interval_secs == old
+    assert tb.interval_secs == MIN_INTERVAL_SECS
+
+
+@pytest.mark.parametrize(
+    # (reference tests/workers/test_tokenbucket.py:56-110): fire only when
+    # now > next_check; window advances and next_check = now + I*factor
+    "now_offset,next_offset,fires",
+    [(0.0, 5.0, False), (10.0, 10.0, False), (11.0, 10.0, True)],
+)
+def test_check_throttling_cadence(now_offset, next_offset, fires):
+    t0 = 1_000_000.0
+    tb = TokenBucket()
+    tb.last_check = t0
+    tb.next_check = t0 + next_offset
+    fired = tb.check_throttling(t0 + now_offset, [200])
+    assert fired is fires
+    if fires:
+        assert tb.last_check == t0 + now_offset
+        assert tb.next_check == t0 + now_offset + tb.interval_secs * tb.throttling_factor
+    else:
+        assert tb.last_check == t0
+        assert tb.next_check == t0 + next_offset
+
+
+def test_epoch_budget_capped_at_bucket_capacity():
+    tb = TokenBucket()
+    assert tb.epoch_budget(30.0) == 10  # 30s / 3s
+    assert tb.epoch_budget(3_000_000.0) == 100  # bucket cap
+    tb.throttle()
+    assert tb.epoch_budget(30.0) == 5
+
+
+def test_politeness_state_roundtrip():
+    st = PolitenessState()
+    st.bucket(1).throttle()
+    st.bucket(2)
+    rows = st.to_rows(epoch=3)
+    st2 = PolitenessState.from_rows(rows)
+    assert st2.bucket(1).interval_secs == 2 * MIN_INTERVAL_SECS
+    assert st2.bucket(2).interval_secs == MIN_INTERVAL_SECS
