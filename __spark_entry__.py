@@ -1,38 +1,887 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + operator query catalog + DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps to a SURVEY.md §2 operator (id in the docstring)
+or a training-data pipeline operator. Crawl-semantic operators run over
+*derived views* built deterministically from the driver's TPC-H-ish tables in
+BOTH engines (Spark DataFrame here, ANSI SQL in ``oracle_sql``):
+
+- ``days``      : DISTINCT CAST(o_orderdate AS DATE)    — the seed-day domain
+- ``calendar``  : generate_series(min..max day)          — candidate days (S2)
+- ``rules``     : the 23-rule dimension (functions/rules.py) inlined as VALUES
+- ``probes``    : per-day probe outcome derived from order counts
+                  (>=3 → 200, ==2 → 404, else 503) — the HEAD-probe stand-in
+- ``requests``  : events re-typed as a crawl log (status by event_type,
+                  host_key = user_id % 20)
+
+Entries whose physical plan depends on engine-specific hashing (minhash/simhash
+bucket contents, LSH buckets, fingerprints) have no oracle entry — the driver
+records the weaker rows-only check; their semantics are pytest-verified
+against exact baselines instead (tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
+from europarl_crawler_spark.operators import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# shared derived views — Spark side
+# ---------------------------------------------------------------------------
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _days(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("dates"))
+        .distinct()
+    )
+
+
+def _calendar(spark, sf_dir):
+    b = _t(spark, sf_dir, "orders").agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    return b.select(F.explode(F.sequence("lo", "hi")).alias("dates"))
+
+
+def _probes(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("dates"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "dates",
+            F.when(F.col("n") >= 3, 200)
+            .when(F.col("n") == 2, 404)
+            .otherwise(503)
+            .alias("status_code"),
+        )
+    )
+
+
+def _requests(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 404)
+        .when(F.col("event_type") == "purchase", 429)
+        .when(F.col("event_type") == "signup", 408)
+        .otherwise(503)
+    )
+    return e.select(
+        F.col("event_id").alias("request_id"),
+        F.col("ts").alias("requested_at"),
+        (F.col("user_id") % 20).alias("host_key"),
+        status.alias("status_code"),
+    )
+
+
+def _combos(spark, sf_dir):
+    """J1: days × active rules with generated URL (F1+F2+F3)."""
+    days = _days(spark, sf_dir)
+    rules = rules_df(spark, active_only=True)
+    return days.crossJoin(F.broadcast(rules)).select(
+        "dates",
+        "rule_id",
+        "rulename",
+        url_expr("dates", "doc_code", "infix", "language", "filetype").alias("url"),
+    )
+
+
+def _emb_double(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared derived views — SQL side (DuckDB; views region..embeddings exist)
+# ---------------------------------------------------------------------------
+
+
+def _rules_values_sql(active_only: bool = True) -> str:
+    rows = []
+    for i, r in enumerate(RULES):
+        if active_only and not r.active:
+            continue
+        rows.append(
+            f"({i + 1}, '{r.name}', '{r.doc_code}', '{r.infix}', "
+            f"'{r.language}', '{r.filetype}')"
+        )
+    return (
+        "(VALUES " + ", ".join(rows)
+        + ") AS rules(rule_id, rulename, doc_code, infix, language, filetype)"
+    )
+
+
+def _term_case_sql(col: str = "dates") -> str:
+    whens = " ".join(
+        f"WHEN {col} > DATE '{s}' AND {col} < DATE '{e}' THEN '{k}'"
+        for k, s, e in TERMS
+    )
+    return f"(CASE {whens} ELSE '0' END)"
+
+
+def _url_sql(col: str = "dates") -> str:
+    return (
+        f"'{BASE_URL}' || doc_code || '-' || {_term_case_sql(col)} || '-' || "
+        f"strftime({col}, '%Y-%m-%d') || "
+        "(CASE WHEN infix <> '' THEN '-' || infix ELSE '' END) || "
+        "'_' || language || filetype"
+    )
+
+
+_DAYS_SQL = "(SELECT DISTINCT CAST(o_orderdate AS DATE) AS dates FROM orders)"
+_CAL_SQL = (
+    "(SELECT CAST(unnest(generate_series("
+    "(SELECT CAST(min(o_orderdate) AS DATE) FROM orders), "
+    "(SELECT CAST(max(o_orderdate) AS DATE) FROM orders), "
+    "INTERVAL 1 DAY)) AS DATE) AS dates)"
+)
+_PROBES_SQL = (
+    "(SELECT dates, CASE WHEN n >= 3 THEN 200 WHEN n = 2 THEN 404 ELSE 503 END "
+    "AS status_code FROM (SELECT CAST(o_orderdate AS DATE) AS dates, count(*) "
+    "AS n FROM orders GROUP BY 1))"
+)
+_REQUESTS_SQL = (
+    "(SELECT event_id AS request_id, ts AS requested_at, user_id % 20 AS "
+    "host_key, CASE event_type WHEN 'click' THEN 200 WHEN 'view' THEN 404 "
+    "WHEN 'purchase' THEN 429 WHEN 'signup' THEN 408 ELSE 503 END AS "
+    "status_code FROM events)"
+)
+
+
+def _combos_sql() -> str:
+    return (
+        f"(SELECT dates, rule_id, rulename, {_url_sql('dates')} AS url "
+        f"FROM {_DAYS_SQL} AS d CROSS JOIN {_rules_values_sql()})"
+    )
+
+
+_TOKENIZE_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_f1_get_term(spark, sf_dir):
+    """F1: date → parliament-term mapping (reference rules/rule.py:34-61)."""
+    return _days(spark, sf_dir).select("dates", term_expr("dates").alias("term"))
+
+
+def q_f2_url_build(spark, sf_dir):
+    """J1+F2+F3: cross join days × rules with full URL construction
+    (reference db/url.py:111 + rules/protocol.py:26-47)."""
+    return _combos(spark, sf_dir).select("dates", "rulename", "url")
+
+
+def q_j2_anti_seen(spark, sf_dir):
+    """J2: candidates anti-join the seen set (reference db/url.py:112-116).
+    Seen := combos with even rule_id on even-numbered days."""
+    combos = _combos(spark, sf_dir)
+    seen = combos.filter(
+        (F.col("rule_id") % 2 == 0) & (F.dayofmonth("dates") % 2 == 0)
+    ).select("dates", "rule_id")
+    return combos.join(seen, ["dates", "rule_id"], "left_anti").select(
+        "dates", "rule_id", "rulename"
+    )
+
+
+def q_j3_semi_confirmed(spark, sf_dir):
+    """J3/J4: combos semi-joined to 200-probed days (db/url.py:118-125)."""
+    combos = _combos(spark, sf_dir)
+    confirmed = _probes(spark, sf_dir).filter(F.col("status_code") == 200)
+    return combos.join(confirmed.select("dates"), "dates", "left_semi").select(
+        "dates", "rulename", "url"
+    )
+
+
+def q_j5_unchecked_days(spark, sf_dir):
+    """J5: calendar days never probed (db/sessionDay.py:61-75)."""
+    return _calendar(spark, sf_dir).join(
+        _probes(spark, sf_dir).select("dates"), "dates", "left_anti"
+    )
+
+
+def q_j6_retry_lane(spark, sf_dir):
+    """J6: probed days with NO terminal (200/404) outcome — the dead-letter
+    retry lane (db/sessionDay.py:82-96)."""
+    p = _probes(spark, sf_dir)
+    terminal = p.filter(F.col("status_code").isin(200, 404)).select("dates")
+    return p.select("dates").distinct().join(terminal, "dates", "left_anti")
+
+
+def q_o3_unchecked_batch(spark, sf_dir):
+    """O3/U1/T12: fresh-days branch (newest first, limit-1 slots) ∪ retry
+    branch, final ORDER BY ASC LIMIT (db/sessionDay.py:76-98)."""
+    limit = 100
+    fresh = (
+        q_j5_unchecked_days(spark, sf_dir)
+        .orderBy(F.desc("dates"))
+        .limit(limit - 1)
+    )
+    retry = q_j6_retry_lane(spark, sf_dir).orderBy(F.asc("dates")).limit(limit)
+    return fresh.unionByName(retry).orderBy(F.asc("dates")).limit(limit)
+
+
+def q_o1_o2_topk_drain(spark, sf_dir):
+    """O1+O2: top-k newest (day,rule) combos, drained OLDEST-first within the
+    batch (db/url.py:126-127; workers/dateurlgenerator.py:111-113 list.pop)."""
+    confirmed = q_j3_semi_confirmed(spark, sf_dir).select("dates", "rulename", "url")
+    batch = confirmed.orderBy(
+        F.desc("dates"), F.asc("rulename")
+    ).limit(50)
+    w = Window.orderBy(F.asc("dates"), F.asc("rulename"))
+    return batch.select(
+        F.row_number().over(w).alias("seq"), "dates", "rulename", "url"
+    )
+
+
+def q_a1_status_histogram(spark, sf_dir):
+    """A1+P7: status-code histogram over a requested_at window
+    (db/requests.py:103-129)."""
+    r = _requests(spark, sf_dir)
+    return (
+        r.filter(
+            (F.col("requested_at") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("requested_at") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .groupBy("status_code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_p10_throttle_classify(spark, sf_dir):
+    """P10/F12: per-host throttle action with the reference's precedence —
+    rate-limit {429,460} > server-error 5xx(≤598) > success {200,404} > noop
+    (workers/tokenbucket.py:80-100)."""
+    r = _requests(spark, sf_dir)
+    g = r.groupBy("host_key").agg(
+        F.max(F.col("status_code").isin(429, 460).cast("int")).alias("rl"),
+        F.max(
+            ((F.col("status_code") >= 500) & (F.col("status_code") <= 598)).cast("int")
+        ).alias("se"),
+        F.max(F.col("status_code").isin(200, 404).cast("int")).alias("ok"),
+    )
+    action = (
+        F.when(F.col("rl") == 1, "throttle")
+        .when(F.col("se") == 1, "throttle")
+        .when(F.col("ok") == 1, "unthrottle")
+        .otherwise("noop")
+    )
+    return g.select("host_key", action.alias("action"))
+
+
+def q_j10_uncrawled_delete(spark, sf_dir):
+    """J10/D4 shape: rows with no child row → delete targets (customers with
+    no orders; reference db/url.py:139-156 urls with no requests)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_j7_o5_fifo(spark, sf_dir):
+    """J7+O5: scheduling join + FIFO-by-time limit (db/documents.py:90-98):
+    open orders with customer + nation, oldest first, batch of 50."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_orderdate", "c_name", "n_name")
+    )
+
+
+def q_j8_metadata_join(spark, sf_dir):
+    """J8: the wide metadata join defining the output row schema
+    (db/documents.py:212-220) — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") >= F.lit("2000-01-01").cast("date")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("ship_date"),
+            "c_name",
+            "n_name",
+            "r_name",
+        )
+    )
+
+
+def q_o8_spaced_refresh(spark, sf_dir):
+    """O8: the piecewise recrawl-spacing schedule (downloader.py:39-68):
+    every day ×14, every 2nd to 42, every 5th to 322, every 10th to 3132."""
+    cal = _calendar(spark, sf_dir)
+    hi = _t(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("hi")
+    )
+    d = cal.crossJoin(hi).withColumn("off", F.datediff("hi", F.col("dates")))
+    keep = (
+        (F.col("off") < 14)
+        | ((F.col("off") < 42) & (F.col("off") % 2 == 0))
+        | ((F.col("off") < 322) & (F.col("off") % 5 == 0))
+        | ((F.col("off") < 3132) & (F.col("off") % 10 == 0))
+    )
+    return d.filter(keep).select("dates", "off")
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the aggregation-engine parity check (A-ops)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.to_date("l_shipdate") <= F.lit("2001-06-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: join + agg + top-k (J-ops + O1)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join + agg, dimensions broadcast."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_w1_top_customer_per_nation(spark, sf_dir):
+    """Window-function parity: top-3 customers by acctbal per nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+def q_t1_events_hourly(spark, sf_dir):
+    """Windowed (tumbling-hour) event aggregation — the batch shape of the
+    streaming stage (streaming/stream.py uses the same plan on readStream)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group-by-content → representative + cardinality
+    (content := (lang, source) here; full-text hash in operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "content", F.concat_ws("||", "lang", "source")
+    )
+    groups = dedup.exact_duplicates(d, text_col="content")
+    return groups.select("keep_id", "n_dups")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs, τ=0.4 (dedup lane)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup (exact-verified candidates; engine-hash-dependent
+    recall → rows-only check; precision asserted in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, hamming ≤ 3 (rows-only: simhash value is
+    engine-hash-dependent)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, cosine ≥ 0.35 (double-precision in
+    both engines; rounded to 4)."""
+    return similarity.embedding_near_dup_pairs(
+        _emb_double(spark, sf_dir), threshold=0.35
+    )
+
+
+def _queries_vecs(spark, sf_dir):
+    return (
+        _emb_double(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    """ANN baseline: exact cosine top-10 for the 5 lowest-id query vectors.
+    Rank over ROUNDED cosine for cross-engine determinism."""
+    corpus = _emb_double(spark, sf_dir)
+    q = _queries_vecs(spark, sf_dir)
+    scored = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+        .crossJoin(F.broadcast(q.select("query_id", F.col("embedding").alias("_qv"))))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(similarity.cosine_expr("_qv", "_cv"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (rows-only: recall measured vs baseline in tests)."""
+    import numpy as np
+
+    corpus = _emb_double(spark, sf_dir)
+    q = _queries_vecs(spark, sf_dir)
+    dim = 64
+    rng = np.random.Generator(np.random.Philox(key=42))
+    planes = rng.normal(size=(6, dim)).tolist()
+    return similarity.lsh_topk(corpus, q, planes, k=10, query_id_col="query_id")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style two-stage ANN (rows-only)."""
+    corpus = _emb_double(spark, sf_dir)
+    q = _queries_vecs(spark, sf_dir)
+    return similarity.ivf_topk(corpus, q, n_cells=16, nprobe=4, k=10, query_id_col="query_id")
+
+
+def q_text_token_count(spark, sf_dir):
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_language_id(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint summary (rows-only: hash-dependent)."""
+    return textstats.fingerprint_summary(_t(spark, sf_dir, "documents"), n=8, window=4)
+
+
+def q_multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → Arrow mapInPandas feature
+    pass (byte length here; pixel decode for the crawl's own image tables —
+    operators/multimodal.py)."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def meta(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                }
+            )
+
+    return d.mapInPandas(meta, schema="doc_id long, n_bytes long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "f1_get_term": q_f1_get_term,
+        "f2_url_build": q_f2_url_build,
+        "j2_anti_seen": q_j2_anti_seen,
+        "j3_semi_confirmed": q_j3_semi_confirmed,
+        "j5_unchecked_days": q_j5_unchecked_days,
+        "j6_retry_lane": q_j6_retry_lane,
+        "o3_unchecked_batch": q_o3_unchecked_batch,
+        "o1_o2_topk_drain": q_o1_o2_topk_drain,
+        "a1_status_histogram": q_a1_status_histogram,
+        "p10_throttle_classify": q_p10_throttle_classify,
+        "j10_uncrawled_delete": q_j10_uncrawled_delete,
+        "j7_o5_fifo": q_j7_o5_fifo,
+        "j8_metadata_join": q_j8_metadata_join,
+        "o8_spaced_refresh": q_o8_spaced_refresh,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "w1_top_customer_per_nation": q_w1_top_customer_per_nation,
+        "t1_events_hourly": q_t1_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle_sql = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, i, 5)) = 5
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
+"""
+    cos_sql = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    # near-dup pairs round to 6 (matching operators/similarity.py); ANN top-k
+    # rounds to 4 (rank over the rounded value is then tie-broken by id)
+    cos6_sql = cos_sql[:-2] + "6)"
+    tok = _TOKENIZE_SQL.format(col="text")
+    stop_arrays = {
+        lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in textstats.STOPWORDS.items()
+    }
+    all_stop = (
+        "["
+        + ", ".join(
+            f"'{w}'" for ws in textstats.STOPWORDS.values() for w in ws
+        )
+        + "]"
+    )
+    return {
+        "f1_get_term": (
+            f"SELECT dates, {_term_case_sql('dates')} AS term FROM {_DAYS_SQL} AS d"
+        ),
+        "f2_url_build": (
+            f"SELECT dates, rulename, url FROM {_combos_sql()} AS c"
+        ),
+        "j2_anti_seen": f"""
+            WITH combos AS (SELECT dates, rule_id, rulename FROM {_combos_sql()} AS c),
+            seen AS (SELECT dates, rule_id FROM combos
+                     WHERE rule_id % 2 = 0 AND date_part('day', dates) % 2 = 0)
+            SELECT c.dates, c.rule_id, c.rulename FROM combos c
+            WHERE NOT EXISTS (SELECT 1 FROM seen s
+                              WHERE s.dates = c.dates AND s.rule_id = c.rule_id)
+        """,
+        "j3_semi_confirmed": f"""
+            SELECT dates, rulename, url FROM {_combos_sql()} AS c
+            WHERE dates IN (SELECT dates FROM {_PROBES_SQL} AS p WHERE status_code = 200)
+        """,
+        "j5_unchecked_days": f"""
+            SELECT dates FROM {_CAL_SQL} AS cal
+            WHERE dates NOT IN (SELECT dates FROM {_PROBES_SQL} AS p)
+        """,
+        "j6_retry_lane": f"""
+            SELECT DISTINCT dates FROM {_PROBES_SQL} AS p
+            WHERE dates NOT IN (
+              SELECT dates FROM {_PROBES_SQL} AS p2 WHERE status_code IN (200, 404))
+        """,
+        "o3_unchecked_batch": f"""
+            SELECT dates FROM (
+              SELECT dates FROM (
+                SELECT dates FROM {_CAL_SQL} AS cal
+                WHERE dates NOT IN (SELECT dates FROM {_PROBES_SQL} AS p)
+                ORDER BY dates DESC LIMIT 99) fresh
+              UNION ALL
+              SELECT dates FROM (
+                SELECT DISTINCT dates FROM {_PROBES_SQL} AS p
+                WHERE dates NOT IN (SELECT dates FROM {_PROBES_SQL} AS p2
+                                    WHERE status_code IN (200, 404))
+                ORDER BY dates ASC LIMIT 100) retry
+            ) u ORDER BY dates ASC LIMIT 100
+        """,
+        "o1_o2_topk_drain": f"""
+            WITH confirmed AS (
+              SELECT dates, rulename, url FROM {_combos_sql()} AS c
+              WHERE dates IN (SELECT dates FROM {_PROBES_SQL} AS p
+                              WHERE status_code = 200)),
+            batch AS (SELECT * FROM confirmed ORDER BY dates DESC, rulename ASC LIMIT 50)
+            SELECT row_number() OVER (ORDER BY dates ASC, rulename ASC) AS seq,
+                   dates, rulename, url
+            FROM batch
+        """,
+        "a1_status_histogram": f"""
+            SELECT status_code, count(*) AS n FROM {_REQUESTS_SQL} AS r
+            WHERE requested_at >= TIMESTAMP '2024-01-10 00:00:00'
+              AND requested_at < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1
+        """,
+        "p10_throttle_classify": f"""
+            SELECT host_key,
+                   CASE WHEN max(CASE WHEN status_code IN (429, 460) THEN 1 ELSE 0 END) = 1
+                        THEN 'throttle'
+                        WHEN max(CASE WHEN status_code BETWEEN 500 AND 598 THEN 1 ELSE 0 END) = 1
+                        THEN 'throttle'
+                        WHEN max(CASE WHEN status_code IN (200, 404) THEN 1 ELSE 0 END) = 1
+                        THEN 'unthrottle'
+                        ELSE 'noop' END AS action
+            FROM {_REQUESTS_SQL} AS r GROUP BY host_key
+        """,
+        "j10_uncrawled_delete": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "j7_o5_fifo": """
+            SELECT o_orderkey, o_orderdate, c_name, n_name
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderstatus = 'O'
+            ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50
+        """,
+        "j8_metadata_join": """
+            SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+                   c_name, n_name, r_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+        """,
+        "o8_spaced_refresh": f"""
+            WITH hi AS (SELECT CAST(max(o_orderdate) AS DATE) AS hi FROM orders)
+            SELECT dates, datediff('day', dates, hi) AS off
+            FROM {_CAL_SQL} AS cal CROSS JOIN hi
+            WHERE datediff('day', dates, hi) < 14
+               OR (datediff('day', dates, hi) < 42 AND datediff('day', dates, hi) % 2 = 0)
+               OR (datediff('day', dates, hi) < 322 AND datediff('day', dates, hi) % 5 = 0)
+               OR (datediff('day', dates, hi) < 3132 AND datediff('day', dates, hi) % 10 = 0)
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "w1_top_customer_per_nation": """
+            SELECT n_name, rank, c_custkey, acctbal FROM (
+              SELECT n_name, c_custkey, round(c_acctbal, 4) AS acctbal,
+                     row_number() OVER (PARTITION BY n_name
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            WHERE rank <= 3
+        """,
+        "t1_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM (SELECT doc_id, lang || '||' || source AS content FROM documents)
+            GROUP BY content HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": shingle_sql,
+        "dedup_embedding_cosine": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos6_sql} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {cos6_sql} >= 0.35
+        """,
+        "ann_bruteforce_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.query_id, b.vec_id AS neighbor_id,
+                     {cos_sql.replace("a.embedding", "q.qe")} AS cosine
+              FROM q CROSS JOIN embeddings b
+              WHERE b.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   len({tok}) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+                   length(text) AS n_chars_measured
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len({tok}) AS n_tokens,
+                     len(list_intersect({tok}, {all_stop})) AS n_stop
+              FROM documents)
+            SELECT doc_id,
+                   n_chars AS n_chars_measured,
+                   n_tokens,
+                   round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(n_chars / greatest(n_tokens, 1), 6) AS mean_word_len,
+                   round(n_stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) * 0.25
+                     + least(round(n_alpha / greatest(n_chars, 1), 6) * 1.25, 1.0) * 0.35
+                     + (1 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0)) * 0.15
+                     + least(round(n_stop / greatest(n_tokens, 1), 6) * 5, 1.0) * 0.25,
+                   6) AS quality_score
+            FROM t
+        """,
+        "text_language_id": f"""
+            WITH hits AS (
+              SELECT doc_id,
+                     len(list_intersect({tok}, {stop_arrays['de']})) AS h_de,
+                     len(list_intersect({tok}, {stop_arrays['en']})) AS h_en,
+                     len(list_intersect({tok}, {stop_arrays['fr']})) AS h_fr
+              FROM documents),
+            best AS (
+              SELECT doc_id, lang, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang DESC) AS rn
+              FROM (SELECT doc_id, 'de' AS lang, h_de AS h FROM hits
+                    UNION ALL SELECT doc_id, 'en', h_en FROM hits
+                    UNION ALL SELECT doc_id, 'fr', h_fr FROM hits))
+            SELECT doc_id,
+                   CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   h AS lang_hits
+            FROM best WHERE rn = 1
+        """,
+        "multimodal_binary_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: one frontier-generation + priority-drain pass on sf0.001 —
+    the crawl engine's core plan (J1+J2+J3 → O1+O2 drain → URL build), all
+    JVM-side expressions (SURVEY §7.2)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_o1_o2_topk_drain(spark, sf_dir)

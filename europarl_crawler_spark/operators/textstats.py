@@ -1,0 +1,132 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all JVM-side column expressions except the rolling
+hash, which is a banded winnowing built from shingle hashes (still no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# small stopword profiles for the n-gram/stopword-ratio language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "von", "mit", "den", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans", "que", "une"],
+}
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace+punct tokenization as an array column (lowercased)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), r"[^a-zA-Z0-9']+"), lambda x: x != "")
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (≈ chars/4, the common
+    byte-pair heuristic) per document."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("n_subwords_est"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score ∈ [0,1]:
+    length band, alpha ratio, punctuation density, mean word length,
+    stopword hit ratio. Pure expressions, one pass, no shuffle."""
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_tokens = F.size(toks)
+    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(toks, all_stop))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    mean_word_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    length_ok = ((n_chars >= 20) & (n_chars <= 100000)).cast("int")
+    score = F.round(
+        (
+            length_ok * 0.25
+            + F.least(alpha_ratio * 1.25, F.lit(1.0)) * 0.35
+            + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.15
+            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        ),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit counts,
+    'und' (undetermined) when nothing matches. Deterministic tie-break by
+    language code."""
+    toks = tokens_expr(text_col)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # array_max on structs orders by (hits, lang); invert lang for
+    # deterministic ascending tie-break, then pick
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, n: int = 8, window: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprint: rolling n-gram hashes, min per
+    window of w consecutive positions, distinct selected hashes per doc.
+    (Schleimer et al., SIGMOD'03 — the standard near-copy fingerprint.)
+    Implemented with posexplode + a per-doc sliding window min."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+        lambda i: F.col(text_col).substr(i, F.lit(n)),
+    )
+    pos = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+        .filter(F.length("gram") == n)
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        pos.withColumn("winmin", F.min("gh").over(w))
+        .select("doc_id", F.col("winmin").alias("fp_hash"))
+        .distinct()
+    )
+
+
+def fingerprint_summary(docs: DataFrame, **kw) -> DataFrame:
+    """Per-doc fingerprint cardinality + xor-fold (a compact comparable id)."""
+    fp = fingerprint(docs, **kw)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp_hash").alias("fp_min"),
+        F.max("fp_hash").alias("fp_max"),
+    )

@@ -1,0 +1,225 @@
+"""The crawl-epoch driver loop: snapshot-read → plan → drain → fetch → commit.
+
+One epoch = one iteration of the reference's whole multiprocess runtime
+(SURVEY §3.1): the queue/worker machinery (mptools) dissolves into batch
+dataflow, the bounded queues into per-host politeness budgets (T1), the
+DB lock bits into snapshot isolation (T7), and graceful-shutdown cleanup into
+``shutdown_compact`` (D4).
+
+Resumability: every table commit is an EpochStore manifest; `CrawlEngine`
+restarts from the max committed epoch of the ``epochs`` ledger — any epoch is
+re-runnable because merges are keyed (idempotent) and the requests log is
+keyed by (url_id, epoch).
+
+Determinism: with a fixed ``now`` per epoch, the whole crawl — frontier
+membership, drain order, politeness state — is a pure function of
+(seed days, web, budgets), which is what the ordering-equivalence tests
+assert against the reference-semantics simulator.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rules import rules_df
+from ..functions.seen import anti_join_seen, build_bloom
+from ..sources import schema as S
+from ..sources.epochstore import EpochStore
+from .fetch import extract_documents, requests_log, simulate_requests
+from .frontier import (
+    N_SALTS,
+    priority_drain,
+    session_day_probes,
+    split_budget,
+    todo_combos,
+)
+from .politeness import PolitenessState
+from .robots import apply_robots_gate
+
+DOC_PRIORITY_OFFSET = 1_000_000  # probes drain before doc URLs within a host
+TERMINAL = (200, 404)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: EpochStore,
+        web: DataFrame,
+        robots: DataFrame | None = None,
+        prefetch_limit: int = 50,
+        epoch_secs: float = 300.0,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.store = store
+        self.web = web
+        self.robots = robots
+        self.prefetch_limit = prefetch_limit
+        self.epoch_secs = epoch_secs
+        self.use_bloom = use_bloom
+        self.rules = rules_df(spark)
+        self.politeness = self._load_politeness()
+
+    # -- state ----------------------------------------------------------------
+
+    def _load_politeness(self) -> PolitenessState:
+        if self.store.latest("politeness") is None:
+            return PolitenessState()
+        rows = [
+            (r.host_hash, r.interval_secs, r.last_check, r.next_check, r.epoch)
+            for r in self.store.read("politeness", self.spark).collect()
+        ]
+        return PolitenessState.from_rows(rows)
+
+    def bootstrap(self, days: DataFrame) -> None:
+        """Initial load: seed-day domain (reference table bootstrap +
+        rule-registry upsert, jobs/crawler.py:47-56)."""
+        if self.store.latest("session_days") is None:
+            self.store.overwrite("session_days", days, 0, keys=["date_id"])
+
+    def current_epoch(self) -> int:
+        return self.store.latest("epochs") or 0
+
+    def _read(self, table: str, schema) -> DataFrame:
+        return self.store.read(table, self.spark, schema=schema).drop(
+            "_epoch", "_deleted"
+        )
+
+    # -- one epoch -------------------------------------------------------------
+
+    def run_epoch(self, now: datetime | None = None) -> dict:
+        e = self.current_epoch() + 1
+        now = now or datetime.now(timezone.utc)
+        now_secs = now.timestamp()
+        spark = self.spark
+
+        days = self._read("session_days", S.SESSION_DAYS)
+        frontier = self._read("frontier", S.FRONTIER)
+        requests = self._read("requests", S.REQUESTS)
+
+        # 1. frontier growth: probe URLs for unchecked days (O3/J5/J6/T12) and
+        #    doc URLs for confirmed days (J1/J2/J3/O1) — both already
+        #    anti-joined against the frontier on their natural keys.
+        probes = session_day_probes(
+            spark, days, requests, frontier, self.prefetch_limit, e
+        )
+        combos = todo_combos(
+            spark, days, requests, frontier, self.prefetch_limit, e
+        ).withColumn("priority", F.col("priority") + F.lit(DOC_PRIORITY_OFFSET))
+        new_urls = probes.unionByName(combos)
+
+        # 2. URL-seen gate on the hashed key: exact anti-join, bloom
+        #    pre-filtered (north_rule). Seen key = url_id (= rule_id × url,
+        #    the reference's UNIQUE constraint, db/url.py:45).
+        bloom = None
+        if self.use_bloom and self.store.latest("frontier") is not None:
+            expected = sum(m["rows"] for m in self.store.manifests("frontier")) or 1
+            bloom = build_bloom(frontier, "url_id", expected=expected)
+        fresh = anti_join_seen(new_urls, frontier, bloom, hash_col="url_id")
+        m = self.store.merge("frontier", fresh, e, keys=["url_id"])
+        frontier = self._read("frontier", S.FRONTIER)
+
+        # 3. pending = frontier rows without a terminal outcome — covers both
+        #    never-fetched and dead-letter retries (T6: 408/460/429/5xx stay
+        #    eligible).
+        terminal = requests.filter(F.col("status_code").isin(*TERMINAL)).select(
+            "url_id"
+        )
+        pending = frontier.join(terminal, "url_id", "left_anti")
+        if self.robots is not None:
+            pending = apply_robots_gate(pending, self.robots)
+
+        # 4. politeness budgets per (host, salt) — driver-side control plane.
+        hosts = [r[0] for r in pending.select("host_hash").distinct().collect()]
+        host_budgets = self.politeness.budgets(self.epoch_secs, hosts)
+        budgets = spark.createDataFrame(
+            split_budget(host_budgets, N_SALTS) or [(0, 0, 0)],
+            "host_hash long, salt int, budget int",
+        )
+        drained = priority_drain(pending, budgets)
+
+        # 5. fetch + extract (the epoch's big join + the Arrow decode pass).
+        fetched = simulate_requests(drained, self.web, e, now).persist()
+        self.store.append("requests", requests_log(fetched), e)
+        docs = extract_documents(fetched, self.rules)
+        self.store.merge("documents", docs, e, keys=["image_id"])
+
+        # 6. politeness update from the epoch status histogram (A1) + metrics.
+        hist = (
+            fetched.groupBy("host_hash")
+            .agg(F.collect_set("status_code").alias("codes"))
+            .collect()
+        )
+        self.politeness.update_from_histogram(
+            now_secs + self.epoch_secs, {r.host_hash: r.codes for r in hist}
+        )
+        pol = spark.createDataFrame(self.politeness.to_rows(e), S.POLITENESS)
+        self.store.overwrite("politeness", pol, e, keys=["host_hash"])
+
+        # per-partition lineage + fetch metrics (north_rule): counts per
+        # (host, salt, status) for this epoch.
+        metrics = (
+            fetched.groupBy("host_hash", "salt", "status_code")
+            .agg(F.count("*").alias("n"))
+            .withColumn("epoch", F.lit(e))
+        )
+        self.store.append("metrics", metrics, e)
+
+        agg = fetched.agg(
+            F.count("*").alias("drained"),
+            F.sum((F.col("status_code") == 200).cast("long")).alias("ok"),
+            F.sum((~F.col("status_code").isin(200, 404)).cast("long")).alias("dead"),
+        ).first()
+        stats = {
+            "epoch": e,
+            "new_urls": m["rows"],
+            "drained": agg["drained"] or 0,
+            "fetched_ok": agg["ok"] or 0,
+            "dead_letter": agg["dead"] or 0,
+        }
+        ledger = spark.createDataFrame(
+            [
+                (
+                    e,
+                    now,
+                    stats["new_urls"],
+                    stats["drained"],
+                    stats["fetched_ok"],
+                    stats["dead_letter"],
+                )
+            ],
+            "epoch int, started timestamp, new_urls long, drained long, fetched_ok long, dead_letter long",
+        )
+        self.store.append("epochs", ledger, e)
+        fetched.unpersist()
+        return stats
+
+    def run(self, n_epochs: int, start: datetime | None = None) -> list[dict]:
+        """Run n epochs with a deterministic simulated clock when ``start`` is
+        given (each epoch advances by epoch_secs)."""
+        out = []
+        for i in range(n_epochs):
+            now = None
+            if start is not None:
+                from datetime import timedelta
+
+                now = start + timedelta(seconds=self.epoch_secs * (self.current_epoch()))
+            out.append(self.run_epoch(now))
+        return out
+
+    # -- shutdown --------------------------------------------------------------
+
+    def shutdown_compact(self) -> None:
+        """D4: drop frontier rows that were never requested (reference
+        drop_uncrawled_urls at crawler shutdown, db/url.py:139-156), then
+        compact the frontier so the next run reads one base snapshot."""
+        e = self.current_epoch() + 1
+        frontier = self._read("frontier", S.FRONTIER)
+        requests = self._read("requests", S.REQUESTS)
+        uncrawled = frontier.join(requests.select("url_id"), "url_id", "left_anti")
+        self.store.delete("frontier", uncrawled, e, keys=["url_id"])
+        self.store.compact("frontier", self.spark, e + 1)

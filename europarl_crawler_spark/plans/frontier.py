@@ -1,0 +1,180 @@
+"""The partitioned priority-queue frontier.
+
+Reproduces the reference's frontier queries as declarative DataFrame plans —
+Catalyst handles pushdown/pruning/join-strategy; we handle what it can't:
+the deterministic crawl order, per-host politeness budgets, and host-skew
+salting (SURVEY §4: the reference crawls ONE host, so host_hash alone is
+maximally skewed at 10^10 URLs).
+
+Operator parity (reference file:line → here):
+- J1  cross join days × rules              europarl/db/url.py:111
+- J2  anti join vs existing urls           europarl/db/url.py:112-116
+- J3/J4 semi join vs confirmed days        europarl/db/url.py:118-125
+- J5  anti join unchecked days             europarl/db/sessionDay.py:61-75
+- J6  retry lane (no terminal status)      europarl/db/sessionDay.py:82-96
+- O1/O2 top-k newest, drained oldest-first europarl/db/url.py:126-127;
+        workers/dateurlgenerator.py:111-113 (list.pop ⇒ reverse batch order)
+- O3/O4 unchecked-days two-branch union    europarl/db/sessionDay.py:76-98;
+        workers/sessiondaychecker.py:81-96
+- T12 one slot reserved for retry URLs     europarl/db/sessionDay.py:113-114
+
+Determinism: the reference's within-date order is whatever Postgres returns
+(unspecified); we *define* the total order with explicit tie-breaks
+(dates, rule_id, url_hash) so the crawl order is reproducible — the only
+regime where the reference itself is deterministic is Instances=1, which
+these keys reproduce (SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rules import rules_df, url_expr
+from ..functions.urlkit import host_hash_expr, salt_expr, url_hash_expr
+
+SESSION_DAY_RULE_ID = 1  # rules_df position of "session_day"
+TERMINAL = (200, 404)  # terminal probe statuses (reference db/sessionDay.py:95)
+N_SALTS = 16
+
+
+def frontier_columns(cand: DataFrame, epoch: int, priority_order) -> DataFrame:
+    """Attach url/hashes/salt/priority to a (date_id, rule_id, dates, doc_code,
+    infix, language, filetype) candidate set. priority_order: list of Columns
+    defining the drain order (ascending rank = drained first)."""
+    url = url_expr("dates", "doc_code", "infix", "language", "filetype")
+    w = Window.orderBy(*priority_order)
+    return (
+        cand.withColumn("url", url)
+        .withColumn("url_hash", url_hash_expr("url"))
+        .withColumn("host_hash", host_hash_expr("url"))
+        .withColumn("salt", salt_expr("url", N_SALTS).cast("int"))
+        .withColumn("url_id", F.xxhash64("rule_id", "url"))
+        .withColumn("priority", F.row_number().over(w).cast("long"))
+        .withColumn("created_epoch", F.lit(epoch))
+        .select(
+            "url_id", "date_id", "rule_id", "dates", "url",
+            "url_hash", "host_hash", "salt", "priority", "created_epoch",
+        )
+    )
+
+
+def session_day_probes(
+    spark: SparkSession,
+    days: DataFrame,
+    requests: DataFrame,
+    frontier: DataFrame,
+    limit: int,
+    epoch: int,
+) -> DataFrame:
+    """The unchecked-days batch (O3): fresh ∪ retry, probed newest-first.
+
+    fresh  = days never probed (J5 anti join), newest first, limit-1 slots;
+    retry  = days probed but with NO terminal (200/404) outcome (J6) — the
+             dead-letter lane, one guaranteed slot (T12).
+    Final order = dates DESC (the reference pops the ASC-sorted batch from the
+    tail, O4) with url_hash tie-break.
+    """
+    probe_reqs = (
+        requests.join(
+            frontier.filter(F.col("rule_id") == SESSION_DAY_RULE_ID).select("url_id", "dates"),
+            "url_id",
+        )
+    )
+    probed_days = probe_reqs.select("dates").distinct()
+    terminal_days = (
+        probe_reqs.filter(F.col("status_code").isin(*TERMINAL)).select("dates").distinct()
+    )
+    fresh = (
+        days.join(probed_days, "dates", "left_anti")
+        .orderBy(F.desc("dates"))
+        .limit(max(limit - 1, 0))
+    )
+    retry = (
+        days.join(probed_days, "dates", "left_semi")
+        .join(terminal_days, "dates", "left_anti")
+        .orderBy(F.asc("dates"))
+        .limit(limit)
+    )
+    batch = fresh.unionByName(retry).orderBy(F.asc("dates")).limit(limit)
+
+    rules = rules_df(spark).filter(F.col("rule_id") == SESSION_DAY_RULE_ID)
+    cand = batch.crossJoin(F.broadcast(rules))
+    return frontier_columns(cand, epoch, [F.desc("dates"), F.asc("url_hash")])
+
+
+def confirmed_days(requests: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Days whose session-day probe returned 200 (J4 join chain)."""
+    return (
+        requests.filter(F.col("status_code") == 200)
+        .join(
+            frontier.filter(F.col("rule_id") == SESSION_DAY_RULE_ID).select("url_id", "dates"),
+            "url_id",
+        )
+        .select("dates")
+        .distinct()
+    )
+
+
+def todo_combos(
+    spark: SparkSession,
+    days: DataFrame,
+    requests: DataFrame,
+    frontier: DataFrame,
+    limit: int,
+    epoch: int,
+) -> DataFrame:
+    """New document URLs: confirmed days × active rules, minus already-known
+    combos (J1+J2+J3), newest-first top-k (O1) drained OLDEST-first (O2).
+    """
+    rules = rules_df(spark, active_only=True).filter(
+        F.col("rule_id") != SESSION_DAY_RULE_ID
+    )
+    conf = confirmed_days(requests, frontier).join(
+        days.select("date_id", "dates"), "dates"
+    )
+    cand = conf.crossJoin(F.broadcast(rules)).join(
+        frontier.select("rule_id", "date_id"), ["rule_id", "date_id"], "left_anti"
+    )
+    batch = cand.orderBy(
+        F.desc("dates"), F.asc("rule_id")
+    ).limit(limit)
+    # drain order inside the batch: oldest date first (reference list.pop of a
+    # DESC-sorted prefetch), rule_id then url_hash as deterministic tie-breaks
+    return frontier_columns(
+        batch, epoch, [F.asc("dates"), F.asc("rule_id"), F.asc("url_hash")]
+    )
+
+
+def priority_drain(
+    frontier_batch: DataFrame,
+    budgets: DataFrame,
+) -> DataFrame:
+    """Politeness-bounded drain: top-``budget`` rows per (host_hash, salt) in
+    priority order — `row_number` per salt-partition beats a global sort at
+    scale (SURVEY §4.3). ``budgets``: (host_hash, salt, budget) — small
+    (n_hosts × n_salts), broadcast.
+    """
+    w = Window.partitionBy("host_hash", "salt").orderBy(
+        F.asc("priority"), F.asc("created_epoch"), F.asc("url_hash")
+    )
+    return (
+        frontier_batch.join(F.broadcast(budgets), ["host_hash", "salt"], "inner")
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.col("budget"))
+        .drop("_rank", "budget")
+    )
+
+
+def split_budget(host_budgets: dict[int, int], n_salts: int = N_SALTS) -> list[tuple]:
+    """Driver-side: split each host's epoch budget across its salt shards so
+    the drain window never concentrates one host in one task. Returns rows
+    (host_hash, salt, budget)."""
+    rows = []
+    for host, budget in sorted(host_budgets.items()):
+        base, rem = divmod(int(budget), n_salts)
+        for s in range(n_salts):
+            b = base + (1 if s < rem else 0)
+            if b > 0:
+                rows.append((host, s, b))
+    return rows

@@ -1,0 +1,176 @@
+"""Snapshot-isolated epoch tables over Parquet — the Iceberg stand-in.
+
+The north_rule requires Iceberg tables with snapshot-isolated upserts per
+crawl epoch, resumable from checkpoint. No Iceberg runtime jar exists in this
+sandbox (verified: /opt/spark jars have none, no network), so this module
+emulates the subset we need with a **merge-on-read** layout that is honest
+about 10^10-row scale:
+
+    {root}/{table}/epoch=N/part-*.parquet      ← per-epoch DELTA (only new /
+                                                  changed / tombstoned rows)
+    {root}/{table}/_manifests/{N:08d}.json     ← commit record (written LAST —
+                                                  the atomic commit point)
+
+- ``merge(table, df, epoch, keys)`` appends a delta; readers resolve
+  latest-wins per key with ``row_number() over (partition by keys order by
+  _epoch desc)`` — the same merge-on-read strategy Iceberg v2 position/equality
+  deletes use. A full-table rewrite per epoch (the naive emulation) would be
+  O(table) per epoch and is exactly what we avoid.
+- deletes are tombstone rows (``_deleted = true``) folded out at read time —
+  used for the reference's shutdown ``drop_uncrawled_urls`` (reference:
+  europarl/db/url.py:139-156, SURVEY D4).
+- ``compact(table, epoch)`` collapses base+deltas into a new base snapshot so
+  read amplification stays bounded (run every K epochs, like Iceberg
+  rewrite_data_files).
+- a data dir without its manifest is an aborted write: ignored on read,
+  clobbered on retry. Resume = read manifests, continue from max committed
+  epoch. Equivalent to the reference's "only fully-processed work commits"
+  shutdown protocol (SURVEY T7).
+
+On a real cluster this module is swapped for ``MERGE INTO`` on Iceberg; the
+call sites (plans/epoch.py) only use merge/append/read/latest, which map 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class EpochStore:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest chain -----------------------------------------------------
+
+    def _mdir(self, table: str) -> Path:
+        return self.root / table / "_manifests"
+
+    def manifests(self, table: str) -> list[dict]:
+        mdir = self._mdir(table)
+        if not mdir.is_dir():
+            return []
+        out = []
+        for p in sorted(mdir.glob("*.json")):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def latest(self, table: str) -> int | None:
+        ms = self.manifests(table)
+        return ms[-1]["epoch"] if ms else None
+
+    def rollback(self, table: str, to_epoch: int) -> None:
+        """Drop every commit after ``to_epoch`` (manifests first, then data)."""
+        for m in self.manifests(table):
+            if m["epoch"] > to_epoch:
+                (self._mdir(table) / f"{m['epoch']:08d}.json").unlink()
+                shutil.rmtree(self.root / table / f"epoch={m['epoch']}", ignore_errors=True)
+
+    # -- write paths ---------------------------------------------------------
+
+    def _commit(self, table: str, df: DataFrame, epoch: int, kind: str, keys) -> dict:
+        ddir = self.root / table / f"epoch={epoch}"
+        if ddir.exists():  # aborted earlier attempt — clobber before retry
+            shutil.rmtree(ddir)
+        out = df.withColumn("_epoch", F.lit(int(epoch)))
+        if "_deleted" not in out.columns:
+            out = out.withColumn("_deleted", F.lit(False))
+        out.write.mode("overwrite").parquet(str(ddir))
+        # row count from parquet footers — metadata-only, no Spark job
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(p).metadata.num_rows for p in ddir.glob("*.parquet")
+        )
+        manifest = {
+            "table": table,
+            "epoch": int(epoch),
+            "parent": self.latest(table),
+            "kind": kind,
+            "keys": list(keys) if keys else None,
+            "rows": rows,
+            "files": len(list(ddir.glob("*.parquet"))),
+        }
+        self._mdir(table).mkdir(parents=True, exist_ok=True)
+        mpath = self._mdir(table) / f"{epoch:08d}.json"
+        tmp = mpath.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # atomic commit point
+        return manifest
+
+    def merge(self, table: str, df: DataFrame, epoch: int, keys: list[str]) -> dict:
+        """Upsert delta: latest row per key wins at read time (D1–D3 semantics:
+        re-merging the same batch is idempotent — same keys, same values)."""
+        return self._commit(table, df, epoch, "delta", keys)
+
+    def delete(self, table: str, keys_df: DataFrame, epoch: int, keys: list[str]) -> dict:
+        """Tombstone the given keys (reference DELETE, SURVEY D4)."""
+        return self._commit(
+            table, keys_df.select(*keys).withColumn("_deleted", F.lit(True)), epoch, "delta", keys
+        )
+
+    def append(self, table: str, df: DataFrame, epoch: int) -> dict:
+        """Append-only table (the requests crawl log, SURVEY D11)."""
+        return self._commit(table, df, epoch, "append", None)
+
+    def overwrite(self, table: str, df: DataFrame, epoch: int, keys: list[str] | None = None) -> dict:
+        """Full base snapshot (initial load / compaction output)."""
+        return self._commit(table, df, epoch, "base", keys)
+
+    def compact(self, table: str, spark: SparkSession, epoch: int) -> dict:
+        """Fold base+deltas into a fresh base so read cost stays O(1) deltas."""
+        resolved = self.read(table, spark)
+        keys = self._keys(table)
+        return self.overwrite(table, resolved.drop("_epoch", "_deleted"), epoch, keys)
+
+    # -- read path ------------------------------------------------------------
+
+    def _keys(self, table: str) -> list[str] | None:
+        for m in reversed(self.manifests(table)):
+            if m["keys"]:
+                return m["keys"]
+        return None
+
+    def read(
+        self,
+        table: str,
+        spark: SparkSession,
+        schema: T.StructType | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Resolved view of the table at snapshot ``as_of`` (default: latest).
+
+        Time travel = replay manifests up to as_of, exactly like reading an
+        older Iceberg snapshot.
+        """
+        ms = [m for m in self.manifests(table) if as_of is None or m["epoch"] <= as_of]
+        if not ms:
+            if schema is None:
+                raise ValueError(f"table {table} is empty and no schema given")
+            return spark.createDataFrame([], schema)
+        # start from the newest base (full snapshot); apply later deltas only
+        base_idx = max(
+            (i for i, m in enumerate(ms) if m["kind"] == "base"), default=None
+        )
+        live = ms if base_idx is None else ms[base_idx:]
+        parts = [str(self.root / table / f"epoch={m['epoch']}") for m in live]
+        # tombstone deltas carry only key columns → schemas differ per epoch
+        df = spark.read.option("mergeSchema", "true").parquet(*parts)
+        keys = self._keys(table)
+        if keys and any(m["kind"] in ("delta", "base") for m in live):
+            w = Window.partitionBy(*keys).orderBy(F.desc("_epoch"))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return df.filter(~F.col("_deleted"))

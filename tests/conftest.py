@@ -11,6 +11,6 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 def spark():
     from europarl_crawler_spark import get_spark
 
-    s = get_spark("europarl-crawler-spark-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark("europarl-crawler-spark-tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()

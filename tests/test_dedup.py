@@ -1,0 +1,88 @@
+"""Dedup operators against hand-computable fixtures + the sf0.001 documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+            (4, "completely different text about something else entirely"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(docs):
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].keep_id == 1 and got[0].n_dups == 2
+
+
+def test_shingles_cardinality(docs, spark):
+    sh = dedup.shingles(docs.filter("doc_id = 5"), n=5)
+    # "short" has exactly one 5-gram
+    assert [r.shingle for r in sh.collect()] == ["short"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical text
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, k=32, bands=16, threshold=0.3).collect()
+    }
+    assert (1, 2) in got  # identical docs always collide
+    # precision: every reported pair is a true >= threshold pair
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.3).collect()
+    }
+    assert got <= exact
+
+
+def test_simhash_identical_docs_equal(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sig[1] == sig[2]
+
+
+def test_simhash_near_pairs(docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(docs, 6).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 4) not in got or got[(1, 4)] > 0  # different docs aren't 0-distance
+
+
+def test_on_real_documents_table(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dups = dedup.exact_duplicates(docs).count()
+    assert dups >= 0  # smoke: runs on the driver-provided corpus
+    sig = dedup.simhash64(docs.limit(50))
+    assert sig.count() == 50
+
+
+def test_keep_one_per_group(docs):
+    tagged = docs.withColumn("g", F.xxhash64("text"))
+    kept = dedup.keep_one_per_group(tagged, "g")
+    assert kept.count() == 4  # 5 docs, one exact-dup pair collapsed
+    assert kept.filter("doc_id = 2").count() == 0

@@ -1,0 +1,74 @@
+"""EpochStore: merge-on-read upsert semantics (reference ON CONFLICT DO
+UPDATE, SURVEY D1–D4), tombstones, compaction, time travel, resume."""
+
+from __future__ import annotations
+
+import pytest
+
+from europarl_crawler_spark.sources.epochstore import EpochStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return EpochStore(tmp_path / "store")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_merge_latest_wins_and_idempotent(spark, store):
+    store.merge("t", _df(spark, [(1, "a"), (2, "b")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B"), (3, "c")]), 2, keys=["k"])
+    got = {(r.k, r.v) for r in store.read("t", spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotent re-merge (same batch, next epoch) → same resolved table
+    store.merge("t", _df(spark, [(2, "B"), (3, "c")]), 3, keys=["k"])
+    got = {(r.k, r.v) for r in store.read("t", spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_time_travel(spark, store):
+    store.merge("t", _df(spark, [(1, "a")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(1, "A2")]), 2, keys=["k"])
+    assert store.read("t", spark, as_of=1).first().v == "a"
+    assert store.read("t", spark, as_of=2).first().v == "A2"
+
+
+def test_tombstone_delete(spark, store):
+    store.merge("t", _df(spark, [(1, "a"), (2, "b")]), 1, keys=["k"])
+    store.delete("t", _df(spark, [(1, "a")]), 2, keys=["k"])
+    assert [r.k for r in store.read("t", spark).collect()] == [2]
+
+
+def test_compact_preserves_contents(spark, store):
+    store.merge("t", _df(spark, [(1, "a"), (2, "b")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B")]), 2, keys=["k"])
+    store.delete("t", _df(spark, [(1, "a")]), 3, keys=["k"])
+    store.compact("t", spark, 4)
+    got = {(r.k, r.v) for r in store.read("t", spark).collect()}
+    assert got == {(2, "B")}
+    assert store.manifests("t")[-1]["kind"] == "base"
+
+
+def test_append_table(spark, store):
+    store.append("log", _df(spark, [(1, "x")]), 1)
+    store.append("log", _df(spark, [(1, "x")]), 2)  # duplicates kept
+    assert store.read("log", spark).count() == 2
+
+
+def test_rollback(spark, store):
+    store.merge("t", _df(spark, [(1, "a")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(1, "A2")]), 2, keys=["k"])
+    store.rollback("t", 1)
+    assert store.latest("t") == 1
+    assert store.read("t", spark).first().v == "a"
+
+
+def test_empty_read_needs_schema(spark, store):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    assert store.read("nope", spark, schema=schema).count() == 0
+    with pytest.raises(ValueError):
+        store.read("nope", spark)

@@ -1,0 +1,84 @@
+"""Similarity search: exact baseline sanity + LSH/IVF recall vs baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_cosine_expr_matches_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    got = (
+        spark.range(1)
+        .select(
+            similarity.cosine_expr(
+                F.array(*[F.lit(x) for x in a]), F.array(*[F.lit(x) for x in b])
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    want = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(got - want) < 1e-9
+
+
+def test_brute_force_topk(emb, queries):
+    res = similarity.brute_force_topk(emb, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_high_recall(emb, queries):
+    rng = np.random.Generator(np.random.Philox(key=42))
+    dim = len(emb.first().embedding)
+    planes = rng.normal(size=(4, dim)).tolist()  # 4 planes → 16 buckets
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, queries, planes, k=5).collect()
+    }
+    # SRP keeps similar vectors in the same bucket: expect decent recall
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_ivf_topk_runs_and_ranked(emb, queries):
+    res = similarity.ivf_topk(emb, queries, n_cells=8, nprobe=3, k=5).collect()
+    assert len(res) > 0
+    assert all(1 <= r.rank <= 5 for r in res)
+
+
+def test_embedding_near_dup_symmetric_free(emb):
+    pairs = similarity.embedding_near_dup_pairs(emb.limit(60), threshold=0.9)
+    for r in pairs.collect():
+        assert r.id_a < r.id_b

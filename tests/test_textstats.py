@@ -1,0 +1,70 @@
+"""Text analysis operators: language-ID, quality, tokens, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+
+from europarl_crawler_spark.operators import textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park in the morning"),
+            (2, "der Hund und die Katze sind nicht mit der Maus zu Hause"),
+            (3, "le chat et le chien sont dans la maison pour la nuit"),
+            (4, "zzz qqq xxx"),
+            (5, "Hello, world! This is a short test sentence."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_language_id(docs):
+    got = {r.doc_id: r.lang_pred for r in textstats.language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r for r in textstats.token_count(docs).collect()}
+    assert got[4].n_tokens == 3
+    assert got[1].n_tokens == 12
+    assert got[1].n_subwords_est >= got[1].n_tokens
+
+
+def test_quality_score_ranges(docs):
+    for r in textstats.quality_score(docs).collect():
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+    got = {r.doc_id: r.quality_score for r in textstats.quality_score(docs).collect()}
+    assert got[1] > got[4]  # real sentence beats gibberish
+
+
+def test_fingerprint_identical_prefix_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (2, "abcdefghijklmnopqrstuvwxyz9876543210"),  # shared 26-char prefix
+            (3, "totally unrelated content here with no common substring"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = textstats.fingerprint(docs, n=8, window=4)
+    sets = {
+        d: {r.fp_hash for r in fp.filter(f"doc_id = {d}").collect()} for d in (1, 2, 3)
+    }
+    assert sets[1] & sets[2]  # shared prefix ⇒ shared fingerprints
+    assert not (sets[1] & sets[3])
+
+
+def test_runs_on_real_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    assert textstats.language_id(docs).count() == 100
+    assert textstats.quality_score(docs).count() == 100
+    assert textstats.fingerprint_summary(docs, n=8, window=4).count() == 100

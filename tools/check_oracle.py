@@ -1,0 +1,105 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01, compare row count + column
+names + order-insensitive values. Usage:
+
+    python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from europarl_crawler_spark import get_spark
+
+    spark = get_spark("oracle-check", master="local[16]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            results[name] = f"SPARK ERROR: {e}"
+            print(name, results[name][:500])
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(spark_rows)} rows)"
+            print(f"{name}: {results[name]}")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
+            print(name, results[name][:500])
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            results[name] = f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+        elif len(spark_rows) != len(duck_rows):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
+        else:
+            a = canon(spark_rows, spark_cols)
+            b = canon(duck_rows, duck_cols)
+            if a == b:
+                results[name] = f"OK ({len(spark_rows)} rows)"
+            else:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                results[name] = f"VALUE MISMATCH e.g. {diff}"
+        print(f"{name}: {results[name][:300]}")
+
+    bad = {k: v for k, v in results.items() if not (v.startswith("OK") or v.startswith("rows-only"))}
+    print(f"\n{len(results) - len(bad)}/{len(results)} ok; {len(bad)} failing: {list(bad)}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
