@@ -452,16 +452,18 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 5-gram Jaccard near-dup pairs, τ=0.4 (dedup lane)."""
+    """5-gram Jaccard near-dup pairs, τ=0.4, stop-shingle df-cap 400
+    (identical cap in the oracle — see operators/dedup.py on why the cap is
+    mandatory at corpus scale)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4)
+    return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=400)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup (exact-verified candidates; engine-hash-dependent
     recall → rows-only check; precision asserted in tests)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4)
+    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4, df_cap=400)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -609,12 +611,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     shingle_sql = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS s
   FROM (SELECT doc_id, text,
         unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
         FROM documents)
   WHERE length(substr(text, i, 5)) = 5
+), sh AS (  -- stop-shingle df-cap 400, mirroring the Spark operator
+  SELECT doc_id, s FROM sh0
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 400)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

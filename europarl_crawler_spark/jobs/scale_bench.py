@@ -1,0 +1,187 @@
+"""Frontier-drain throughput job for the N→4N scaling-efficiency evidence.
+
+The reference seed list has ONE politeness domain, so its crawl rate is
+budget-bound (0.33 req/s) and cannot show compute scaling. The north_rule's
+10^10-URL frontier is multi-host; this job reproduces that regime
+synthetically: H hosts × U URLs each, every host under the reference's
+politeness budget (bucket cap 100/epoch), then measures URLs
+**fetched + extracted per second** through the full pipeline:
+
+  pending anti-join → two-stage salted priority drain → content-store fetch
+  join → Arrow decode + phash extract → requests/documents merges
+
+Run via spark-submit at two parallelism levels (tools/bench_scaling.py) on
+the SAME input; efficiency = (thpt_4N / thpt_N) / 4.
+
+    spark-submit --master local[8]  --py-files pkg.zip scale_bench.py --hosts 2000
+    spark-submit --master local[32] --py-files pkg.zip scale_bench.py --hosts 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+from datetime import datetime, timezone
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+
+def synthetic_multihost_web(spark, n_hosts: int, urls_per_host: int, img_px: int = 32):
+    """Content store across n_hosts politeness domains; bytes are raw-format
+    Philox noise keyed by url id (generated once, reused by both runs)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urlkit import host_hash_expr, url_hash_expr
+    from ..sources.schema import WEB
+
+    n = n_hosts * urls_per_host
+    base = spark.range(n).select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.col("id").alias("doc_id"),
+    )
+    kind = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0, F.lit("missing"))
+        .when(F.pmod(F.col("doc_id"), F.lit(13)) == 0, F.lit("flaky"))
+        .otherwise(F.lit("ok"))
+    )
+    tagged = base.select(
+        url_hash_expr("url").alias("url_hash"),
+        "url",
+        kind.alias("kind"),
+        "doc_id",
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "url_hash": pdf["url_hash"], "url": pdf["url"], "kind": pdf["kind"],
+                "bytes": [], "w": [], "h": [], "fmt": [], "caption": [],
+            }
+            for did, kind_ in zip(pdf["doc_id"], pdf["kind"]):
+                if kind_ == "missing":
+                    for k in ("bytes", "w", "h", "fmt", "caption"):
+                        out[k].append(None)
+                    continue
+                rng = np.random.Generator(np.random.Philox(key=int(did)))
+                px = rng.integers(0, 256, size=(img_px, img_px, 3), dtype=np.uint8)
+                out["bytes"].append(px.tobytes())
+                out["w"].append(img_px)
+                out["h"].append(img_px)
+                out["fmt"].append("raw")
+                out["caption"].append(f"doc {int(did)}")
+            yield pd.DataFrame(out)
+
+    return tagged.mapInPandas(gen, schema=WEB)
+
+
+def multihost_frontier(spark, web):
+    """Frontier over every web URL: deterministic priority per host."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.urlkit import host_hash_expr, salt_expr
+
+    w = Window.partitionBy("host_hash").orderBy("url_hash")
+    return (
+        web.select("url", "url_hash")
+        .withColumn("host_hash", host_hash_expr("url"))
+        .withColumn("salt", salt_expr("url").cast("int"))
+        .withColumn("url_id", F.xxhash64(F.lit(1), "url"))
+        .withColumn("rule_id", F.lit(1))
+        .withColumn("date_id", F.lit(0).cast("long"))
+        .withColumn("dates", F.lit("2020-01-01").cast("date"))
+        .withColumn("priority", F.row_number().over(w).cast("long"))
+        .withColumn("created_epoch", F.lit(1))
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hosts", type=int, default=2000)
+    p.add_argument("--urls-per-host", type=int, default=200)
+    p.add_argument("--budget", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--web", default=None, help="pre-generated web dir (reused across runs)")
+    p.add_argument("--store", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ..functions.rules import rules_df
+    from ..plans.epoch import TERMINAL
+    from ..plans.fetch import extract_documents, requests_log, simulate_requests
+    from ..plans.frontier import priority_drain
+    from ..sources.epochstore import EpochStore
+    from ..sources import schema as S
+
+    spark = (
+        SparkSession.builder.appName("scale-bench")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    web_dir = args.web or tempfile.mkdtemp() + "/web"
+    import os
+
+    if not os.path.isdir(web_dir):
+        synthetic_multihost_web(spark, args.hosts, args.urls_per_host).write.parquet(web_dir)
+    web = spark.read.parquet(web_dir)
+
+    store = EpochStore(args.store or tempfile.mkdtemp() + "/store")
+    frontier = multihost_frontier(spark, web)
+    store.overwrite("frontier", frontier, 1, keys=["url_id"])
+    frontier = store.read("frontier", spark)
+
+    budgets = (
+        frontier.select("host_hash").distinct()
+        .withColumn("budget", F.lit(args.budget))
+    )
+
+    t0 = time.perf_counter()
+    fetched_total = 0
+    for e in range(2, 2 + args.epochs):
+        requests = store.read("requests", spark, schema=S.REQUESTS)
+        terminal = requests.filter(F.col("status_code").isin(*TERMINAL)).select("url_id")
+        pending = frontier.join(terminal, "url_id", "left_anti")
+        drained = priority_drain(pending, budgets)
+        fetched = simulate_requests(
+            drained, web, e, datetime.now(timezone.utc)
+        ).persist()
+        store.append("requests", requests_log(fetched), e)
+        docs = extract_documents(fetched, rules_df(spark))
+        store.merge("documents", docs, e, keys=["image_id"])
+        fetched_total += fetched.count()
+        fetched.unpersist()
+    dt = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "hosts": args.hosts,
+                "urls_per_host": args.urls_per_host,
+                "epochs": args.epochs,
+                "urls_fetched": int(fetched_total),
+                "wall_sec": round(dt, 3),
+                "urls_per_sec": round(fetched_total / dt, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,21 +60,32 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = 
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 5, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
+    """n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold) — EXACT when
+    ``df_cap`` is None.
 
-    |A∩B| by self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|. The join key
-    (shingle hash) is uniform, so the shuffle is balanced; stop-shingle
-    skew (very common shingles) is the one real risk at scale — mitigated by
-    dropping shingles above a document-frequency cap (df_cap).
+    |A∩B| by self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``df_cap``: drop shingles appearing in more than df_cap documents BEFORE
+    the join — the self-join's cost is Σ_shingle df², so one stop-shingle in
+    20% of a 10^9-doc corpus is a 4·10^16-pair bucket. Capped shingles carry
+    ~no discriminating signal (idf ≈ 0); with the cap the measure becomes
+    "rare-shingle Jaccard", computed identically in the DuckDB oracle so the
+    equivalence stays exact. At corpus scale ALWAYS set a cap.
     """
     sh = shingles(docs, n, text_col, id_col).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # df-cap: a shingle present in >1% of docs separates nothing and creates
-    # the quadratic bucket — drop it from the join (exactness note: this is a
-    # documented approximation ONLY if df_cap is hit; tests use no cap)
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
@@ -116,6 +127,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 64, bands: int = 16, n: int = 5,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -141,7 +153,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
+    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col, df_cap=df_cap)
     return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 

@@ -131,14 +131,26 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Exact all-pairs — O(n²) compare but each side shuffles once on a uniform
-    range-block key; the LSH variant prunes this at scale (same verify).
+    Exact all-pairs, but norms are computed ONCE per vector before the pair
+    join (O(n·d) instead of O(n²·d) norm work); only the dot product runs
+    per pair. Same arithmetic as dot/(‖a‖·‖b‖) — bit-identical to the DuckDB
+    oracle. The LSH variant prunes the pair space at scale (same verify).
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    withnorm = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        norm_expr(vec_col).alias("_n"),
+    )
+    a = withnorm.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = withnorm.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr("_va", "_vb"), 6))
+        .withColumn(
+            "cosine", F.round(dot_expr("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -30,10 +30,9 @@ from ..sources import schema as S
 from ..sources.epochstore import EpochStore
 from .fetch import extract_documents, requests_log, simulate_requests
 from .frontier import (
-    N_SALTS,
+    budget_rows,
     priority_drain,
     session_day_probes,
-    split_budget,
     todo_combos,
 )
 from .politeness import PolitenessState
@@ -137,8 +136,8 @@ class CrawlEngine:
         hosts = [r[0] for r in pending.select("host_hash").distinct().collect()]
         host_budgets = self.politeness.budgets(self.epoch_secs, hosts)
         budgets = spark.createDataFrame(
-            split_budget(host_budgets, N_SALTS) or [(0, 0, 0)],
-            "host_hash long, salt int, budget int",
+            budget_rows(host_budgets) or [(0, 0)],
+            "host_hash long, budget int",
         )
         drained = priority_drain(pending, budgets)
 

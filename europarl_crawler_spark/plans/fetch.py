@@ -74,6 +74,7 @@ def requests_log(fetched: DataFrame) -> DataFrame:
         "status_code",
         F.lit(None).cast("string").alias("redirected_url"),
         "epoch",
+        "drain_seq",
     )
 
 

@@ -150,31 +150,41 @@ def priority_drain(
     frontier_batch: DataFrame,
     budgets: DataFrame,
 ) -> DataFrame:
-    """Politeness-bounded drain: top-``budget`` rows per (host_hash, salt) in
-    priority order — `row_number` per salt-partition beats a global sort at
-    scale (SURVEY §4.3). ``budgets``: (host_hash, salt, budget) — small
-    (n_hosts × n_salts), broadcast.
+    """Politeness-bounded drain: the EXACT top-``budget`` rows per host in
+    the deterministic order (priority, created_epoch, url_hash).
+
+    Two stages so the exactness survives skew at 10^10-URL scale
+    (SURVEY §4.1/§4.3):
+
+    1. per-(host, salt) prune: each of the N_SALTS shards keeps its own top
+       ``budget`` rows — a parallel window over uniformly-sized shards. Any
+       row outside its shard's top-B cannot be in the host's global top-B,
+       so the prune is lossless.
+    2. per-host exact rank over the pruned ≤ N_SALTS × budget rows — the
+       heavy frontier never hits a single-task window; only the pruned
+       sliver does (budget ≤ 100/host, so ≤ 1600 rows/host).
+
+    ``budgets``: (host_hash, budget) — driver-side politeness output, tiny,
+    broadcast. drain_seq = position in the host's crawl order — the
+    reproducible ordering the equivalence suite asserts (SURVEY §7.4.1);
+    the reference's single-host regime makes per-host == global order.
     """
-    w = Window.partitionBy("host_hash", "salt").orderBy(
-        F.asc("priority"), F.asc("created_epoch"), F.asc("url_hash")
+    order = [F.asc("priority"), F.asc("created_epoch"), F.asc("url_hash")]
+    w_salt = Window.partitionBy("host_hash", "salt").orderBy(*order)
+    pruned = (
+        frontier_batch.join(F.broadcast(budgets), ["host_hash"], "inner")
+        .withColumn("_srank", F.row_number().over(w_salt))
+        .filter(F.col("_srank") <= F.col("budget"))
+        .drop("_srank")
     )
+    w_host = Window.partitionBy("host_hash").orderBy(*order)
     return (
-        frontier_batch.join(F.broadcast(budgets), ["host_hash", "salt"], "inner")
-        .withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= F.col("budget"))
-        .drop("_rank", "budget")
+        pruned.withColumn("drain_seq", F.row_number().over(w_host))
+        .filter(F.col("drain_seq") <= F.col("budget"))
+        .drop("budget")
     )
 
 
-def split_budget(host_budgets: dict[int, int], n_salts: int = N_SALTS) -> list[tuple]:
-    """Driver-side: split each host's epoch budget across its salt shards so
-    the drain window never concentrates one host in one task. Returns rows
-    (host_hash, salt, budget)."""
-    rows = []
-    for host, budget in sorted(host_budgets.items()):
-        base, rem = divmod(int(budget), n_salts)
-        for s in range(n_salts):
-            b = base + (1 if s < rem else 0)
-            if b > 0:
-                rows.append((host, s, b))
-    return rows
+def budget_rows(host_budgets: dict[int, int]) -> list[tuple]:
+    """Driver-side politeness budgets → (host_hash, budget) rows."""
+    return [(h, int(b)) for h, b in sorted(host_budgets.items()) if b > 0]

@@ -48,6 +48,9 @@ REQUESTS = T.StructType(
         T.StructField("status_code", T.IntegerType(), False),
         T.StructField("redirected_url", T.StringType(), True),
         T.StructField("epoch", T.IntegerType(), False),
+        # position in the epoch's per-host drain order — the reproducible
+        # crawl ordering the north_rule requires (SURVEY §7.4.1)
+        T.StructField("drain_seq", T.IntegerType(), False),
     ]
 )
 

@@ -1,0 +1,69 @@
+"""Structured Streaming: windowed counts w/ watermark, stateful politeness."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.sources.schema import REQUESTS
+from europarl_crawler_spark.streaming import stream as S
+
+
+@pytest.fixture(scope="module")
+def requests_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("reqstream")
+    rows = []
+    for i in range(200):
+        host = 1 if i % 2 == 0 else 2
+        status = [200, 404, 503, 200][i % 4] if host == 1 else [200, 429][i % 2]
+        rows.append(
+            (
+                i, i, i, host,
+                datetime(2024, 1, 1, i % 24, (i * 7) % 60),
+                status, None, 1, i + 1,
+            )
+        )
+    spark.createDataFrame(rows, REQUESTS).write.parquet(str(root / "requests"))
+    return str(root / "requests"), str(root)
+
+
+def test_windowed_status_counts(spark, requests_dir):
+    path, root = requests_dir
+    sdf = S.windowed_status_counts(S.requests_stream(spark, path), "1 hour")
+    S.run_available_now(sdf, "wincounts", root + "/ckpt1", output_mode="append")
+    # append-mode output only emits closed windows; re-read as batch to check
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("requested_at", "1 hour"), "status_code")
+        .count()
+    )
+    got = spark.sql("SELECT * FROM wincounts")
+    # watermark holds back the final window in append mode: emitted ⊆ batch
+    assert got.count() <= batch.count()
+    joined = got.join(
+        batch.select(
+            F.col("window.start").alias("window_start"),
+            "status_code",
+            F.col("count").alias("n_batch"),
+        ),
+        ["window_start", "status_code"],
+    )
+    assert joined.count() == got.count()
+    assert joined.filter(F.col("n") != F.col("n_batch")).count() == 0
+
+
+def test_stateful_politeness(spark, requests_dir):
+    path, root = requests_dir
+    sdf = S.politeness_query(S.requests_stream(spark, path))
+    S.run_available_now(sdf, "politeness", root + "/ckpt2", output_mode="update")
+    rows = {r.host_hash: r for r in spark.sql(
+        "SELECT * FROM politeness"
+    ).collect()}
+    # host 1 saw 503 (server error) → throttled at least once: interval > min
+    # host 2 saw 429 (rate limit) → throttled
+    assert rows[1].interval_secs > 3.0 or rows[2].interval_secs > 3.0
+    for r in rows.values():
+        assert r.n_events > 0
