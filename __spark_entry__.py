@@ -249,7 +249,7 @@ def q_o1_o2_topk_drain(spark, sf_dir):
     ).limit(50)
     w = Window.orderBy(F.asc("dates"), F.asc("rulename"))
     return batch.select(
-        F.row_number().over(w).alias("seq"), "dates", "rulename", "url"
+        F.row_number().over(w).cast("long").alias("seq"), "dates", "rulename", "url"
     )
 
 
@@ -346,7 +346,7 @@ def q_o8_spaced_refresh(spark, sf_dir):
     hi = _t(spark, sf_dir, "orders").agg(
         F.max(F.to_date("o_orderdate")).alias("hi")
     )
-    d = cal.crossJoin(hi).withColumn("off", F.datediff("hi", F.col("dates")))
+    d = cal.crossJoin(hi).withColumn("off", F.datediff("hi", F.col("dates")).cast("long"))
     keep = (
         (F.col("off") < 14)
         | ((F.col("off") < 42) & (F.col("off") % 2 == 0))
@@ -423,7 +423,7 @@ def q_w1_top_customer_per_nation(spark, sf_dir):
     w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("n_name", "rank", "c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
     )
@@ -441,6 +441,24 @@ def q_t1_events_hourly(spark, sf_dir):
     )
 
 
+def q_f6_json_extract(spark, sf_dir):
+    """F6: semi-structured JSON column parse + aggregate (reference stores
+    extraction results as JSONB, db/documents.py:188-199; here from_json with
+    an explicit schema over events.props)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type", F.from_json("props", "k INT").alias("p")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p.k")).alias("sum_k"),
+            F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: group-by-content → representative + cardinality
     (content := (lang, source) here; full-text hash in operators/dedup.py)."""
@@ -452,18 +470,18 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """5-gram Jaccard near-dup pairs, τ=0.4, stop-shingle df-cap 400
+    """5-gram Jaccard near-dup pairs, τ=0.4, stop-shingle df-cap 100
     (identical cap in the oracle — see operators/dedup.py on why the cap is
     mandatory at corpus scale)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=400)
+    return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=100)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup (exact-verified candidates; engine-hash-dependent
     recall → rows-only check; precision asserted in tests)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4, df_cap=400)
+    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4, df_cap=100)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -503,7 +521,7 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -588,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "w1_top_customer_per_nation": q_w1_top_customer_per_nation,
         "t1_events_hourly": q_t1_events_hourly,
+        "f6_json_extract": q_f6_json_extract,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -617,9 +636,9 @@ WITH sh0 AS (
         unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
         FROM documents)
   WHERE length(substr(text, i, 5)) = 5
-), sh AS (  -- stop-shingle df-cap 400, mirroring the Spark operator
+), sh AS (  -- stop-shingle df-cap 100, mirroring the Spark operator
   SELECT doc_id, s FROM sh0
-  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 400)
+  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -794,6 +813,12 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "f6_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups

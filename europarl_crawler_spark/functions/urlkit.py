@@ -34,11 +34,14 @@ def canonicalize_py(url: str) -> str:
 
 
 def host_of_py(url: str) -> str:
+    """Lowercased host with the SCHEME'S OWN default port stripped (http→:80,
+    https→:443); a non-default port — e.g. http on :443 — is significant and
+    kept. Mirrors host_expr exactly (property-tested)."""
     s = urlsplit(url)
     host = s.netloc.lower()
-    for p in _DEFAULT_PORTS.values():
-        if host.endswith(p):
-            host = host[: -len(p)]
+    p = _DEFAULT_PORTS.get(s.scheme.lower())
+    if p and host.endswith(p):
+        host = host[: -len(p)]
     return host
 
 
@@ -47,10 +50,17 @@ def _c(col: Column | str) -> Column:
 
 
 def host_expr(url: Column | str) -> Column:
-    """Extract the (lowercased, default-port-stripped) host of a URL."""
+    """Extract the lowercased host, stripping only the scheme's own default
+    port (http→:80, https→:443) — ports that don't match the scheme are
+    significant and kept."""
     u = _c(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    return F.regexp_replace(host, r":(80|443)$", "")
+    return (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
 
 
 def canonicalize_expr(url: Column | str) -> Column:

@@ -30,7 +30,9 @@ import numpy as np
 import pandas as pd
 
 
-def synthetic_multihost_web(spark, n_hosts: int, urls_per_host: int, img_px: int = 32):
+def synthetic_multihost_web(spark, n_hosts: int, urls_per_host: int, img_px: int = 8):
+    # img_px=8 by default: phash cost is resolution-independent (32×32 DCT),
+    # so small payloads keep the CPU work while avoiding a disk-bound bench.
     """Content store across n_hosts politeness domains; bytes are raw-format
     Philox noise keyed by url id (generated once, reused by both runs)."""
     from pyspark.sql import functions as F
@@ -110,6 +112,8 @@ def main(argv=None) -> None:
     p.add_argument("--urls-per-host", type=int, default=200)
     p.add_argument("--budget", type=int, default=100)
     p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--img-px", type=int, default=8)
+    p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--web", default=None, help="pre-generated web dir (reused across runs)")
     p.add_argument("--store", default=None)
     args = p.parse_args(argv)
@@ -137,7 +141,9 @@ def main(argv=None) -> None:
     import os
 
     if not os.path.isdir(web_dir):
-        synthetic_multihost_web(spark, args.hosts, args.urls_per_host).write.parquet(web_dir)
+        synthetic_multihost_web(
+            spark, args.hosts, args.urls_per_host, args.img_px
+        ).write.parquet(web_dir)
     web = spark.read.parquet(web_dir)
 
     store = EpochStore(args.store or tempfile.mkdtemp() + "/store")
@@ -150,9 +156,34 @@ def main(argv=None) -> None:
         .withColumn("budget", F.lit(args.budget))
     )
 
+    if not args.no_warmup:
+        # untimed warm-up: run the full pipeline once against a throwaway
+        # store so JIT / codegen / Arrow worker startup don't bill the first
+        # timed epoch (the cross-level comparison needs equally-warm JVMs)
+        warm_store = EpochStore(tempfile.mkdtemp() + "/warm")
+        warm_pending = frontier
+        warm_drained = priority_drain(warm_pending, budgets)
+        warm_fetched = simulate_requests(
+            warm_drained, web, 1, datetime.now(timezone.utc)
+        ).persist()
+        warm_store.append("requests", requests_log(warm_fetched), 1)
+        warm_store.merge(
+            "documents", extract_documents(warm_fetched, web, rules_df(spark)), 1,
+            keys=["image_id"],
+        )
+        warm_fetched.unpersist()
+
     t0 = time.perf_counter()
     fetched_total = 0
+    stage_secs: dict[str, float] = {}
+
+    def mark(name: str, since: float) -> float:
+        now = time.perf_counter()
+        stage_secs[name] = round(stage_secs.get(name, 0.0) + (now - since), 2)
+        return now
+
     for e in range(2, 2 + args.epochs):
+        t = time.perf_counter()
         requests = store.read("requests", spark, schema=S.REQUESTS)
         terminal = requests.filter(F.col("status_code").isin(*TERMINAL)).select("url_id")
         pending = frontier.join(terminal, "url_id", "left_anti")
@@ -160,10 +191,14 @@ def main(argv=None) -> None:
         fetched = simulate_requests(
             drained, web, e, datetime.now(timezone.utc)
         ).persist()
+        n = fetched.count()  # materialize drain+fetch here to time it apart
+        t = mark("drain_fetch", t)
         store.append("requests", requests_log(fetched), e)
-        docs = extract_documents(fetched, rules_df(spark))
+        t = mark("requests_append", t)
+        docs = extract_documents(fetched, web, rules_df(spark))
         store.merge("documents", docs, e, keys=["image_id"])
-        fetched_total += fetched.count()
+        t = mark("extract_merge", t)
+        fetched_total += n
         fetched.unpersist()
     dt = time.perf_counter() - t0
 
@@ -177,6 +212,7 @@ def main(argv=None) -> None:
                 "urls_fetched": int(fetched_total),
                 "wall_sec": round(dt, 3),
                 "urls_per_sec": round(fetched_total / dt, 2),
+                "stages": stage_secs,
             }
         ),
         flush=True,

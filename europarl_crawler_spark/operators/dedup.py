@@ -111,17 +111,17 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """k min-hash values per doc WITHOUT k passes: explode shingles once,
-    cross the (tiny, broadcast) seed dimension, min per (doc, seed).
-    Output: (doc_id, seed, minhash)."""
-    spark = docs.sparkSession
-    seeds = spark.range(k).select(F.col("id").cast("int").alias("seed"))
+    """k min-hash values per doc in ONE aggregation: k ``min(xxhash64(shingle,
+    seed_i))`` agg expressions over the exploded shingles — map-side partial
+    aggregation does the heavy lifting, and the shuffle carries only
+    (doc_id, k longs) per doc. (A seeds-dimension cross join would shuffle
+    |shingles|·k rows — 96M at sf0.1 — which is why it isn't done that way.)
+    Output: wide (doc_id, mh_0 … mh_{k-1})."""
     sh = shingles(docs, n, text_col, id_col)
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("shingle", "seed")).alias("minhash"))
-    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -137,12 +137,14 @@ def minhash_lsh_pairs(
     (1-(1-s^r)^b). ~O(n·k) sketch cost + O(candidates) verify cost — never
     the O(n²) pair space.
     """
-    rows_per_band = k // bands
+    r = k // bands
     sig = minhash_signatures(docs, k, n, text_col, id_col)
-    buckets = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("seed", "minhash")))).alias("bucket"))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
     cand = (
         buckets.alias("a")

@@ -27,9 +27,9 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     byte-pair heuristic) per document."""
     return docs.select(
         F.col(id_col),
-        F.size(tokens_expr(text_col)).alias("n_tokens"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_subwords_est"),
-        F.length(text_col).alias("n_chars_measured"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
     )
 
 
@@ -61,8 +61,8 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
     return docs.select(
         F.col(id_col),
-        n_chars.alias("n_chars_measured"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         punct_ratio.alias("punct_ratio"),
         mean_word_len.alias("mean_word_len"),
@@ -89,7 +89,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].alias("lang_hits"),
+        best["hits"].cast("long").alias("lang_hits"),
     )
 
 

@@ -49,17 +49,22 @@ class CrawlEngine:
         store: EpochStore,
         web: DataFrame,
         robots: DataFrame | None = None,
-        prefetch_limit: int = 50,
-        epoch_secs: float = 300.0,
-        use_bloom: bool = True,
+        prefetch_limit: int | None = None,
+        epoch_secs: float | None = None,
+        use_bloom: bool | None = None,
+        config=None,
     ):
+        from ..config import EngineConfig
+
+        cfg = config or EngineConfig()
         self.spark = spark
         self.store = store
         self.web = web
         self.robots = robots
-        self.prefetch_limit = prefetch_limit
-        self.epoch_secs = epoch_secs
-        self.use_bloom = use_bloom
+        self.config = cfg
+        self.prefetch_limit = prefetch_limit if prefetch_limit is not None else cfg.prefetch_limit
+        self.epoch_secs = epoch_secs if epoch_secs is not None else cfg.epoch_secs
+        self.use_bloom = use_bloom if use_bloom is not None else cfg.use_bloom
         self.rules = rules_df(spark)
         self.politeness = self._load_politeness()
 
@@ -67,7 +72,7 @@ class CrawlEngine:
 
     def _load_politeness(self) -> PolitenessState:
         if self.store.latest("politeness") is None:
-            return PolitenessState()
+            return PolitenessState(self.config.min_interval_secs)
         rows = [
             (r.host_hash, r.interval_secs, r.last_check, r.next_check, r.epoch)
             for r in self.store.read("politeness", self.spark).collect()
@@ -144,7 +149,7 @@ class CrawlEngine:
         # 5. fetch + extract (the epoch's big join + the Arrow decode pass).
         fetched = simulate_requests(drained, self.web, e, now).persist()
         self.store.append("requests", requests_log(fetched), e)
-        docs = extract_documents(fetched, self.rules)
+        docs = extract_documents(fetched, self.web, self.rules)
         self.store.merge("documents", docs, e, keys=["image_id"])
 
         # 6. politeness update from the epoch status histogram (A1) + metrics.

@@ -1,0 +1,61 @@
+"""robots.txt parsing + frontier gating (north_rule's robots surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.plans.robots import (
+    apply_robots_gate,
+    parse_robots,
+    robots_df,
+)
+
+ROBOTS_TXT = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /tmp
+
+User-agent: SpecialBot
+Disallow: /
+"""
+
+
+def test_parse_robots():
+    rules = parse_robots(ROBOTS_TXT)
+    # only the '*' group applies; SpecialBot's rules are ignored
+    assert ("/private/", False) in rules
+    assert ("/private/ok/", True) in rules
+    assert ("/tmp", False) in rules
+    assert ("/", False) not in rules
+
+
+@pytest.fixture(scope="module")
+def frontier(spark):
+    from europarl_crawler_spark.functions.urlkit import host_hash_expr, salt_expr
+
+    urls = [
+        "https://site.example.org/public/a",
+        "https://site.example.org/private/a",
+        "https://site.example.org/private/ok/a",
+        "https://site.example.org/tmpfile",
+        "https://other.example.org/private/a",  # no robots for this host
+    ]
+    return (
+        spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "url_id long, url string")
+        .withColumn("host_hash", host_hash_expr("url"))
+        .withColumn("salt", salt_expr("url").cast("int"))
+    )
+
+
+def test_apply_robots_gate(spark, frontier):
+    robots = robots_df(spark, {"site.example.org": ROBOTS_TXT})
+    kept = {r.url for r in apply_robots_gate(frontier, robots).collect()}
+    assert "https://site.example.org/public/a" in kept
+    assert "https://site.example.org/private/a" not in kept  # disallowed
+    assert "https://site.example.org/private/ok/a" in kept  # longest-prefix Allow
+    assert "https://site.example.org/tmpfile" not in kept  # prefix match
+    assert "https://other.example.org/private/a" in kept  # host without robots
