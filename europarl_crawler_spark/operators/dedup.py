@@ -57,22 +57,17 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = 
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 5, threshold: float = 0.5,
-    text_col: str = "text", id_col: str = "doc_id",
+def shingle_hashes(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
     df_cap: int | None = None,
 ) -> DataFrame:
-    """n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold) — EXACT when
-    ``df_cap`` is None.
+    """(doc_id, sh) distinct shingle-hash rows, optionally df-capped.
 
-    |A∩B| by self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|.
-
-    ``df_cap``: drop shingles appearing in more than df_cap documents BEFORE
-    the join — the self-join's cost is Σ_shingle df², so one stop-shingle in
-    20% of a 10^9-doc corpus is a 4·10^16-pair bucket. Capped shingles carry
-    ~no discriminating signal (idf ≈ 0); with the cap the measure becomes
-    "rare-shingle Jaccard", computed identically in the DuckDB oracle so the
-    equivalence stays exact. At corpus scale ALWAYS set a cap.
+    ``df_cap``: drop shingles appearing in more than df_cap documents —
+    downstream self-join cost is Σ_shingle df², so one stop-shingle in 20% of
+    a 10^9-doc corpus is a 4·10^16-pair bucket. Capped shingles carry ~no
+    discriminating signal (idf ≈ 0); with the cap the measure becomes
+    "rare-shingle Jaccard". At corpus scale ALWAYS set a cap.
     """
     sh = shingles(docs, n, text_col, id_col).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
@@ -85,6 +80,22 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold) — EXACT when
+    ``df_cap`` is None (see ``shingle_hashes`` on why a cap is mandatory at
+    corpus scale; the DuckDB oracle applies the identical cap so the
+    equivalence stays exact).
+
+    |A∩B| by self-join on shingle hash, |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = shingle_hashes(docs, n, text_col, id_col, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -111,16 +122,18 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """k min-hash values per doc in ONE aggregation: k ``min(xxhash64(shingle,
+    """k min-hash values per doc in ONE aggregation: k ``min(xxhash64(sh,
     seed_i))`` agg expressions over the exploded shingles — map-side partial
     aggregation does the heavy lifting, and the shuffle carries only
     (doc_id, k longs) per doc. (A seeds-dimension cross join would shuffle
     |shingles|·k rows — 96M at sf0.1 — which is why it isn't done that way.)
     Output: wide (doc_id, mh_0 … mh_{k-1})."""
-    sh = shingles(docs, n, text_col, id_col)
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)
-    ]
+    sh = shingle_hashes(docs, n, text_col, id_col)
+    return _signatures_from_hashes(sh, k)
+
+
+def _signatures_from_hashes(sh: DataFrame, k: int) -> DataFrame:
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -136,9 +149,20 @@ def minhash_lsh_pairs(
     n-gram Jaccard, so precision is 1.0 and recall is the LSH recall
     (1-(1-s^r)^b). ~O(n·k) sketch cost + O(candidates) verify cost — never
     the O(n²) pair space.
+
+    The verify is CANDIDATE-LOCAL: per-doc shingle-hash sets are aggregated
+    into arrays once (one groupBy — the same shuffle the signature pass
+    already pays), and each candidate pair evaluates |A∩B| via
+    ``array_intersect`` on its two arrays. The corpus-wide shingle self-join
+    (Σ df² pairs) never runs; verify cost is O(candidates · doc_size). The
+    candidate side is the small side of both joins, so at scale the
+    shingle-array table stays put while candidates broadcast (AQE picks the
+    broadcast once candidates fit; either way the join is keyed by doc_id —
+    uniform).
     """
     r = k // bands
-    sig = minhash_signatures(docs, k, n, text_col, id_col)
+    sh = shingle_hashes(docs, n, text_col, id_col, df_cap)
+    sig = _signatures_from_hashes(sh, k)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
         for b in range(bands)
@@ -155,8 +179,36 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold, text_col, id_col, df_cap=df_cap)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("sz")
+    )
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash64(
@@ -164,31 +216,36 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash per doc: tokens → xxhash64 → per-bit sign sum → sign.
 
-    Pure DataFrame ops: explode tokens, explode 64 bit positions via a
-    broadcast dimension, sum(±1) per (doc, bit), reassemble with bit_or of
-    shifted bits. Shuffles: one groupBy keyed (doc_id, bit) — uniform.
+    ONE wide aggregation: 64 conditional-sum expressions over the token
+    hashes (``sum(case shiftright(th,i)&1 when 1 then 1 else -1 end)`` per
+    bit), then the sign bits reassemble into the hash as a pure column
+    expression. Map-side partial aggregation collapses each partition to one
+    row of 64 longs per doc before the single doc_id-keyed shuffle — no bits
+    dimension, no 64× row blowup (the same one-wide-agg shape as
+    ``minhash_signatures``).
     """
-    spark = docs.sparkSession
-    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok"),
     ).filter(F.col("tok") != "")
     th = toks.select("doc_id", F.xxhash64("tok").alias("th"))
-    contrib = (
-        th.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "sgn",
-            F.when(F.expr("shiftright(th, bit) & 1").cast("int") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("sgn").alias("s"))
-    )
-    return contrib.groupBy("doc_id").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+            F.when(F.expr(f"shiftright(th, {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    g = th.groupBy("doc_id").agg(*aggs)
+    # Σ of distinct powers of two == bitwise OR; bit 63 (min-long under the
+    # shiftleft wrap) is added first so partial sums never overflow.
+    simhash = F.when(F.col("s63") > 0, F.expr("shiftleft(1L, 63)")).otherwise(
+        F.lit(0).cast("long")
     )
+    for i in range(63):
+        simhash = simhash + F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(

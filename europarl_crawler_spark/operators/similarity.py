@@ -155,22 +155,118 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+def centroid_seeds(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
-
-    Exact all-pairs; scoring runs through the Arrow ``cosine_kernel``
-    (batched einsum) rather than per-pair interpreted expressions. The LSH
-    variant prunes the pair space at scale (same verify).
-    """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    """Deterministic centroid sample via HASH-STRIDE: keep rows whose
+    ``xxhash64(id) % stride == 0`` (≈ 2·n_cells expected survivors), then the
+    n_cells lowest ids among them. No global window — the filter is a map-side
+    predicate and the tail pick is a distributed TakeOrdered over the ~2·n_cells
+    survivors, so seeding stays O(scan) with no single-task stage at any corpus
+    size."""
+    if n is None:
+        n = corpus.count()
+    stride = max(n // max(n_cells * 2, 1), 1)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_kernel("_va", "_vb"), 6))
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_centroid"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_cells: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) —
+    EXACT output, blocked pair space.
+
+    Angular cell blocking with a triangle-inequality recall GUARANTEE
+    (angular distance is a metric on the unit sphere):
+
+    1. centroids  : hash-stride sample (``centroid_seeds``), broadcast.
+    2. assign     : each vector → nearest centroid (max cosine), recording
+                    its angle to the centroid; per-vector window (uniform).
+    3. radii      : r_i = max member angle per cell.
+    4. cell pairs : keep (i ≤ j) with angle(c_i, c_j) ≤ θ_t + r_i + r_j —
+                    any qualifying vector pair MUST lie in such a cell pair,
+                    so no candidate is ever lost (worst case degrades to
+                    all-pairs, never to missed pairs).
+    5. verify     : members of candidate cell pairs score exact cosine via
+                    the Arrow ``cosine_kernel`` (batched einsum).
+
+    The O(n²) nested-loop of the naive formulation never runs: the pair join
+    is keyed by cell, and pruning tracks how clustered the corpus is. Each
+    vector lives in exactly one cell, so each unordered pair is generated at
+    most once — no distinct needed.
+    """
+    import math
+
+    theta_t = math.acos(max(min(threshold, 1.0), -1.0))
+    eps = 1e-9
+    v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"))
+    seeds = centroid_seeds(emb, n_cells, id_col, vec_col)
+
+    w = Window.partitionBy("vid").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    assigned = (
+        v.crossJoin(F.broadcast(seeds))
+        .withColumn("_sim", cosine_kernel("_v", "_centroid"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "_angle", F.acos(F.least(F.greatest("_sim", F.lit(-1.0)), F.lit(1.0)))
+        )
+        .select("vid", "_v", "cell_id", "_angle")
+    )
+    radii = assigned.groupBy("cell_id").agg(F.max("_angle").alias("radius"))
+
+    cent = seeds.join(radii, "cell_id").select(
+        F.col("cell_id"), F.col("_centroid"), F.col("radius")
+    )
+    pairs_bound = (
+        cent.alias("x")
+        .crossJoin(cent.alias("y"))
+        .filter(F.col("x.cell_id") <= F.col("y.cell_id"))
+        .withColumn(
+            "_csim", cosine_kernel(F.col("x._centroid"), F.col("y._centroid"))
+        )
+        .withColumn(
+            "_cangle",
+            F.acos(F.least(F.greatest("_csim", F.lit(-1.0)), F.lit(1.0))),
+        )
+        .filter(
+            F.col("_cangle")
+            <= F.lit(theta_t + eps) + F.col("x.radius") + F.col("y.radius")
+        )
+        .select(
+            F.col("x.cell_id").alias("cell_a"), F.col("y.cell_id").alias("cell_b")
+        )
+    )
+
+    members = assigned.select("vid", "_v", "cell_id")
+    left = members.join(
+        F.broadcast(pairs_bound), members["cell_id"] == pairs_bound["cell_a"]
+    ).select(F.col("vid").alias("ida"), F.col("_v").alias("_va"), "cell_a", "cell_b")
+    cand = left.join(
+        members.select(
+            F.col("vid").alias("idb"),
+            F.col("_v").alias("_vb"),
+            F.col("cell_id").alias("cell_b"),
+        ),
+        "cell_b",
+    ).filter(
+        (F.col("cell_a") < F.col("cell_b")) | (F.col("ida") < F.col("idb"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_kernel("_va", "_vb"), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "cosine",
+        )
     )
 
 
@@ -184,18 +280,11 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF search: deterministic seeded centroids (every ⌈n/n_cells⌉-th vector
-    by id — reproducible without RNG), one assignment pass, probe the nprobe
-    nearest cells per query, exact re-rank inside."""
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
-    w_id = Window.orderBy(F.asc(id_col))
-    seeds = (
-        corpus.withColumn("_rn", F.row_number().over(w_id))
-        .filter((F.col("_rn") % stride) == 1)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_centroid"))
-    )
+    """IVF search: deterministic hash-stride centroid seeds (``centroid_seeds``
+    — a map-side predicate + small TakeOrdered, NO global window over the
+    corpus), one assignment pass, probe the nprobe nearest cells per query,
+    exact re-rank inside."""
+    seeds = centroid_seeds(corpus, n_cells, id_col, vec_col)
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
     assigned = (
         corpus.crossJoin(F.broadcast(seeds))

@@ -82,3 +82,36 @@ def test_embedding_near_dup_symmetric_free(emb):
     pairs = similarity.embedding_near_dup_pairs(emb.limit(60), threshold=0.9)
     for r in pairs.collect():
         assert r.id_a < r.id_b
+
+
+def test_centroid_seeds_no_global_window(emb):
+    """VERDICT r1 fix #7: seeding must not contain a single-task global
+    window/sort over the corpus — the plan should be filter + TakeOrdered."""
+    seeds = similarity.centroid_seeds(emb, n_cells=8)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrdered" in plan
+    assert seeds.count() <= 8
+
+
+def test_embedding_near_dup_blocking_exact_recall(emb):
+    """The angular-cell blocking must return EXACTLY the all-pairs result
+    (triangle-inequality bound ⇒ no lost candidates; exact verify ⇒ no false
+    positives) — at a low threshold where blocking is stressed."""
+    sub = emb.limit(120)
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(similarity.cosine_kernel("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= 0.3)
+        .collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_dup_pairs(
+            sub, threshold=0.3, n_cells=8
+        ).collect()
+    }
+    assert blocked == exact
