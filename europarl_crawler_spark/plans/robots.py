@@ -84,7 +84,9 @@ def apply_robots_gate(frontier_batch: DataFrame, robots: DataFrame) -> DataFrame
     # longest matching rule per frontier row decides
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url_id").orderBy(F.desc(F.length("_prefix")), F.asc("_allow"))
+    # longest prefix first; at equal length Allow (true) sorts before
+    # Disallow so Allow wins the tie — the public robots.txt convention
+    w = Window.partitionBy("url_id").orderBy(F.desc(F.length("_prefix")), F.desc("_allow"))
     decided = (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

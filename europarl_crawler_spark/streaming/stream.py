@@ -138,16 +138,29 @@ def run_available_now(sdf: DataFrame, name: str, checkpoint: str, output_mode: s
     return q
 
 
-def foreach_batch_merge(sdf: DataFrame, store, table: str, keys: list[str], checkpoint: str):
-    """Stream → EpochStore MERGE per micro-batch; batch id doubles as the
-    epoch so replayed batches overwrite themselves (idempotent sink, T8)."""
+def batch_merge_sink(store, table: str, keys: list[str]):
+    """foreachBatch sink: epoch = base + batch_id + 1 with ``base`` captured
+    once at query start. If the sink commits but the checkpoint doesn't
+    advance (the crash window), the redelivered batch recommits the SAME
+    epoch and ``EpochStore._commit`` clobbers the old data dir first — a true
+    overwrite, independent of the merge keys' values."""
+    base = store.latest(table) or 0
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        base = (store.latest(table) or 0)
-        store.merge(table, batch_df, base + 1, keys=keys)
+        store.merge(table, batch_df, base + int(batch_id) + 1, keys=keys)
 
+    return _sink
+
+
+def foreach_batch_merge(sdf: DataFrame, store, table: str, keys: list[str], checkpoint: str):
+    """Stream → EpochStore MERGE per micro-batch; the store epoch is derived
+    from the streaming batch id (``base + batch_id + 1`` with base captured at
+    query start), so a replayed micro-batch re-commits INTO THE SAME epoch —
+    ``EpochStore._commit`` clobbers the epoch's data dir before rewriting,
+    making the replay a true overwrite (idempotent sink, T8 / the
+    Iceberg-foreachBatch exactly-once pattern)."""
     return (
-        sdf.writeStream.foreachBatch(_sink)
+        sdf.writeStream.foreachBatch(batch_merge_sink(store, table, keys))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .trigger(availableNow=True)

@@ -59,3 +59,13 @@ def test_apply_robots_gate(spark, frontier):
     assert "https://site.example.org/private/ok/a" in kept  # longest-prefix Allow
     assert "https://site.example.org/tmpfile" not in kept  # prefix match
     assert "https://other.example.org/private/a" in kept  # host without robots
+
+
+def test_equal_length_tie_allow_wins(spark, frontier):
+    """Equal-length Allow and Disallow prefixes: Allow wins the tie (the
+    public robots.txt convention — ADVICE r1)."""
+    tie_txt = "User-agent: *\nDisallow: /private/\nAllow: /private/\n"
+    robots = robots_df(spark, {"site.example.org": tie_txt})
+    kept = {r.url for r in apply_robots_gate(frontier, robots).collect()}
+    assert "https://site.example.org/private/a" in kept
+    assert "https://site.example.org/private/ok/a" in kept

@@ -67,3 +67,26 @@ def test_stateful_politeness(spark, requests_dir):
     assert rows[1].interval_secs > 3.0 or rows[2].interval_secs > 3.0
     for r in rows.values():
         assert r.n_events > 0
+
+
+def test_foreach_batch_merge_replay_idempotent(spark, requests_dir, tmp_path):
+    """A redelivered micro-batch (same batch id, the sink-committed-but-
+    checkpoint-didn't-advance crash window) must land in the SAME store epoch
+    and overwrite itself — not open a new epoch (ADVICE r1)."""
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    path, _ = requests_dir
+    store = EpochStore(tmp_path / "store")
+    df = spark.read.parquet(path).select("request_id", "host_hash", "status_code")
+
+    sink = S.batch_merge_sink(store, "reqmerge", ["request_id"])
+    sink(df, 0)
+    epochs_first = [m["epoch"] for m in store.manifests("reqmerge")]
+    n_first = store.read("reqmerge", spark).count()
+    sink(df, 0)  # redelivery of the same batch id
+    assert [m["epoch"] for m in store.manifests("reqmerge")] == epochs_first
+    assert store.read("reqmerge", spark).count() == n_first
+    sink(df.limit(10), 1)  # next batch opens the next epoch
+    assert [m["epoch"] for m in store.manifests("reqmerge")] == epochs_first + [
+        epochs_first[-1] + 1
+    ]
