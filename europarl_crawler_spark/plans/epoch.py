@@ -30,15 +30,13 @@ from ..sources import schema as S
 from ..sources.epochstore import EpochStore
 from .fetch import extract_documents, requests_log, simulate_requests
 from .frontier import (
-    budget_rows,
     priority_drain,
     session_day_probes,
     todo_combos,
 )
-from .politeness import PolitenessState
+from .politeness import host_budgets, politeness_update, status_flags_agg
 from .robots import apply_robots_gate
 
-DOC_PRIORITY_OFFSET = 1_000_000  # probes drain before doc URLs within a host
 TERMINAL = (200, 404)
 
 
@@ -66,18 +64,15 @@ class CrawlEngine:
         self.epoch_secs = epoch_secs if epoch_secs is not None else cfg.epoch_secs
         self.use_bloom = use_bloom if use_bloom is not None else cfg.use_bloom
         self.rules = rules_df(spark)
-        self.politeness = self._load_politeness()
 
     # -- state ----------------------------------------------------------------
 
-    def _load_politeness(self) -> PolitenessState:
-        if self.store.latest("politeness") is None:
-            return PolitenessState(self.config.min_interval_secs)
-        rows = [
-            (r.host_hash, r.interval_secs, r.last_check, r.next_check, r.epoch)
-            for r in self.store.read("politeness", self.spark).collect()
-        ]
-        return PolitenessState.from_rows(rows)
+    def _politeness_df(self) -> DataFrame:
+        """Per-host politeness state as a DataFrame — the data-plane form.
+        No driver-side host dict: budgets and throttling transitions are
+        joins/expressions (plans/politeness.py), so 10^7-10^8 hosts never
+        round-trip through the driver."""
+        return self._read("politeness", S.POLITENESS).drop("epoch")
 
     def bootstrap(self, days: DataFrame) -> None:
         """Initial load: seed-day domain (reference table bootstrap +
@@ -113,7 +108,7 @@ class CrawlEngine:
         )
         combos = todo_combos(
             spark, days, requests, frontier, self.prefetch_limit, e
-        ).withColumn("priority", F.col("priority") + F.lit(DOC_PRIORITY_OFFSET))
+        )
         new_urls = probes.unionByName(combos)
 
         # 2. URL-seen gate on the hashed key: exact anti-join, bloom
@@ -137,12 +132,14 @@ class CrawlEngine:
         if self.robots is not None:
             pending = apply_robots_gate(pending, self.robots)
 
-        # 4. politeness budgets per (host, salt) — driver-side control plane.
-        hosts = [r[0] for r in pending.select("host_hash").distinct().collect()]
-        host_budgets = self.politeness.budgets(self.epoch_secs, hosts)
-        budgets = spark.createDataFrame(
-            budget_rows(host_budgets) or [(0, 0)],
-            "host_hash long, budget int",
+        # 4. politeness budgets per host — a join against the state table
+        #    (data-plane; no host collect, see plans/politeness.py).
+        politeness = self._politeness_df()
+        budgets = host_budgets(
+            pending.select("host_hash").distinct(),
+            politeness,
+            self.epoch_secs,
+            self.config.min_interval_secs,
         )
         drained = priority_drain(pending, budgets)
 
@@ -152,16 +149,14 @@ class CrawlEngine:
         docs = extract_documents(fetched, self.web, self.rules)
         self.store.merge("documents", docs, e, keys=["image_id"])
 
-        # 6. politeness update from the epoch status histogram (A1) + metrics.
-        hist = (
-            fetched.groupBy("host_hash")
-            .agg(F.collect_set("status_code").alias("codes"))
-            .collect()
-        )
-        self.politeness.update_from_histogram(
-            now_secs + self.epoch_secs, {r.host_hash: r.codes for r in hist}
-        )
-        pol = spark.createDataFrame(self.politeness.to_rows(e), S.POLITENESS)
+        # 6. politeness update from the epoch status flags (A1) — one
+        #    full-outer join + expressions, state never leaves the executors.
+        pol = politeness_update(
+            politeness,
+            status_flags_agg(fetched),
+            now_secs + self.epoch_secs,
+            self.config.min_interval_secs,
+        ).withColumn("epoch", F.lit(e))
         self.store.overwrite("politeness", pol, e, keys=["host_hash"])
 
         # per-partition lineage + fetch metrics (north_rule): counts per

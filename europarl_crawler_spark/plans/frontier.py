@@ -37,20 +37,50 @@ SESSION_DAY_RULE_ID = 1  # rules_df position of "session_day"
 TERMINAL = (200, 404)  # terminal probe statuses (reference db/sessionDay.py:95)
 N_SALTS = 16
 
+# Priority is a pure FUNCTION of the row (lane band + date/rule key
+# encoding), not a row_number over the batch: no global window anywhere in
+# frontier generation (a window would serialize at 10^10-URL scale, VERDICT
+# r1 #6), and values from different epochs order correctly against each
+# other because the encoding doesn't depend on batch composition. Bands:
+# probes ≪ docs ≪ recrawls, so probes drain first within a host (the
+# reference's checker holds its own token stream).
+BAND = 10**12
+PROBE_BAND, DOC_BAND, RECRAWL_BAND = 0, 1, 2
 
-def frontier_columns(cand: DataFrame, epoch: int, priority_order) -> DataFrame:
+
+def _days(dates_col) -> F.Column:
+    return F.datediff(F.col(dates_col) if isinstance(dates_col, str) else dates_col,
+                      F.lit("1970-01-01").cast("date")).cast("long")
+
+
+def probe_priority_expr(dates_col="dates") -> F.Column:
+    """Probe lane: newest day first (desc dates ⇒ asc(10^7 − days))."""
+    return F.lit(PROBE_BAND * BAND) + (F.lit(10**7) - _days(dates_col))
+
+
+def doc_priority_expr(dates_col="dates", rule_col="rule_id") -> F.Column:
+    """Doc lane: oldest day first, then rule_id (the reference pops the
+    DESC-sorted prefetch batch ⇒ consumes oldest-first)."""
+    return F.lit(DOC_BAND * BAND) + _days(dates_col) * 1000 + F.col(rule_col)
+
+
+def recrawl_priority_expr(dates_col="dates", rule_col="rule_id") -> F.Column:
+    """Recrawl lane (O8 spaced refresh): after all fresh work."""
+    return F.lit(RECRAWL_BAND * BAND) + _days(dates_col) * 1000 + F.col(rule_col)
+
+
+def frontier_columns(cand: DataFrame, epoch: int, priority: F.Column) -> DataFrame:
     """Attach url/hashes/salt/priority to a (date_id, rule_id, dates, doc_code,
-    infix, language, filetype) candidate set. priority_order: list of Columns
-    defining the drain order (ascending rank = drained first)."""
+    infix, language, filetype) candidate set. ``priority``: a column
+    expression (see the band encodings above) — drained ascending."""
     url = url_expr("dates", "doc_code", "infix", "language", "filetype")
-    w = Window.orderBy(*priority_order)
     return (
         cand.withColumn("url", url)
         .withColumn("url_hash", url_hash_expr("url"))
         .withColumn("host_hash", host_hash_expr("url"))
         .withColumn("salt", salt_expr("url", N_SALTS).cast("int"))
         .withColumn("url_id", F.xxhash64("rule_id", "url"))
-        .withColumn("priority", F.row_number().over(w).cast("long"))
+        .withColumn("priority", priority.cast("long"))
         .withColumn("created_epoch", F.lit(epoch))
         .select(
             "url_id", "date_id", "rule_id", "dates", "url",
@@ -100,7 +130,7 @@ def session_day_probes(
 
     rules = rules_df(spark).filter(F.col("rule_id") == SESSION_DAY_RULE_ID)
     cand = batch.crossJoin(F.broadcast(rules))
-    return frontier_columns(cand, epoch, [F.desc("dates"), F.asc("url_hash")])
+    return frontier_columns(cand, epoch, probe_priority_expr("dates"))
 
 
 def confirmed_days(requests: DataFrame, frontier: DataFrame) -> DataFrame:
@@ -140,10 +170,8 @@ def todo_combos(
         F.desc("dates"), F.asc("rule_id")
     ).limit(limit)
     # drain order inside the batch: oldest date first (reference list.pop of a
-    # DESC-sorted prefetch), rule_id then url_hash as deterministic tie-breaks
-    return frontier_columns(
-        batch, epoch, [F.asc("dates"), F.asc("rule_id"), F.asc("url_hash")]
-    )
+    # DESC-sorted prefetch), rule_id as tie-break — encoded, not ranked
+    return frontier_columns(batch, epoch, doc_priority_expr("dates", "rule_id"))
 
 
 def priority_drain(
@@ -164,10 +192,12 @@ def priority_drain(
        heavy frontier never hits a single-task window; only the pruned
        sliver does (budget ≤ 100/host, so ≤ 1600 rows/host).
 
-    ``budgets``: (host_hash, budget) — driver-side politeness output, tiny,
-    broadcast. drain_seq = position in the host's crawl order — the
-    reproducible ordering the equivalence suite asserts (SURVEY §7.4.1);
-    the reference's single-host regime makes per-host == global order.
+    ``budgets``: (host_hash, budget>0) — politeness-bounded, tiny, broadcast
+    (now computed as a join against the politeness state table —
+    plans/politeness.py:host_budgets — not a driver dict). drain_seq =
+    position in the host's crawl order — the reproducible ordering the
+    equivalence suite asserts (SURVEY §7.4.1); the reference's single-host
+    regime makes per-host == global order.
     """
     order = [F.asc("priority"), F.asc("created_epoch"), F.asc("url_hash")]
     w_salt = Window.partitionBy("host_hash", "salt").orderBy(*order)
@@ -183,8 +213,3 @@ def priority_drain(
         .filter(F.col("drain_seq") <= F.col("budget"))
         .drop("budget")
     )
-
-
-def budget_rows(host_budgets: dict[int, int]) -> list[tuple]:
-    """Driver-side politeness budgets → (host_hash, budget) rows."""
-    return [(h, int(b)) for h, b in sorted(host_budgets.items()) if b > 0]

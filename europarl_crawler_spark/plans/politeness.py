@@ -94,6 +94,108 @@ class TokenBucket:
         return min(BUCKET_CAPACITY, int(math.floor(epoch_secs / self.interval_secs)))
 
 
+# ---------------------------------------------------------------------------
+# Distributed (data-plane) form of the same state machine: the per-host state
+# lives in the ``politeness`` epoch table and every transition is a pure
+# column expression, so budgets and updates are joins — NO driver-side host
+# dict, no collect(). At web scale (10^7-10^8 hosts) the driver never sees a
+# host list; the state table shuffles once per epoch on host_hash (uniform).
+# ---------------------------------------------------------------------------
+
+
+def budget_expr(interval_col, epoch_secs: float):
+    """Tokens generated during one epoch, capped by bucket capacity —
+    ``TokenBucket.epoch_budget`` as a column expression."""
+    from pyspark.sql import functions as F
+
+    return F.least(
+        F.lit(BUCKET_CAPACITY),
+        F.floor(F.lit(float(epoch_secs)) / interval_col).cast("int"),
+    )
+
+
+def host_budgets(pending_hosts, politeness, epoch_secs: float,
+                 min_interval_secs: float = MIN_INTERVAL_SECS):
+    """(host_hash, budget>0) for the epoch: pending hosts left-join the
+    politeness state table; unknown hosts get the default interval. The
+    output is politeness-bounded (≤ n_hosts rows of 12 bytes) — small enough
+    to broadcast into the drain."""
+    from pyspark.sql import functions as F
+
+    joined = pending_hosts.join(
+        politeness.select("host_hash", "interval_secs"), "host_hash", "left"
+    ).select(
+        "host_hash",
+        F.coalesce("interval_secs", F.lit(float(min_interval_secs))).alias("_iv"),
+    )
+    return (
+        joined.select("host_hash", budget_expr(F.col("_iv"), epoch_secs).alias("budget"))
+        .filter(F.col("budget") > 0)
+    )
+
+
+def status_flags_agg(fetched):
+    """Per-host epoch histogram reduced to the three precedence flags of
+    ``TokenBucket.apply_throttling`` (rate-limit > server-error > success) —
+    one groupBy with map-side combine; the full code set never materializes."""
+    from pyspark.sql import functions as F
+
+    rl_codes = sorted(THROTTLE_RATELIMIT)
+    ok_codes = sorted(UNTHROTTLE_OK)
+    return fetched.groupBy("host_hash").agg(
+        F.max(F.col("status_code").isin(*rl_codes).cast("int")).alias("rl"),
+        # the reference's range(500, 599) — 599 intentionally excluded
+        F.max(
+            ((F.col("status_code") >= 500) & (F.col("status_code") <= 598)).cast("int")
+        ).alias("se"),
+        F.max(F.col("status_code").isin(*ok_codes).cast("int")).alias("ok"),
+    )
+
+
+def politeness_update(politeness, flags, now: float,
+                      min_interval_secs: float = MIN_INTERVAL_SECS,
+                      throttling_factor: float = THROTTLING_FACTOR):
+    """One ``check_throttling`` step for every host as a full-outer join +
+    column expressions — semantics bit-identical to ``TokenBucket``:
+
+    - host with events, no prior next_check → startup (no interval change);
+    - host with events, now > next_check → fire: interval doubles (strictly
+      below MIN·2^16 before doubling) / halves (floored at MIN) per the
+      rl > se > ok precedence; next_check advances by the OLD interval ×
+      factor (the reference computes next_check before applying);
+    - host with events, cadence not due → no-op;
+    - host without events → state unchanged (no check fires).
+
+    Output schema matches the ``politeness`` table minus the epoch column.
+    """
+    from pyspark.sql import functions as F
+
+    mn = float(min_interval_secs)
+    j = politeness.select(
+        "host_hash", "interval_secs", "last_check", "next_check"
+    ).join(flags, "host_hash", "full_outer")
+    iv = F.coalesce("interval_secs", F.lit(mn))
+    has_events = F.col("rl").isNotNull()
+    startup = has_events & F.col("next_check").isNull()
+    fire = has_events & F.col("next_check").isNotNull() & (F.lit(float(now)) > F.col("next_check"))
+    throttle = fire & ((F.col("rl") == 1) | (F.col("se") == 1))
+    unthrottle = fire & (F.col("rl") == 0) & (F.col("se") == 0) & (F.col("ok") == 1)
+    new_iv = (
+        F.when(throttle & (iv < mn * MAX_FACTOR), iv * 2)
+        .when(unthrottle & (iv > mn), iv / 2)
+        .otherwise(iv)
+    )
+    checked = startup | fire
+    return j.select(
+        "host_hash",
+        new_iv.alias("interval_secs"),
+        F.when(checked, F.lit(float(now))).otherwise(F.col("last_check")).alias("last_check"),
+        F.when(checked, F.lit(float(now)) + iv * F.lit(float(throttling_factor)))
+        .otherwise(F.col("next_check"))
+        .alias("next_check"),
+    )
+
+
 class PolitenessState:
     """Driver-side map host_hash → TokenBucket with (de)serialization to rows
     so the state checkpoints into the ``politeness`` epoch table."""

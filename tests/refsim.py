@@ -32,7 +32,24 @@ from europarl_crawler_spark.functions.rules import RULES, CrawlRule, build_url
 from europarl_crawler_spark.plans.politeness import TokenBucket
 
 TERMINAL = (200, 404)
-DOC_OFFSET = 1_000_000
+
+# priority encodings — mirror plans/frontier.py's band scheme exactly:
+# a pure function of (lane, dates, rule_id), NOT a batch rank, so rows from
+# different epochs order identically in both implementations.
+BAND = 10**12
+_EPOCH0 = date(1970, 1, 1)
+
+
+def probe_priority(d: date) -> int:
+    return 0 * BAND + (10**7 - (d - _EPOCH0).days)
+
+
+def doc_priority(d: date, rule_id: int) -> int:
+    return 1 * BAND + (d - _EPOCH0).days * 1000 + rule_id
+
+
+def recrawl_priority(d: date, rule_id: int) -> int:
+    return 2 * BAND + (d - _EPOCH0).days * 1000 + rule_id
 
 
 @dataclass
@@ -85,15 +102,14 @@ def run_epochs(
             :prefetch_limit
         ]
         batch = sorted(set(fresh) | set(retry))[:prefetch_limit]
-        # consumed newest-first; priority = rank in that order
-        probe_batch = sorted(batch, reverse=True)
-        for rank, d in enumerate(probe_batch, start=1):
+        # consumed newest-first (encoded in probe_priority)
+        for d in batch:
             url = build_url(probe_rule, d)
             key = (probe_rule_id, url)
             if key not in st.frontier:
                 st.frontier[key] = {
                     "rule_id": probe_rule_id, "dates": d, "url": url,
-                    "priority": rank, "created_epoch": e,
+                    "priority": probe_priority(d), "created_epoch": e,
                 }
 
         # --- doc lane (todo combos) ---------------------------------------
@@ -105,17 +121,15 @@ def run_epochs(
             for rid, r in doc_rules
             if (rid, d) not in existing
         ]
-        cand.sort(key=lambda t: (t[0], t[1]))  # dates asc, rule_id asc
         batch_doc = sorted(cand, key=lambda t: (_neg(t[0]), t[1]))[:prefetch_limit]
-        # consumed oldest-first within the batch
-        batch_doc.sort(key=lambda t: (t[0], t[1]))
-        for rank, (d, rid, r) in enumerate(batch_doc, start=1):
+        # consumed oldest-first within the batch (encoded in doc_priority)
+        for d, rid, r in batch_doc:
             url = build_url(r, d)
             key = (rid, url)
             if key not in st.frontier:
                 st.frontier[key] = {
                     "rule_id": rid, "dates": d, "url": url,
-                    "priority": DOC_OFFSET + rank, "created_epoch": e,
+                    "priority": doc_priority(d, rid), "created_epoch": e,
                 }
 
         # --- drain under politeness budget --------------------------------

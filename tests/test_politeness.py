@@ -105,3 +105,71 @@ def test_politeness_state_roundtrip():
     st2 = PolitenessState.from_rows(rows)
     assert st2.bucket(1).interval_secs == 2 * MIN_INTERVAL_SECS
     assert st2.bucket(2).interval_secs == MIN_INTERVAL_SECS
+
+
+def test_distributed_update_matches_tokenbucket(spark):
+    """The data-plane state machine (politeness_update/status_flags_agg/
+    budget_expr column expressions) must be bit-identical to TokenBucket over
+    randomized multi-epoch per-host code sequences — including hosts that
+    skip epochs, cadence non-fires, and the 2^16 cap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from europarl_crawler_spark.plans.politeness import (
+        host_budgets,
+        politeness_update,
+        status_flags_agg,
+    )
+    from europarl_crawler_spark.sources.schema import POLITENESS
+
+    rng = random.Random(7)
+    hosts = list(range(12))
+    code_pool = [200, 404, 408, 429, 460, 500, 503, 598, 599, 100, 300]
+    epoch_secs = 600.0
+    n_epochs = 8
+
+    # oracle: one TokenBucket per host
+    buckets = {h: TokenBucket() for h in hosts}
+
+    pol = spark.createDataFrame([], POLITENESS).drop("epoch")
+    for e in range(1, n_epochs + 1):
+        now = 1_000_000.0 + e * epoch_secs
+        events = []
+        active = rng.sample(hosts, rng.randint(0, len(hosts)))
+        for h in active:
+            for _ in range(rng.randint(1, 4)):
+                events.append((h, rng.choice(code_pool)))
+        if events:
+            fetched = spark.createDataFrame(
+                events, "host_hash long, status_code int"
+            )
+            pol = politeness_update(pol, status_flags_agg(fetched), now)
+            # materialize to freeze the iteration (same as the table write)
+            pol = spark.createDataFrame(pol.collect(), pol.schema)
+        for h in active:
+            codes = sorted({c for hh, c in events if hh == h})
+            buckets[h].check_throttling(now, codes)
+
+        got = {r.host_hash: r for r in pol.collect()}
+        for h in hosts:
+            b = buckets[h]
+            if h in got:
+                r = got[h]
+                assert r.interval_secs == b.interval_secs, (e, h)
+                assert r.last_check == b.last_check, (e, h)
+                assert r.next_check == b.next_check, (e, h)
+            else:
+                # never-seen host ⇒ still default state
+                assert b.interval_secs == MIN_INTERVAL_SECS
+                assert b.next_check is None
+
+    # budget parity for every host (known and unknown)
+    pending = spark.createDataFrame([(h,) for h in hosts], "host_hash long")
+    want = {h: buckets[h].epoch_budget(epoch_secs) for h in hosts}
+    got_b = {
+        r.host_hash: r.budget
+        for r in host_budgets(pending, pol, epoch_secs).collect()
+    }
+    for h in hosts:
+        assert got_b.get(h, 0) == want[h], h
