@@ -253,6 +253,25 @@ def q_o1_o2_topk_drain(spark, sf_dir):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """S3-redirect: follow + log the final URL (reference GET with
+    allow_redirects=True then resp.url recorded — documentdownloader.py:97,124,
+    db/requests.py:39; engine: plans/fetch.py simulate_requests). Derived
+    stand-in: a deterministic slice of combos redirects to an archive
+    location; output = the request-log projection."""
+    c = _combos(spark, sf_dir)
+    red = (F.dayofmonth("dates") % 7 == 3) & (F.col("rule_id") % 4 == 2)
+    return c.select(
+        "dates",
+        "rulename",
+        "url",
+        F.when(red, F.concat("url", F.lit("?location=archive")))
+        .otherwise(F.col("url"))
+        .alias("redirected_url"),
+        red.alias("redirected"),
+    )
+
+
 def q_a1_status_histogram(spark, sf_dir):
     """A1+P7: status-code histogram over a requested_at window
     (db/requests.py:103-129)."""
@@ -595,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_retry_lane": q_j6_retry_lane,
         "o3_unchecked_batch": q_o3_unchecked_batch,
         "o1_o2_topk_drain": q_o1_o2_topk_drain,
+        "redirect_resolve": q_redirect_resolve,
         "a1_status_histogram": q_a1_status_histogram,
         "p10_throttle_classify": q_p10_throttle_classify,
         "j10_uncrawled_delete": q_j10_uncrawled_delete,
@@ -720,6 +740,13 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
             SELECT row_number() OVER (ORDER BY dates ASC, rulename ASC) AS seq,
                    dates, rulename, url
             FROM batch
+        """,
+        "redirect_resolve": f"""
+            SELECT dates, rulename, url,
+                   CASE WHEN date_part('day', dates) % 7 = 3 AND rule_id % 4 = 2
+                        THEN url || '?location=archive' ELSE url END AS redirected_url,
+                   (date_part('day', dates) % 7 = 3 AND rule_id % 4 = 2) AS redirected
+            FROM {_combos_sql()} AS c
         """,
         "a1_status_histogram": f"""
             SELECT status_code, count(*) AS n FROM {_REQUESTS_SQL} AS r

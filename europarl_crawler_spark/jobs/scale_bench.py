@@ -67,6 +67,7 @@ def synthetic_multihost_web(spark, n_hosts: int, urls_per_host: int, img_px: int
             out = {
                 "url_hash": pdf["url_hash"], "url": pdf["url"], "kind": pdf["kind"],
                 "bytes": [], "w": [], "h": [], "fmt": [], "caption": [],
+                "final_url": pdf["url"],  # no redirect lane in the scale web
             }
             for did, kind_ in zip(pdf["doc_id"], pdf["kind"]):
                 if kind_ == "missing":

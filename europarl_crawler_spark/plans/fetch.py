@@ -54,17 +54,28 @@ def simulate_requests(
 ) -> DataFrame:
     """Thin status join: drained frontier batch + per-URL outcome.
 
-    Output = drained columns + (status_code, requested_at, request_id, epoch).
-    No payload columns — the content store contributes only its ``kind`` tag.
+    Output = drained columns + (status_code, redirected_url, requested_at,
+    request_id, epoch). No payload columns — the content store contributes
+    only its ``kind`` tag + the post-redirect final URL.
+
+    ``redirected_url`` mirrors the reference's ``resp.url`` contract
+    (documentdownloader.py:97,124: GET with allow_redirects=True, then the
+    session's final URL is logged): the redirect target when one was
+    followed, else the requested URL itself (the reference's timeout /
+    exception lanes log the original URL, documentdownloader.py:139,148).
     """
-    kinds = web.select("url_hash", "kind")
+    kinds = web.select("url_hash", "kind", "final_url")
     joined = drained.join(kinds, "url_hash", "left")
     status = F.when(
         F.col("kind").isNull(), F.lit(404)  # URL not on the simulated web
     ).otherwise(status_expr(F.col("kind"), F.col("url_hash"), epoch))
+    redirected = F.when(
+        (F.col("kind") == "redirect") & (status == 200), F.col("final_url")
+    ).otherwise(F.col("url"))
     return (
         joined.withColumn("status_code", status)
-        .drop("kind")
+        .withColumn("redirected_url", redirected)
+        .drop("kind", "final_url")
         .withColumn("requested_at", F.lit(now))
         .withColumn("epoch", F.lit(int(epoch)))
         .withColumn("request_id", F.xxhash64("url_id", F.lit(int(epoch))))
@@ -80,7 +91,7 @@ def requests_log(fetched: DataFrame) -> DataFrame:
         "host_hash",
         "requested_at",
         "status_code",
-        F.lit(None).cast("string").alias("redirected_url"),
+        "redirected_url",
         "epoch",
         "drain_seq",
     )
@@ -133,10 +144,14 @@ def extract_documents(fetched: DataFrame, web: DataFrame, rules: DataFrame) -> D
         .filter(F.col("bytes").isNotNull())
         .select(
             "url_hash",
+            # content id stays keyed to the REQUESTED url (idempotent
+            # re-merge); the served ``url`` column is the post-redirect
+            # final URL — what the reference indexes (db/documents.py:213
+            # serves requests.redirected_url as the document's url)
             F.lower(F.hex(F.xxhash64("url"))).alias("image_id"),
             "bytes", "w", "h", "fmt", "caption",
             F.lit(0).cast("long").alias("phash"),
-            "url",
+            F.coalesce("final_url", "url").alias("url"),
         )
     )
     core = hit.mapInPandas(_extract_batches, schema=_CORE)

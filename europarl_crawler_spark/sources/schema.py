@@ -98,11 +98,16 @@ WEB = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
-        T.StructField("kind", T.StringType(), False),  # ok | missing | flaky
+        # ok | missing | flaky | redirect (follow to final_url, then 200)
+        T.StructField("kind", T.StringType(), False),
         T.StructField("bytes", T.BinaryType(), True),
         T.StructField("w", T.IntegerType(), True),
         T.StructField("h", T.IntegerType(), True),
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
+        # the URL the origin serves the resource AT (``resp.url`` after
+        # following redirects — reference documentdownloader.py:124); equals
+        # ``url`` for non-redirect rows
+        T.StructField("final_url", T.StringType(), True),
     ]
 )

@@ -14,6 +14,11 @@ content-addressed (url_hash) so any scale regenerates identically:
   workers/documentdownloader.py:132-150) on most epochs and 200 on epochs
   where (url_hash mixed with epoch) % 4 == 0, so the retry lane (SURVEY J6)
   is exercised end-to-end and eventually drains.
+- redirect slice          : pmod(url_hash, 17) == 0 — the origin serves the
+  resource at ``final_url`` (= url + '?location=archive'); the fetch follows
+  (allow_redirects=True in the reference, documentdownloader.py:97) and logs
+  the final URL as ``requests.redirected_url`` (reference resp.url,
+  documentdownloader.py:124, db/requests.py:39).
 
 Pixel payloads are Philox-seeded noise keyed by url_hash; fmt is derived from
 the rule's filetype (.html→ppm, .pdf→raw, .xml→qraw) so all three codecs and
@@ -92,9 +97,11 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "h": [],
             "fmt": [],
             "caption": [],
+            "final_url": [],
         }
-        for uh, rule, day, ftype, kind in zip(
-            pdf["url_hash"], pdf["rulename"], pdf["dates"], pdf["filetype"], pdf["kind"]
+        for uh, url, rule, day, ftype, kind in zip(
+            pdf["url_hash"], pdf["url"], pdf["rulename"], pdf["dates"],
+            pdf["filetype"], pdf["kind"],
         ):
             if kind == "missing":
                 out["bytes"].append(None)
@@ -102,7 +109,11 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["h"].append(None)
                 out["fmt"].append(None)
                 out["caption"].append(None)
+                out["final_url"].append(url)
                 continue
+            out["final_url"].append(
+                url + "?location=archive" if kind == "redirect" else url
+            )
             key = int(uh) & 0xFFFFFFFFFFFFFFFF  # two's-complement view of the long
             rng = np.random.Generator(np.random.Philox(key=key))
             w = int(SIZES[key % len(SIZES)])
@@ -139,6 +150,7 @@ def simulated_web(spark: SparkSession, days: DataFrame) -> DataFrame:
         F.when(~day_exists_expr("dates"), F.lit("missing"))
         .when(F.pmod(F.col("url_hash"), F.lit(11)) == 0, F.lit("missing"))
         .when(F.pmod(F.col("url_hash"), F.lit(13)) == 0, F.lit("flaky"))
+        .when(F.pmod(F.col("url_hash"), F.lit(17)) == 0, F.lit("redirect"))
         .otherwise(F.lit("ok"))
     )
     with_kind = cand.select("url_hash", "url", "rulename", "dates", "filetype", kind.alias("kind"))
@@ -165,6 +177,9 @@ def status_expr(kind_col, url_hash_col, epoch: int):
         )
     return (
         F.when(kind_col == "ok", F.lit(200))
+        # the fetch follows the redirect chain (allow_redirects=True) and the
+        # target serves the payload: the OBSERVED status is the target's 200
+        .when(kind_col == "redirect", F.lit(200))
         .when(kind_col == "missing", F.lit(404))
         .otherwise(flaky_status)
     )

@@ -94,7 +94,11 @@ def test_image_invariants_vs_web(world):
     docs = world["store"].read("documents", spark)
     joined = (
         docs.alias("d")
-        .join(world["web"].alias("w"), F.col("d.url") == F.col("w.url"))
+        # documents serve the post-redirect URL (reference db/documents.py:213)
+        .join(
+            world["web"].alias("w"),
+            F.col("d.url") == F.coalesce(F.col("w.final_url"), F.col("w.url")),
+        )
         .select(
             "d.bytes", "d.w", "d.h", "d.fmt", "d.caption", "d.phash",
             F.col("w.bytes").alias("src_bytes"), F.col("w.caption").alias("src_caption"),
@@ -111,6 +115,43 @@ def test_image_invariants_vs_web(world):
         else:
             assert imaging.psnr(got, src) >= 40.0
         assert r.phash == imaging.phash64(got)
+
+
+def test_redirect_lane(world):
+    """Reference contract (documentdownloader.py:97,124 + db/requests.py:39):
+    redirects are followed; the request log records the FINAL url; documents
+    serve the final url; the URL-seen set stays keyed on the requested url."""
+    spark = world["eng"].spark
+    web = world["web"]
+    requests = world["store"].read("requests", spark)
+    logged = requests.join(
+        web.select("url_hash", "url", "kind", "final_url"), "url_hash"
+    )
+    redirected = logged.filter(
+        (F.col("kind") == "redirect") & (F.col("status_code") == 200)
+    )
+    if redirected.count() == 0:
+        pytest.skip("no redirect URL drained in this window")
+    for r in redirected.select("url", "final_url", "redirected_url").collect():
+        assert r.redirected_url == r.final_url == r.url + "?location=archive"
+    # non-redirect fetches log their own url (reference resp.url == url)
+    plain = logged.filter(F.col("kind") != "redirect")
+    assert plain.filter(F.col("redirected_url") != F.col("url")).count() == 0
+    # documents for redirect rows carry the final url, with the content id
+    # still derived from the REQUESTED url (idempotent re-merge key)
+    docs = world["store"].read("documents", spark)
+    d = docs.filter(F.col("url").endswith("?location=archive"))
+    assert d.count() > 0
+    bad_key = d.filter(
+        F.lower(
+            F.hex(F.xxhash64(F.regexp_replace("url", r"\?location=archive$", "")))
+        )
+        != F.col("image_id")
+    )
+    assert bad_key.count() == 0
+    # frontier (the seen set) never contains a final_url-form entry
+    frontier = world["store"].read("frontier", spark)
+    assert frontier.filter(F.col("url").endswith("?location=archive")).count() == 0
 
 
 def test_documents_idempotent_merge(world):
