@@ -360,19 +360,17 @@ def q_j8_metadata_join(spark, sf_dir):
 
 def q_o8_spaced_refresh(spark, sf_dir):
     """O8: the piecewise recrawl-spacing schedule (downloader.py:39-68):
-    every day ×14, every 2nd to 42, every 5th to 322, every 10th to 3132."""
+    every day ×14, every 2nd to 42, every 5th to 322, every 10th to 3132.
+    The predicate is THE engine expression (plans/frontier.py
+    spaced_refresh_keep_expr — the same one recrawl_candidates drains by)."""
+    from europarl_crawler_spark.plans.frontier import spaced_refresh_keep_expr
+
     cal = _calendar(spark, sf_dir)
     hi = _t(spark, sf_dir, "orders").agg(
         F.max(F.to_date("o_orderdate")).alias("hi")
     )
     d = cal.crossJoin(hi).withColumn("off", F.datediff("hi", F.col("dates")).cast("long"))
-    keep = (
-        (F.col("off") < 14)
-        | ((F.col("off") < 42) & (F.col("off") % 2 == 0))
-        | ((F.col("off") < 322) & (F.col("off") % 5 == 0))
-        | ((F.col("off") < 3132) & (F.col("off") % 10 == 0))
-    )
-    return d.filter(keep).select("dates", "off")
+    return d.filter(spaced_refresh_keep_expr("off")).select("dates", "off")
 
 
 def q1_pricing_summary(spark, sf_dir):

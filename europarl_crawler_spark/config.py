@@ -25,6 +25,11 @@ class EngineConfig:
     request_timeout_secs: float = 7.5
     # epoch cadence — the batch analog of the reference's continuous loop
     epoch_secs: float = 300.0
+    # session-day probe lag: only probe days older than today − offset
+    # (reference get_unchecked_dates offset, db/sessionDay.py:36,104)
+    probe_offset_days: int = 30
+    # O8 spaced-refresh recrawl lane (reference downloader.py:39-68)
+    recrawl_enabled: bool = True
     # physical knobs (ours): frontier salt shards, bloom target fpp
     n_salts: int = 16
     bloom_fpp: float = 0.01
@@ -50,6 +55,8 @@ class EngineConfig:
             prefetch_limit=get("General", "PrefetchLimit", 50),
             request_timeout_secs=get("DocumentDownloader", "RequestTimeoutSecs", 7.5),
             epoch_secs=get("Engine", "EpochSecs", 300.0),
+            probe_offset_days=get("SessionDayChecker", "ProbeOffsetDays", 30),
+            recrawl_enabled=get("Engine", "RecrawlEnabled", True),
             n_salts=get("Engine", "Salts", 16),
             bloom_fpp=get("Engine", "BloomFpp", 0.01),
             use_bloom=get("Engine", "UseBloom", True),

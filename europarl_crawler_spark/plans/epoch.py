@@ -31,6 +31,7 @@ from ..sources.epochstore import EpochStore
 from .fetch import extract_documents, requests_log, simulate_requests
 from .frontier import (
     priority_drain,
+    recrawl_candidates,
     session_day_probes,
     todo_combos,
 )
@@ -104,7 +105,8 @@ class CrawlEngine:
         #    doc URLs for confirmed days (J1/J2/J3/O1) — both already
         #    anti-joined against the frontier on their natural keys.
         probes = session_day_probes(
-            spark, days, requests, frontier, self.prefetch_limit, e
+            spark, days, requests, frontier, self.prefetch_limit, e,
+            now_date=now.date(), offset_days=self.config.probe_offset_days,
         )
         combos = todo_combos(
             spark, days, requests, frontier, self.prefetch_limit, e
@@ -124,11 +126,17 @@ class CrawlEngine:
 
         # 3. pending = frontier rows without a terminal outcome — covers both
         #    never-fetched and dead-letter retries (T6: 408/460/429/5xx stay
-        #    eligible).
+        #    eligible) — plus the O8 recrawl lane: terminal-200 docs whose age
+        #    hits the spaced-refresh schedule re-enter at recrawl priority
+        #    (after all fresh work; reference downloader.py:39-68).
         terminal = requests.filter(F.col("status_code").isin(*TERMINAL)).select(
             "url_id"
         )
         pending = frontier.join(terminal, "url_id", "left_anti")
+        if self.config.recrawl_enabled:
+            pending = pending.unionByName(
+                recrawl_candidates(frontier, requests, now.date())
+            )
         if self.robots is not None:
             pending = apply_robots_gate(pending, self.robots)
 

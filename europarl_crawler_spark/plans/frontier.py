@@ -27,6 +27,8 @@ these keys reproduce (SURVEY §7.4.1).
 
 from __future__ import annotations
 
+from datetime import timedelta
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -69,6 +71,52 @@ def recrawl_priority_expr(dates_col="dates", rule_col="rule_id") -> F.Column:
     return F.lit(RECRAWL_BAND * BAND) + _days(dates_col) * 1000 + F.col(rule_col)
 
 
+def spaced_refresh_keep_expr(off_col) -> F.Column:
+    """O8: the piecewise recrawl-spacing schedule as a predicate over the
+    document's age in days (reference downloader.py:39-68 spaced_out_dates,
+    scaled to the engine's day domain): re-fetch daily for 2 weeks, every 2nd
+    day to 42, every 5th to 322, every 10th to 3132. The SAME expression
+    drives the engine's recrawl lane (``recrawl_candidates``) and the
+    ``o8_spaced_refresh`` catalog query."""
+    off = F.col(off_col) if isinstance(off_col, str) else off_col
+    return (off >= 0) & (
+        (off < 14)
+        | ((off < 42) & (off % 2 == 0))
+        | ((off < 322) & (off % 5 == 0))
+        | ((off < 3132) & (off % 10 == 0))
+    )
+
+
+def recrawl_candidates(frontier: DataFrame, requests: DataFrame, now_date) -> DataFrame:
+    """O8 wiring: terminal-200 doc URLs re-enter pending when their
+    session-date age matches the spaced-refresh schedule (reference
+    downloader.py:39-68 — the standalone downloader's daily recrawl pass).
+
+    Guards: doc lanes only (the checker never re-probes terminal days),
+    at most one recrawl per calendar day (``last 200 fetch < today`` — the
+    reference runs the downloader daily), and the recrawl band orders after
+    all fresh work. Scale shape: the schedule predicate prunes the frontier
+    BEFORE the requests aggregation, and last-fetch is a semi-joined
+    map-side-combinable max — no window, no collect."""
+    eligible = frontier.filter(F.col("rule_id") != SESSION_DAY_RULE_ID).filter(
+        spaced_refresh_keep_expr(F.datediff(F.lit(now_date), F.col("dates")))
+    )
+    last_ok = (
+        requests.filter(F.col("status_code") == 200)
+        .join(eligible.select("url_id"), "url_id", "left_semi")
+        .groupBy("url_id")
+        .agg(F.max("requested_at").alias("_last_ok"))
+    )
+    return (
+        eligible.join(last_ok, "url_id")
+        .filter(F.to_date("_last_ok") < F.lit(now_date))
+        .withColumn(
+            "priority", recrawl_priority_expr("dates", "rule_id").cast("long")
+        )
+        .drop("_last_ok")
+    )
+
+
 def frontier_columns(cand: DataFrame, epoch: int, priority: F.Column) -> DataFrame:
     """Attach url/hashes/salt/priority to a (date_id, rule_id, dates, doc_code,
     infix, language, filetype) candidate set. ``priority``: a column
@@ -96,12 +144,21 @@ def session_day_probes(
     frontier: DataFrame,
     limit: int,
     epoch: int,
+    now_date=None,
+    offset_days: int = 30,
 ) -> DataFrame:
     """The unchecked-days batch (O3): fresh ∪ retry, probed newest-first.
 
-    fresh  = days never probed (J5 anti join), newest first, limit-1 slots;
+    fresh  = days never probed (J5 anti join) AND older than
+             ``now − offset_days`` (the reference's publication-lag guard:
+             get_unchecked_dates probes generate_series(start, today − offset),
+             offset defaulting to 30 days — db/sessionDay.py:36,104 — so a
+             live crawl never hammers not-yet-published dates), newest first,
+             limit-1 slots;
     retry  = days probed but with NO terminal (200/404) outcome (J6) — the
-             dead-letter lane, one guaranteed slot (T12).
+             dead-letter lane, one guaranteed slot (T12); no offset filter
+             (the reference's retry branch has none — a probed day already
+             passed the cutoff once).
     Final order = dates DESC (the reference pops the ASC-sorted batch from the
     tail, O4) with url_hash tie-break.
     """
@@ -115,11 +172,11 @@ def session_day_probes(
     terminal_days = (
         probe_reqs.filter(F.col("status_code").isin(*TERMINAL)).select("dates").distinct()
     )
-    fresh = (
-        days.join(probed_days, "dates", "left_anti")
-        .orderBy(F.desc("dates"))
-        .limit(max(limit - 1, 0))
-    )
+    fresh_days = days.join(probed_days, "dates", "left_anti")
+    if now_date is not None:
+        cutoff = now_date - timedelta(days=offset_days)
+        fresh_days = fresh_days.filter(F.col("dates") <= F.lit(cutoff))
+    fresh = fresh_days.orderBy(F.desc("dates")).limit(max(limit - 1, 0))
     retry = (
         days.join(probed_days, "dates", "left_semi")
         .join(terminal_days, "dates", "left_anti")

@@ -26,7 +26,7 @@ semantics, not hash functions.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import date
+from datetime import date, datetime, timedelta
 
 from europarl_crawler_spark.functions.rules import RULES, CrawlRule, build_url
 from europarl_crawler_spark.plans.politeness import TokenBucket
@@ -52,6 +52,17 @@ def recrawl_priority(d: date, rule_id: int) -> int:
     return 2 * BAND + (d - _EPOCH0).days * 1000 + rule_id
 
 
+def spaced_refresh_keep(off: int) -> bool:
+    """O8 schedule — mirrors plans/frontier.py spaced_refresh_keep_expr
+    (reference downloader.py:39-68 spaced_out_dates, scaled)."""
+    return off >= 0 and (
+        off < 14
+        or (off < 42 and off % 2 == 0)
+        or (off < 322 and off % 5 == 0)
+        or (off < 3132 and off % 10 == 0)
+    )
+
+
 @dataclass
 class SimState:
     frontier: dict[tuple[int, str], dict] = field(default_factory=dict)  # (rule_id, url) → row
@@ -70,9 +81,17 @@ def run_epochs(
     n_epochs: int,
     prefetch_limit: int = 50,
     epoch_secs: float = 600.0,
+    start: datetime | None = None,
+    offset_days: int = 30,
+    recrawl: bool = True,
 ):
     """Returns (orders, frontier_keys): per-epoch ordered fetched-URL lists
-    (the crawl order) and the final URL-seen set {(rule_id, url)}."""
+    (the crawl order) and the final URL-seen set {(rule_id, url)}.
+
+    ``start`` mirrors CrawlEngine.run(start=...): epoch e runs at simulated
+    clock start + (e−1)·epoch_secs; its calendar date drives the probe-offset
+    guard (reference db/sessionDay.py:104, today − offset) and the O8 recrawl
+    lane's once-per-day staleness check (reference downloader.py:39-68)."""
     st = SimState()
     rules = active_rules()
     probe_rule_id, probe_rule = rules[0]
@@ -83,6 +102,12 @@ def run_epochs(
     for _ in range(n_epochs):
         st.epoch += 1
         e = st.epoch
+        now_date = (
+            (start + timedelta(seconds=epoch_secs * (e - 1))).date()
+            if start is not None
+            else date.today()
+        )
+        cutoff = now_date - timedelta(days=offset_days)
 
         # --- probe lane (unchecked-days batch) -----------------------------
         probed_days = set()
@@ -95,9 +120,9 @@ def run_epochs(
                     terminal_days.add(r["dates"])
                 if r["status"] == 200:
                     ok_days.add(r["dates"])
-        fresh = sorted((d for d in days if d not in probed_days), reverse=True)[
-            : max(prefetch_limit - 1, 0)
-        ]
+        fresh = sorted(
+            (d for d in days if d not in probed_days and d <= cutoff), reverse=True
+        )[: max(prefetch_limit - 1, 0)]
         retry = sorted(d for d in days if d in probed_days and d not in terminal_days)[
             :prefetch_limit
         ]
@@ -139,6 +164,25 @@ def run_epochs(
         pending = [
             row for key, row in st.frontier.items() if key not in terminal_urls
         ]
+        # O8 recrawl lane: terminal-200 doc URLs re-enter at recrawl priority
+        # when their age hits the schedule and they weren't fetched today
+        if recrawl:
+            last_ok: dict[tuple[int, str], date] = {}
+            for r in st.requests:
+                if r["status"] == 200:
+                    key = (r["rule_id"], r["url"])
+                    if key not in last_ok or r["req_date"] > last_ok[key]:
+                        last_ok[key] = r["req_date"]
+            for key, row in st.frontier.items():
+                if row["rule_id"] == probe_rule_id or key not in last_ok:
+                    continue
+                if not spaced_refresh_keep((now_date - row["dates"]).days):
+                    continue
+                if last_ok[key] >= now_date:
+                    continue
+                pending.append(
+                    {**row, "priority": recrawl_priority(row["dates"], row["rule_id"])}
+                )
         pending.sort(key=lambda r: (r["priority"], r["created_epoch"], r["url"]))
         budget = st.bucket.epoch_budget(epoch_secs)
         drained = pending[:budget]
@@ -149,7 +193,8 @@ def run_epochs(
             s = status_of(row["url"], e)
             st.requests.append(
                 {"rule_id": row["rule_id"], "dates": row["dates"],
-                 "url": row["url"], "status": s, "epoch": e}
+                 "url": row["url"], "status": s, "epoch": e,
+                 "req_date": now_date}
             )
             order.append(row["url"])
             codes.add(s)
