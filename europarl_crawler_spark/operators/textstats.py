@@ -93,6 +93,60 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """token_count + quality_score + language_id fused into ONE projection —
+    one scan, zero shuffle, zero join. This is the shape the crawl's
+    postprocessing lane uses (plans/indexer.py text_features_epoch): at
+    100 TB, three separate operator passes would re-scan the documents table
+    three times and join narrow outputs twice for no semantic gain.
+
+    Column-for-column identical to the three standalone operators
+    (asserted in tests/test_textstats.py)."""
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_tokens = F.size(toks)
+    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(toks, all_stop))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    mean_word_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    length_ok = ((n_chars >= 20) & (n_chars <= 100000)).cast("int")
+    score = F.round(
+        (
+            length_ok * 0.25
+            + F.least(alpha_ratio * 1.25, F.lit(1.0)) * 0.35
+            + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.15
+            + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        ),
+        6,
+    )
+    lang_scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = F.sort_array(F.array(*lang_scores), asc=False)[0]
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("n_subwords_est"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, n: int = 8, window: int = 4,
     text_col: str = "text", id_col: str = "doc_id",

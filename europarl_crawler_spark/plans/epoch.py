@@ -155,7 +155,10 @@ class CrawlEngine:
         fetched = simulate_requests(drained, self.web, e, now).persist()
         self.store.append("requests", requests_log(fetched), e)
         docs = extract_documents(fetched, self.web, self.rules)
-        self.store.merge("documents", docs, e, keys=["image_id"])
+        # documents has its own commit chain: reset/reextract (D9) may have
+        # advanced it past the crawl clock — never commit at-or-below it
+        doc_e = max(e, (self.store.latest("documents") or 0) + 1)
+        self.store.merge("documents", docs, doc_e, keys=["image_id"])
 
         # 6. politeness update from the epoch status flags (A1) — one
         #    full-outer join + expressions, state never leaves the executors.
@@ -217,6 +220,41 @@ class CrawlEngine:
                 now = start + timedelta(seconds=self.epoch_secs * (self.current_epoch()))
             out.append(self.run_epoch(now))
         return out
+
+    # -- reprocessing ----------------------------------------------------------
+
+    def reextract(self) -> dict:
+        """Re-run the extraction stage for every successfully-fetched URL —
+        the postprocessing re-run after ``reset_postprocessing`` (D9).
+
+        Reference: the postprocessing worker re-enqueues every document whose
+        ``data IS NULL`` (workers/postprocessingworker.py:37-65 over
+        db/documents.py get_unprocessed); here the request log + content
+        store are sufficient to rebuild the documents table, and the
+        image_id merge key makes the rebuild idempotent. The latest-success
+        pick is a map-side-combinable max(struct) — no window."""
+        # commit above BOTH the crawl clock and the documents table's own
+        # chain (a reset writes tombstones at documents-latest + 1, which may
+        # already exceed the crawl epoch — colliding would clobber them)
+        e = max(self.current_epoch(), self.store.latest("documents") or 0) + 1
+        frontier = self._read("frontier", S.FRONTIER)
+        requests = self._read("requests", S.REQUESTS)
+        latest = (
+            requests.filter(F.col("status_code") == 200)
+            .groupBy("url_id")
+            .agg(F.max(F.struct("requested_at", "epoch")).alias("_s"))
+            .select(
+                "url_id",
+                F.col("_s.requested_at").alias("requested_at"),
+                F.col("_s.epoch").alias("epoch"),
+            )
+        )
+        fetched_like = frontier.join(latest, "url_id").withColumn(
+            "status_code", F.lit(200)
+        )
+        docs = extract_documents(fetched_like, self.web, self.rules)
+        m = self.store.merge("documents", docs, e, keys=["image_id"])
+        return {"epoch": e, "reextracted": m["rows"]}
 
     # -- shutdown --------------------------------------------------------------
 

@@ -160,11 +160,26 @@ def extract_documents(fetched: DataFrame, web: DataFrame, rules: DataFrame) -> D
         .select(
             "url_hash",
             "url_id",
+            "rule_id",
             "rulename",
             F.col("dates").alias("session_date"),
             F.col("requested_at").alias("downloaded_at"),
             "epoch",
         )
+    )
+    # several rules generate the SAME url string (reference UNIQUE(rule_id,url)
+    # quirk: session_day ↔ protocol_en_pdf, named_voting_fr_pdf ↔ _xml) while
+    # image_id is content-addressed by url: pick ONE owning rule
+    # deterministically (latest fetch epoch, then lowest rule_id) so crawl
+    # merges and reextract (plans/epoch.py) converge to identical rows.
+    # Window is per-url_hash — group size ≤ #rules, uniform, never skewed.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_hash").orderBy(F.desc("epoch"), F.asc("rule_id"))
+    meta = (
+        meta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "rule_id")
     )
     cols = [f.name for f in DOCUMENTS.fields]
     return core.join(F.broadcast(meta), "url_hash").select(*cols)

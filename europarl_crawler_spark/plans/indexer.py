@@ -89,6 +89,79 @@ def index_epoch(
     return {"epoch": e, "indexed": m["rows"]}
 
 
+# image_ids queued for removal from the serving table — the Spark-first twin
+# of the reference's per-document ``unindex`` flag (db/documents.py:322-334)
+UNINDEX_QUEUE = T.StructType([T.StructField("image_id", T.StringType(), False)])
+
+
+def reset_postprocessing(
+    store: EpochStore, spark: SparkSession, rulename: str | None = None
+) -> dict:
+    """D9: drop extraction results (ALL docs, or one rule's) and mark the
+    currently-served victims for unindexing.
+
+    Reference: reset_all_postprocessing / reset_postprocessing_by_rule set
+    ``data=NULL, enqueued=False, unindex=indexed`` (db/documents.py:287-320) —
+    the "re-extract everything after a rule fix" workflow
+    (docs/general/extending.rst). Spark-first: extraction results ARE the
+    documents table, so "data=NULL" is a keyed tombstone; "unindex=indexed"
+    is a semi-join of the victims against the serving table into the
+    ``unindex_queue`` table. ``CrawlEngine.reextract`` is the re-run half.
+    """
+    docs = store.read("documents", spark, schema=S.DOCUMENTS)
+    victims = docs if rulename is None else docs.filter(F.col("rulename") == rulename)
+    try:
+        idx = store.read("index_docs", spark, schema=INDEX_DOCS)
+    except ValueError:
+        idx = spark.createDataFrame([], INDEX_DOCS)
+    queued = victims.join(idx.select("image_id"), "image_id", "left_semi").select(
+        "image_id"
+    )
+    qe = (store.latest("unindex_queue") or 0) + 1
+    mq = store.merge("unindex_queue", queued, qe, keys=["image_id"])
+    de = (store.latest("documents") or 0) + 1
+    md = store.delete("documents", victims, de, keys=["image_id"])
+    return {"reset": md["rows"], "queued_unindex": mq["rows"]}
+
+
+def process_unindex(store: EpochStore, spark: SparkSession) -> dict:
+    """The indexer's delete pass + D10 reset_unindex: drop every queued id
+    from the serving table, then clear the queue flags.
+
+    Reference: get_documents_to_unidex → ES delete → reset_unindex
+    (``unindex=False, indexed=False``) — db/documents.py:322-359,
+    eurocli.py:165-181. Clearing the queue restores index eligibility:
+    once the document is re-extracted, ``unindexed()`` re-serves it.
+    """
+    try:
+        q = store.read("unindex_queue", spark, schema=UNINDEX_QUEUE)
+    except ValueError:
+        q = spark.createDataFrame([], UNINDEX_QUEUE)
+    q = q.select("image_id")
+    e = (store.latest("index_docs") or 0) + 1
+    m = store.delete("index_docs", q, e, keys=["image_id"])
+    qe = (store.latest("unindex_queue") or 0) + 1
+    store.delete("unindex_queue", q, qe, keys=["image_id"])
+    return {"unindexed": m["rows"]}
+
+
+def text_features_epoch(store: EpochStore, spark: SparkSession) -> dict:
+    """F8 closure — the text lane the crawl actually produces. The reference
+    postprocessors run get_text()/PDF text over the payload
+    (rules/extraction.py:27-52); this engine's extraction emits image+caption
+    pairs (north_rule), so the caption IS the document's text: feed it
+    through the fused textstats profile (token count, quality, language-ID —
+    one projection, operators/textstats.py:text_profile) and merge the
+    result keyed by image_id."""
+    from ..operators import textstats
+
+    docs = store.read("documents", spark, schema=S.DOCUMENTS)
+    feats = textstats.text_profile(docs, text_col="caption", id_col="image_id")
+    e = (store.latest("doc_text_stats") or 0) + 1
+    m = store.merge("doc_text_stats", feats, e, keys=["image_id"])
+    return {"epoch": e, "rows": m["rows"]}
+
+
 def unindex_by_rule(store: EpochStore, spark: SparkSession, rulename: str) -> dict:
     """D9-by-rule analog: drop a rule's rows from the serving table
     (reference reset_postprocessing_by_rule, db/documents.py:310-315)."""

@@ -1,0 +1,139 @@
+"""D9/D10 reset paths + the caption text lane, as round trips over a real
+crawled store.
+
+Reference workflow (eurocli.py:140-181 ``postprocessing reset``):
+reset_postprocessing (data=NULL, unindex=indexed; db/documents.py:287-320)
+→ unindex pass (ES delete) → reset_unindex flags (db/documents.py:344-359)
+→ the postprocessing worker re-extracts → the indexer re-serves. Here:
+tombstone documents + queue → process_unindex → CrawlEngine.reextract →
+index_epoch, asserting the documents and serving tables come back
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.plans.epoch import CrawlEngine
+from europarl_crawler_spark.plans import indexer
+from europarl_crawler_spark.sources.epochstore import EpochStore
+from europarl_crawler_spark.sources.synthetic import session_days_df, simulated_web
+
+START = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def _doc_rows(store, spark):
+    return sorted(
+        (r.image_id, r.url, r.rulename, r.caption, r.phash, r.w, r.h,
+         str(r.session_date), str(r.downloaded_at))
+        for r in store.read("documents", spark).collect()
+    )
+
+
+def _index_ids(store, spark):
+    return {r.image_id for r in store.read("index_docs", spark).collect()}
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("reset")
+    days = session_days_df(spark, start=date(2019, 7, 2), n_days=12)
+    web = simulated_web(spark, days)
+    web.write.parquet(str(root / "web"))
+    web = spark.read.parquet(str(root / "web"))
+    store = EpochStore(root / "store")
+    eng = CrawlEngine(spark, store, web, prefetch_limit=50, epoch_secs=600.0)
+    eng.bootstrap(days)
+    eng.run(3, start=START)
+    indexer.index_epoch(store, spark)
+    return dict(spark=spark, store=store, eng=eng)
+
+
+def test_caption_text_lane(world):
+    """F8 closure: the crawl's own captions flow through the textstats
+    profile into a doc_text_stats table — the pipeline halves meet."""
+    spark, store = world["spark"], world["store"]
+    out = indexer.text_features_epoch(store, spark)
+    docs_n = store.read("documents", spark).count()
+    assert out["rows"] == docs_n > 0
+    stats = store.read("doc_text_stats", spark)
+    rows = stats.collect()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert r.n_tokens > 0  # captions are "<rule> <date> #nnnn"
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.lang_pred is not None
+    # idempotent re-merge
+    indexer.text_features_epoch(store, spark)
+    assert store.read("doc_text_stats", spark).count() == docs_n
+
+
+def test_reset_by_rule_round_trip(world):
+    spark, store, eng = world["spark"], world["store"], world["eng"]
+    before_docs = _doc_rows(store, spark)
+    before_idx = _index_ids(store, spark)
+    rule = store.read("documents", spark).select("rulename").first().rulename
+    rule_ids = {
+        r.image_id
+        for r in store.read("documents", spark)
+        .filter(F.col("rulename") == rule)
+        .collect()
+    }
+    assert rule_ids
+
+    out = indexer.reset_postprocessing(store, spark, rulename=rule)
+    assert out["reset"] == len(rule_ids)
+    # documents: the rule's rows are gone, everything else intact
+    remaining = {t[0] for t in _doc_rows(store, spark)}
+    assert remaining == {t[0] for t in before_docs} - rule_ids
+    # unindex queue holds exactly the previously-served victims (unindex=indexed)
+    queued = {r.image_id for r in store.read("unindex_queue", spark).collect()}
+    assert queued == rule_ids & before_idx
+
+    # unindex pass: serving table drops them; queue flags cleared (D10)
+    indexer.process_unindex(store, spark)
+    assert _index_ids(store, spark) == before_idx - rule_ids
+    assert store.read("unindex_queue", spark).count() == 0
+
+    # re-extract + re-index: both tables byte-identical to before
+    eng.reextract()
+    assert _doc_rows(store, spark) == before_docs
+    indexer.index_epoch(store, spark)
+    assert _index_ids(store, spark) == before_idx
+
+
+def test_reset_all_round_trip(world):
+    spark, store, eng = world["spark"], world["store"], world["eng"]
+    before_docs = _doc_rows(store, spark)
+    before_idx = _index_ids(store, spark)
+    assert before_docs and before_idx
+
+    out = indexer.reset_postprocessing(store, spark)
+    assert out["reset"] == len(before_docs)
+    assert store.read("documents", spark).count() == 0
+    assert {r.image_id for r in store.read("unindex_queue", spark).collect()} == before_idx
+
+    indexer.process_unindex(store, spark)
+    assert _index_ids(store, spark) == set()
+    assert store.read("unindex_queue", spark).count() == 0
+
+    eng.reextract()
+    assert _doc_rows(store, spark) == before_docs
+    indexer.index_epoch(store, spark)
+    assert _index_ids(store, spark) == before_idx
+
+
+def test_crawl_continues_after_reset_cycle(world):
+    """The documents commit chain stays monotonic after out-of-band reset/
+    reextract epochs: another crawl epoch merges fine and latest-wins still
+    prefers the fresh rows."""
+    spark, store, eng = world["spark"], world["store"], world["eng"]
+    n_before = store.read("documents", spark).count()
+    eng.run(1, start=START)
+    docs = store.read("documents", spark)
+    assert docs.count() >= n_before
+    assert docs.count() == docs.select("image_id").distinct().count()

@@ -63,6 +63,21 @@ def test_fingerprint_identical_prefix_overlap(spark):
     assert not (sets[1] & sets[3])
 
 
+def test_text_profile_matches_standalone_operators(spark, docs):
+    """The fused one-projection profile is column-for-column identical to
+    token_count ⋈ quality_score ⋈ language_id."""
+    real = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    for d in (docs, real):
+        fused = {r.asDict()["doc_id"]: r.asDict() for r in textstats.text_profile(d).collect()}
+        tc = {r.doc_id: r.asDict() for r in textstats.token_count(d).collect()}
+        qs = {r.doc_id: r.asDict() for r in textstats.quality_score(d).collect()}
+        li = {r.doc_id: r.asDict() for r in textstats.language_id(d).collect()}
+        assert set(fused) == set(tc)
+        for k, row in fused.items():
+            expected = {**tc[k], **qs[k], **li[k]}
+            assert row == expected, k
+
+
 def test_runs_on_real_corpus(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
     assert textstats.language_id(docs).count() == 100
