@@ -575,6 +575,13 @@ def q_text_language_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_profile(spark, sf_dir):
+    """Fused single-projection text profile (token count + quality +
+    language-ID in one scan — operators/textstats.py:text_profile, the shape
+    the crawl's caption lane uses via plans/indexer.py:text_features_epoch)."""
+    return textstats.text_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing fingerprint summary (rows-only: hash-dependent)."""
     return textstats.fingerprint_summary(_t(spark, sf_dir, "documents"), n=8, window=4)
@@ -636,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
+        "text_profile": q_text_profile,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_binary_meta": q_multimodal_binary_meta,
     }
@@ -902,6 +910,44 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
                      + least(round(n_stop / greatest(n_tokens, 1), 6) * 5, 1.0) * 0.25,
                    6) AS quality_score
             FROM t
+        """,
+        "text_profile": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len({tok}) AS n_tokens,
+                     len(list_intersect({tok}, {all_stop})) AS n_stop,
+                     len(list_intersect({tok}, {stop_arrays['de']})) AS h_de,
+                     len(list_intersect({tok}, {stop_arrays['en']})) AS h_en,
+                     len(list_intersect({tok}, {stop_arrays['fr']})) AS h_fr,
+                     CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+              FROM documents),
+            best AS (
+              SELECT doc_id, lang, h,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang DESC) AS rn
+              FROM (SELECT doc_id, 'de' AS lang, h_de AS h FROM t
+                    UNION ALL SELECT doc_id, 'en', h_en FROM t
+                    UNION ALL SELECT doc_id, 'fr', h_fr FROM t))
+            SELECT t.doc_id,
+                   t.n_tokens,
+                   t.n_subwords_est,
+                   t.n_chars AS n_chars_measured,
+                   round(t.n_alpha / greatest(t.n_chars, 1), 6) AS alpha_ratio,
+                   round(t.n_punct / greatest(t.n_chars, 1), 6) AS punct_ratio,
+                   round(t.n_chars / greatest(t.n_tokens, 1), 6) AS mean_word_len,
+                   round(t.n_stop / greatest(t.n_tokens, 1), 6) AS stop_ratio,
+                   round(
+                     (CASE WHEN t.n_chars BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) * 0.25
+                     + least(round(t.n_alpha / greatest(t.n_chars, 1), 6) * 1.25, 1.0) * 0.35
+                     + (1 - least(round(t.n_punct / greatest(t.n_chars, 1), 6) * 5, 1.0)) * 0.15
+                     + least(round(t.n_stop / greatest(t.n_tokens, 1), 6) * 5, 1.0) * 0.25,
+                   6) AS quality_score,
+                   CASE WHEN b.h > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+                   b.h AS lang_hits
+            FROM t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
         """,
         "text_language_id": f"""
             WITH hits AS (

@@ -43,6 +43,7 @@ HEADLINE = [
     "text_quality",
     "text_language_id",
     "text_token_count",
+    "text_profile",
     "text_fingerprint",
     "multimodal_binary_meta",
 ]

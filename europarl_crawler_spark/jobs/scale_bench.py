@@ -41,7 +41,14 @@ def synthetic_multihost_web(spark, n_hosts: int, urls_per_host: int, img_px: int
     from ..sources.schema import WEB
 
     n = n_hosts * urls_per_host
-    base = spark.range(n).select(
+    # explicit fine-grained partitioning, INDEPENDENT of the generating run's
+    # core count: the web dir is generated once and reused by every
+    # parallelism level, so its file layout must give the widest leg enough
+    # splits. 8 coarse files (a local[8] default) leave local[32] running one
+    # ragged ~24-task wave with a long straggler tail — measured as the
+    # "unstable 32-thread" artifact in round 1.
+    n_parts = 128
+    base = spark.range(0, n, 1, n_parts).select(
         F.concat(
             F.lit("https://host"),
             (F.col("id") % n_hosts).cast("string"),
@@ -117,6 +124,12 @@ def main(argv=None) -> None:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--web", default=None, help="pre-generated web dir (reused across runs)")
     p.add_argument("--store", default=None)
+    # executor-style sharding: this process crawls only hosts with
+    # pmod(host_hash, host_shards) == host_shard — how a real multi-executor
+    # cluster partitions a per-host-politeness frontier (tools/bench_scaling.py
+    # launches K concurrent processes to evidence a K-executor cluster)
+    p.add_argument("--host-shard", type=int, default=0)
+    p.add_argument("--host-shards", type=int, default=1)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -141,11 +154,26 @@ def main(argv=None) -> None:
     web_dir = args.web or tempfile.mkdtemp() + "/web"
     import os
 
+    from ..functions.urlkit import host_hash_expr
+
+    N_WEB_SHARDS = 16  # divisible by any executor count used here
     if not os.path.isdir(web_dir):
+        # hive-partition the store by host shard: an executor-process
+        # filtering on its shard then PRUNES at the directory level and
+        # scans only its slice — modeling how a cluster distributes scan
+        # tasks instead of every executor reading the whole table
         synthetic_multihost_web(
             spark, args.hosts, args.urls_per_host, args.img_px
-        ).write.parquet(web_dir)
+        ).withColumn(
+            "_shard", F.pmod(host_hash_expr("url"), F.lit(N_WEB_SHARDS))
+        ).write.partitionBy("_shard").parquet(web_dir)
     web = spark.read.parquet(web_dir)
+    if args.host_shards > 1:
+        mine = [
+            s for s in range(N_WEB_SHARDS) if s % args.host_shards == args.host_shard
+        ]
+        web = web.filter(F.col("_shard").isin(mine))
+    web = web.drop("_shard")
 
     store = EpochStore(args.store or tempfile.mkdtemp() + "/store")
     frontier = multihost_frontier(spark, web)

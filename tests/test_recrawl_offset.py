@@ -164,6 +164,22 @@ def test_recrawl_disabled_never_refetches(spark, tmp_path):
     assert repeats.count() == 0
 
 
+def test_recrawl_plan_has_no_global_window(spark):
+    """Scale shape: recrawl candidate generation is filter + semi-join +
+    map-side-combinable max — no window, no cartesian product anywhere in
+    the physical plan."""
+    from europarl_crawler_spark.plans.frontier import recrawl_candidates
+    from europarl_crawler_spark.sources import schema as S
+
+    frontier = spark.createDataFrame([], S.FRONTIER)
+    requests = spark.createDataFrame([], S.REQUESTS)
+    out = recrawl_candidates(frontier, requests, date(2021, 1, 1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+
+
 def test_probe_offset_guard(spark, tmp_path):
     """With offset=3 days, days newer than now − 3 are never probed; the
     engine matches the simulator under the same guard; and the guard releases
