@@ -494,6 +494,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=100)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs → duplicate GROUPS (connected components, min-label
+    propagation — operators/dedup.py:near_dup_groups): group_id = smallest
+    reachable doc id, the representative a dedup pipeline keeps."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=100)
+    return dedup.near_dup_groups(pairs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup (exact-verified candidates; engine-hash-dependent
     recall → rows-only check; precision asserted in tests)."""
@@ -634,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_json_extract": q_f6_json_extract,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -859,6 +869,20 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
             GROUP BY content HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": shingle_sql,
+        "dedup_groups": f"""
+            WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({shingle_sql}) q),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+            )
+            SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+        """,
         "dedup_embedding_cosine": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos6_sql} AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -35,6 +35,7 @@ HEADLINE = [
     "a1_status_histogram",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -41,6 +41,70 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: connected components by min-label
+    propagation. Output: (doc_id, group_id) where group_id = smallest doc id
+    reachable through the pair graph — the representative a dedup pipeline
+    keeps (every other member drops).
+
+    Each iteration is one join + one map-side-combinable min-aggregation:
+    label(v) ← min(label(v), min over neighbors' labels). Iteration count is
+    the component diameter — near-dup clusters are shallow (pair graphs are
+    near-cliques), so a handful of rounds converges; ``max_iter`` bounds the
+    pathological chain. Convergence is detected by an aggregate changed-count
+    (no collect of data rows). Each round's labels are ``localCheckpoint``ed:
+    iterative plans otherwise nest their whole history and the lineage (and
+    even its plan string) grows without bound — the standard large-graph CC
+    recipe (GraphX/GraphFrames cut lineage the same way; on a cluster with a
+    checkpoint dir, swap in reliable ``checkpoint`` for executor-loss
+    tolerance).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("group_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "group_id", F.coalesce("_nmin", F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("group_id", "_old"), "doc_id"
+            )
+            .filter(F.col("group_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def shingles(docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Character n-gram shingle set per doc: (id, shingle) distinct rows.
 

@@ -86,3 +86,24 @@ def test_keep_one_per_group(docs):
     kept = dedup.keep_one_per_group(tagged, "g")
     assert kept.count() == 4  # 5 docs, one exact-dup pair collapsed
     assert kept.filter("doc_id = 2").count() == 0
+
+
+def test_near_dup_groups_connected_components(spark):
+    """Min-label propagation: a chain, a triangle joined to it, a separate
+    pair — each doc labeled with the smallest reachable id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (7, 1), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.group_id for r in dedup.near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_groups_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup.near_dup_groups(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
