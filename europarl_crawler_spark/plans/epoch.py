@@ -40,6 +40,21 @@ from .robots import apply_robots_gate
 
 TERMINAL = (200, 404)
 
+# fold url_state deltas into a base snapshot when this many commits stack up
+URL_STATE_COMPACT_EVERY = 32
+
+
+def _url_state_delta(fetched: DataFrame) -> DataFrame:
+    """One epoch's fetch outcomes reduced to per-URL state-summary rows
+    (the url_state table's append unit). Pure groupBy-max — combinable."""
+    is_ok = F.col("status_code") == 200
+    return fetched.groupBy("url_id").agg(
+        F.max(F.col("status_code").isin(*TERMINAL)).alias("terminal"),
+        F.max(is_ok).alias("has_ok"),
+        F.max(F.when(is_ok, F.col("requested_at"))).alias("last_ok_at"),
+        F.max(F.when(is_ok, F.col("epoch"))).cast("int").alias("last_ok_epoch"),
+    )
+
 
 class CrawlEngine:
     def __init__(
@@ -75,6 +90,36 @@ class CrawlEngine:
         round-trip through the driver."""
         return self._read("politeness", S.POLITENESS).drop("epoch")
 
+    def _url_state(self) -> DataFrame:
+        """Per-URL crawl-state summary: (terminal = ever 200/404, has_ok =
+        ever 200, last_ok_at/epoch). The frontier's terminal anti-join,
+        probe/confirm derivations, and the recrawl lane read THIS instead of
+        re-aggregating the append-only requests log — per-epoch cost is
+        O(urls fetched), bounded, instead of O(requests ever), unbounded.
+
+        Stored as APPEND deltas (one summary row per fetched URL per epoch)
+        and folded here with a map-side-combinable max aggregation — no
+        window; ``_compact_url_state`` periodically folds the deltas into a
+        base snapshot so read amplification stays bounded. Stores created by
+        older engine versions bootstrap the table from the log once."""
+        if (
+            self.store.latest("url_state") is None
+            and self.store.latest("requests") is not None
+        ):
+            requests = self._read("requests", S.REQUESTS)
+            self.store.overwrite(
+                "url_state",
+                _url_state_delta(requests),
+                (self.store.latest("requests") or 0),
+            )
+        raw = self._read("url_state", S.URL_STATE)
+        return raw.groupBy("url_id").agg(
+            F.max("terminal").alias("terminal"),
+            F.max("has_ok").alias("has_ok"),
+            F.max("last_ok_at").alias("last_ok_at"),
+            F.max("last_ok_epoch").alias("last_ok_epoch"),
+        )
+
     def bootstrap(self, days: DataFrame) -> None:
         """Initial load: seed-day domain (reference table bootstrap +
         rule-registry upsert, jobs/crawler.py:47-56)."""
@@ -99,17 +144,19 @@ class CrawlEngine:
 
         days = self._read("session_days", S.SESSION_DAYS)
         frontier = self._read("frontier", S.FRONTIER)
-        requests = self._read("requests", S.REQUESTS)
+        url_state = self._url_state()
 
         # 1. frontier growth: probe URLs for unchecked days (O3/J5/J6/T12) and
         #    doc URLs for confirmed days (J1/J2/J3/O1) — both already
-        #    anti-joined against the frontier on their natural keys.
+        #    anti-joined against the frontier on their natural keys. All
+        #    derivations read the O(urls) url_state summary, never the
+        #    unbounded request log.
         probes = session_day_probes(
-            spark, days, requests, frontier, self.prefetch_limit, e,
+            spark, days, url_state, frontier, self.prefetch_limit, e,
             now_date=now.date(), offset_days=self.config.probe_offset_days,
         )
         combos = todo_combos(
-            spark, days, requests, frontier, self.prefetch_limit, e
+            spark, days, url_state, frontier, self.prefetch_limit, e
         )
         new_urls = probes.unionByName(combos)
 
@@ -129,13 +176,11 @@ class CrawlEngine:
         #    eligible) — plus the O8 recrawl lane: terminal-200 docs whose age
         #    hits the spaced-refresh schedule re-enter at recrawl priority
         #    (after all fresh work; reference downloader.py:39-68).
-        terminal = requests.filter(F.col("status_code").isin(*TERMINAL)).select(
-            "url_id"
-        )
+        terminal = url_state.filter(F.col("terminal")).select("url_id")
         pending = frontier.join(terminal, "url_id", "left_anti")
         if self.config.recrawl_enabled:
             pending = pending.unionByName(
-                recrawl_candidates(frontier, requests, now.date())
+                recrawl_candidates(frontier, url_state, now.date())
             )
         if self.robots is not None:
             pending = apply_robots_gate(pending, self.robots)
@@ -154,6 +199,14 @@ class CrawlEngine:
         # 5. fetch + extract (the epoch's big join + the Arrow decode pass).
         fetched = simulate_requests(drained, self.web, e, now).persist()
         self.store.append("requests", requests_log(fetched), e)
+        # url_state delta: this epoch's outcomes summarized per URL; folded
+        # at read, compacted every K commits so reads stay O(urls)+O(K deltas).
+        # The table keeps its OWN monotonic commit chain (compactions insert
+        # extra commits between crawl epochs).
+        se = (self.store.latest("url_state") or 0) + 1
+        self.store.append("url_state", _url_state_delta(fetched), se)
+        if len(self.store.manifests("url_state")) % URL_STATE_COMPACT_EVERY == 0:
+            self.store.overwrite("url_state", self._url_state(), se + 1)
         docs = extract_documents(fetched, self.web, self.rules)
         # documents has its own commit chain: reset/reextract (D9) may have
         # advanced it past the crawl clock — never commit at-or-below it
@@ -264,7 +317,7 @@ class CrawlEngine:
         compact the frontier so the next run reads one base snapshot."""
         e = self.current_epoch() + 1
         frontier = self._read("frontier", S.FRONTIER)
-        requests = self._read("requests", S.REQUESTS)
-        uncrawled = frontier.join(requests.select("url_id"), "url_id", "left_anti")
+        fetched_ids = self._url_state().select("url_id")
+        uncrawled = frontier.join(fetched_ids, "url_id", "left_anti")
         self.store.delete("frontier", uncrawled, e, keys=["url_id"])
         self.store.compact("frontier", self.spark, e + 1)

@@ -87,7 +87,7 @@ def spaced_refresh_keep_expr(off_col) -> F.Column:
     )
 
 
-def recrawl_candidates(frontier: DataFrame, requests: DataFrame, now_date) -> DataFrame:
+def recrawl_candidates(frontier: DataFrame, url_state: DataFrame, now_date) -> DataFrame:
     """O8 wiring: terminal-200 doc URLs re-enter pending when their
     session-date age matches the spaced-refresh schedule (reference
     downloader.py:39-68 — the standalone downloader's daily recrawl pass).
@@ -96,24 +96,19 @@ def recrawl_candidates(frontier: DataFrame, requests: DataFrame, now_date) -> Da
     at most one recrawl per calendar day (``last 200 fetch < today`` — the
     reference runs the downloader daily), and the recrawl band orders after
     all fresh work. Scale shape: the schedule predicate prunes the frontier
-    BEFORE the requests aggregation, and last-fetch is a semi-joined
-    map-side-combinable max — no window, no collect."""
+    BEFORE the state join; ``url_state`` is the O(urls) crawl-state summary
+    (plans/epoch.py), not the unbounded request log — no window, no collect."""
     eligible = frontier.filter(F.col("rule_id") != SESSION_DAY_RULE_ID).filter(
         spaced_refresh_keep_expr(F.datediff(F.lit(now_date), F.col("dates")))
     )
-    last_ok = (
-        requests.filter(F.col("status_code") == 200)
-        .join(eligible.select("url_id"), "url_id", "left_semi")
-        .groupBy("url_id")
-        .agg(F.max("requested_at").alias("_last_ok"))
-    )
+    last_ok = url_state.filter(F.col("has_ok")).select("url_id", "last_ok_at")
     return (
         eligible.join(last_ok, "url_id")
-        .filter(F.to_date("_last_ok") < F.lit(now_date))
+        .filter(F.to_date("last_ok_at") < F.lit(now_date))
         .withColumn(
             "priority", recrawl_priority_expr("dates", "rule_id").cast("long")
         )
-        .drop("_last_ok")
+        .drop("last_ok_at")
     )
 
 
@@ -140,7 +135,7 @@ def frontier_columns(cand: DataFrame, epoch: int, priority: F.Column) -> DataFra
 def session_day_probes(
     spark: SparkSession,
     days: DataFrame,
-    requests: DataFrame,
+    url_state: DataFrame,
     frontier: DataFrame,
     limit: int,
     epoch: int,
@@ -161,16 +156,17 @@ def session_day_probes(
              passed the cutoff once).
     Final order = dates DESC (the reference pops the ASC-sorted batch from the
     tail, O4) with url_hash tie-break.
+
+    ``url_state`` is the per-URL crawl-state summary (a row exists iff the
+    URL was ever fetched; ``terminal`` ⇔ ever 200/404) — O(urls), not the
+    request log.
     """
-    probe_reqs = (
-        requests.join(
-            frontier.filter(F.col("rule_id") == SESSION_DAY_RULE_ID).select("url_id", "dates"),
-            "url_id",
-        )
-    )
-    probed_days = probe_reqs.select("dates").distinct()
+    probe_state = frontier.filter(
+        F.col("rule_id") == SESSION_DAY_RULE_ID
+    ).select("url_id", "dates").join(url_state, "url_id")
+    probed_days = probe_state.select("dates").distinct()
     terminal_days = (
-        probe_reqs.filter(F.col("status_code").isin(*TERMINAL)).select("dates").distinct()
+        probe_state.filter(F.col("terminal")).select("dates").distinct()
     )
     fresh_days = days.join(probed_days, "dates", "left_anti")
     if now_date is not None:
@@ -190,14 +186,13 @@ def session_day_probes(
     return frontier_columns(cand, epoch, probe_priority_expr("dates"))
 
 
-def confirmed_days(requests: DataFrame, frontier: DataFrame) -> DataFrame:
-    """Days whose session-day probe returned 200 (J4 join chain)."""
+def confirmed_days(url_state: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Days whose session-day probe returned 200 (J4 join chain) — derived
+    from the O(urls) crawl-state summary (``has_ok`` ⇔ ever 200)."""
     return (
-        requests.filter(F.col("status_code") == 200)
-        .join(
-            frontier.filter(F.col("rule_id") == SESSION_DAY_RULE_ID).select("url_id", "dates"),
-            "url_id",
-        )
+        frontier.filter(F.col("rule_id") == SESSION_DAY_RULE_ID)
+        .select("url_id", "dates")
+        .join(url_state.filter(F.col("has_ok")).select("url_id"), "url_id")
         .select("dates")
         .distinct()
     )
@@ -206,7 +201,7 @@ def confirmed_days(requests: DataFrame, frontier: DataFrame) -> DataFrame:
 def todo_combos(
     spark: SparkSession,
     days: DataFrame,
-    requests: DataFrame,
+    url_state: DataFrame,
     frontier: DataFrame,
     limit: int,
     epoch: int,
@@ -217,7 +212,7 @@ def todo_combos(
     rules = rules_df(spark, active_only=True).filter(
         F.col("rule_id") != SESSION_DAY_RULE_ID
     )
-    conf = confirmed_days(requests, frontier).join(
+    conf = confirmed_days(url_state, frontier).join(
         days.select("date_id", "dates"), "dates"
     )
     cand = conf.crossJoin(F.broadcast(rules)).join(

@@ -54,6 +54,20 @@ REQUESTS = T.StructType(
     ]
 )
 
+# per-URL crawl-state summary, incrementally merged from each epoch's fetch
+# delta (keys=[url_id]) and periodically compacted: the frontier's terminal
+# anti-join and the O8 recrawl lane read THIS O(urls) table instead of
+# re-scanning the unbounded append-only requests log every epoch
+URL_STATE = T.StructType(
+    [
+        T.StructField("url_id", T.LongType(), False),
+        T.StructField("terminal", T.BooleanType(), False),  # ever 200/404
+        T.StructField("has_ok", T.BooleanType(), False),  # ever 200
+        T.StructField("last_ok_at", T.TimestampType(), True),
+        T.StructField("last_ok_epoch", T.IntegerType(), True),
+    ]
+)
+
 # the image+caption content table (input_hint schema, verbatim order)
 IMAGES = T.StructType(
     [

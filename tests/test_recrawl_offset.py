@@ -172,8 +172,8 @@ def test_recrawl_plan_has_no_global_window(spark):
     from europarl_crawler_spark.sources import schema as S
 
     frontier = spark.createDataFrame([], S.FRONTIER)
-    requests = spark.createDataFrame([], S.REQUESTS)
-    out = recrawl_candidates(frontier, requests, date(2021, 1, 1))
+    url_state = spark.createDataFrame([], S.URL_STATE)
+    out = recrawl_candidates(frontier, url_state, date(2021, 1, 1))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Cartesian" not in plan
