@@ -87,7 +87,7 @@ def test_embedding_near_dup_symmetric_free(emb):
 def test_centroid_seeds_no_global_window(emb):
     """VERDICT r1 fix #7: seeding must not contain a single-task global
     window/sort over the corpus — the plan should be filter + TakeOrdered."""
-    seeds = similarity.centroid_seeds(emb, n_cells=8)
+    seeds = similarity.centroid_seeds(emb, n_cells=8, n=emb.count())
     plan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "TakeOrdered" in plan
@@ -115,3 +115,57 @@ def test_embedding_near_dup_blocking_exact_recall(emb):
         ).collect()
     }
     assert blocked == exact
+
+
+def test_cell_count_policy_scales_with_corpus():
+    """VERDICT r2 #6: n_cells must be a function of n (≈√n, clamped), not a
+    fixed 16 — at 10⁹ vectors fixed cells have radii → π and pruning dies."""
+    assert similarity.cell_count_policy(64) == 8  # floor clamp
+    assert similarity.cell_count_policy(10_000) == 100
+    assert similarity.cell_count_policy(10**9) == 4096  # broadcast-comfort cap
+    assert similarity.cell_count_policy(0) == 8
+
+
+def _clustered_corpus(spark, n, k=10, dim=32, noise=0.08):
+    """Deterministic clustered vectors — the shape of a real near-dup corpus
+    (the blocking's pruning claim is 'tracks how clustered the corpus is';
+    on UNIFORM high-dim data radii ≈ 90° and the max-radius bound is loose
+    by design — it degrades to all-pairs, never to missed pairs)."""
+    rng = np.random.Generator(np.random.Philox(key=7))
+    dirs = rng.normal(size=(k, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vecs = dirs[np.arange(n) % k] + noise * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_policy_bounds_candidate_fraction_across_sizes(spark):
+    """VERDICT r2 #6 'done' criterion: two corpus sizes, bounded candidate
+    fraction, unchanged exact output. On a clustered corpus at a near-dup
+    threshold the √n policy must keep the blocked pair space well under
+    all-pairs at BOTH sizes."""
+    for n in (200, 800):
+        sub = _clustered_corpus(spark, n)
+        cand = similarity.angular_candidates(sub, threshold=0.9, n=n)
+        frac = cand.count() / (n * (n - 1) / 2)
+        assert frac < 0.5, f"n={n}: candidate fraction {frac} not pruned"
+        a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+        b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+        exact = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(similarity.cosine_kernel("_va", "_vb"), 6))
+            .filter(F.col("cosine") >= 0.9)
+            .collect()
+        }
+        assert len(exact) > 0  # the threshold actually selects pairs
+        blocked = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.embedding_near_dup_pairs(
+                sub, threshold=0.9, n=n
+            ).collect()
+        }
+        assert blocked == exact
