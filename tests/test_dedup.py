@@ -107,3 +107,28 @@ def test_near_dup_groups_long_chain_converges(spark):
     got = {r.doc_id: r.group_id for r in dedup.near_dup_groups(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_near_dup_groups_pathological_chain_logarithmic(spark):
+    """Pointer jumping: a 120-vertex path (diameter 119) must converge well
+    inside the default 25-round cap — O(log d) rounds, not O(d)."""
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup.near_dup_groups(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_near_dup_groups_nonconvergence_raises(spark):
+    """ADVICE r2: partial labels must never be returned silently — a cap too
+    low for the graph's diameter raises instead of disagreeing with the
+    recursive-CTE oracle."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.near_dup_groups(pairs, max_iter=2)
