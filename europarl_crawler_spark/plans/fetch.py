@@ -19,11 +19,12 @@ Physical shape — **the image payloads never shuffle**:
 4. metadata attach : extract output ⋈ broadcast(thin crawl metadata).
 
 At 10^10-URL scale the drained side is politeness-budget-bounded
-(n_hosts × ≤100), so the broadcasts stay small; if a deployment exceeds
-broadcast comfort, steps 2/4 degrade gracefully to thin-key shuffles — the
-payload-stationarity property is what matters (a naive drained ⋈ web join
-shuffles the store's binary columns and turns the epoch disk-bound; measured
-2.3× slower at 32 cores on the scale bench).
+(n_hosts × ≤100), so the broadcasts stay small; when a deployment exceeds
+broadcast comfort (EngineConfig.broadcast_threshold_rows), the engine passes
+``hint_broadcast=False`` and steps 2/4 degrade to thin-key shuffles with AQE
+choosing the strategy — the payload-stationarity property is what matters
+(a naive drained ⋈ web join shuffles the store's binary columns and turns
+the epoch disk-bound; measured 2.3× slower at 32 cores on the scale bench).
 
 Status codes are pure column expressions (epoch-dependent for flaky rows);
 dead-letter lanes (408/429/460/5xx) stay in the request log and are re-drained
@@ -130,17 +131,24 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out[ok]
 
 
-def extract_documents(fetched: DataFrame, web: DataFrame, rules: DataFrame) -> DataFrame:
+def extract_documents(
+    fetched: DataFrame, web: DataFrame, rules: DataFrame,
+    hint_broadcast: bool = True,
+) -> DataFrame:
     """200-status rows → documents rows; decode+phash runs ON the content
     store's partitions (payload-stationary, see module docstring).
 
     image_id = hex(xxhash64(url)) — content-addressed, so re-fetching the same
     URL merges idempotently (reference delete-then-index dedup, SURVEY T8).
+
+    ``hint_broadcast`` gates the ok-keys and metadata broadcasts (steps 2/4);
+    the rules dimension (≤ tens of rows) is always broadcast.
     """
+    maybe_b = F.broadcast if hint_broadcast else (lambda df: df)
     ok = fetched.filter(F.col("status_code") == 200)
     keys = ok.select("url_hash").distinct()
     hit = (
-        web.join(F.broadcast(keys), "url_hash", "left_semi")
+        web.join(maybe_b(keys), "url_hash", "left_semi")
         .filter(F.col("bytes").isNotNull())
         .select(
             "url_hash",
@@ -182,4 +190,4 @@ def extract_documents(fetched: DataFrame, web: DataFrame, rules: DataFrame) -> D
         .drop("_rn", "rule_id")
     )
     cols = [f.name for f in DOCUMENTS.fields]
-    return core.join(F.broadcast(meta), "url_hash").select(*cols)
+    return core.join(maybe_b(meta), "url_hash").select(*cols)

@@ -27,7 +27,7 @@ these keys reproduce (SURVEY §7.4.1).
 
 from __future__ import annotations
 
-from datetime import timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -102,9 +102,16 @@ def recrawl_candidates(frontier: DataFrame, url_state: DataFrame, now_date) -> D
         spaced_refresh_keep_expr(F.datediff(F.lit(now_date), F.col("dates")))
     )
     last_ok = url_state.filter(F.col("has_ok")).select("url_id", "last_ok_at")
+    # "last 200 fetch was before today" compared as INSTANTS against today's
+    # UTC midnight — to_date(last_ok_at) would evaluate in the session
+    # timezone and shift the guard by a day on a non-UTC cluster (ADVICE r2);
+    # the engine's calendar is UTC (run_epoch's now is tz-aware UTC).
+    midnight_utc = datetime(
+        now_date.year, now_date.month, now_date.day, tzinfo=timezone.utc
+    )
     return (
         eligible.join(last_ok, "url_id")
-        .filter(F.to_date("last_ok_at") < F.lit(now_date))
+        .filter(F.col("last_ok_at") < F.lit(midnight_utc))
         .withColumn(
             "priority", recrawl_priority_expr("dates", "rule_id").cast("long")
         )
@@ -229,6 +236,7 @@ def todo_combos(
 def priority_drain(
     frontier_batch: DataFrame,
     budgets: DataFrame,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Politeness-bounded drain: the EXACT top-``budget`` rows per host in
     the deterministic order (priority, created_epoch, url_hash).
@@ -244,17 +252,21 @@ def priority_drain(
        heavy frontier never hits a single-task window; only the pruned
        sliver does (budget ≤ 100/host, so ≤ 1600 rows/host).
 
-    ``budgets``: (host_hash, budget>0) — politeness-bounded, tiny, broadcast
-    (now computed as a join against the politeness state table —
-    plans/politeness.py:host_budgets — not a driver dict). drain_seq =
-    position in the host's crawl order — the reproducible ordering the
-    equivalence suite asserts (SURVEY §7.4.1); the reference's single-host
-    regime makes per-host == global order.
+    ``budgets``: (host_hash, budget>0) — politeness-bounded, computed as a
+    join against the politeness state table (plans/politeness.py:host_budgets
+    — not a driver dict). ``hint_broadcast``: broadcast the budgets frame
+    when the host-count estimate fits the configured threshold; above it the
+    hint is dropped and AQE picks the strategy (a 10^8-host budgets frame is
+    multi-GB — thin-key shuffle territory). drain_seq = position in the
+    host's crawl order — the reproducible ordering the equivalence suite
+    asserts (SURVEY §7.4.1); the reference's single-host regime makes
+    per-host == global order.
     """
     order = [F.asc("priority"), F.asc("created_epoch"), F.asc("url_hash")]
     w_salt = Window.partitionBy("host_hash", "salt").orderBy(*order)
+    budgets = F.broadcast(budgets) if hint_broadcast else budgets
     pruned = (
-        frontier_batch.join(F.broadcast(budgets), ["host_hash"], "inner")
+        frontier_batch.join(budgets, ["host_hash"], "inner")
         .withColumn("_srank", F.row_number().over(w_salt))
         .filter(F.col("_srank") <= F.col("budget"))
         .drop("_srank")

@@ -180,6 +180,33 @@ def test_recrawl_plan_has_no_global_window(spark):
     assert "NestedLoop" not in plan
 
 
+def test_recrawl_guard_is_session_timezone_independent(spark):
+    """ADVICE r2: the once-per-day guard must compare instants against UTC
+    midnight, not to_date() in the session timezone. A fetch at 23:30 UTC on
+    Jan 1 is 'yesterday' for a Jan 2 run everywhere — under Asia/Tokyo the
+    old to_date() guard saw Jan 2 and wrongly suppressed the recrawl."""
+    from datetime import datetime, timezone
+
+    from europarl_crawler_spark.plans.frontier import recrawl_candidates
+    from europarl_crawler_spark.sources import schema as S
+
+    frontier = spark.createDataFrame(
+        [(5, 1, 2, date(2021, 1, 1), "u", 7, 9, 0, 0, 1)], S.FRONTIER
+    )
+    url_state = spark.createDataFrame(
+        [(5, True, True, datetime(2021, 1, 1, 23, 30, tzinfo=timezone.utc), 1)],
+        S.URL_STATE,
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = recrawl_candidates(frontier, url_state, date(2021, 1, 2)).count()
+            assert got == 1, f"recrawl suppressed under session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_probe_offset_guard(spark, tmp_path):
     """With offset=3 days, days newer than now − 3 are never probed; the
     engine matches the simulator under the same guard; and the guard releases
