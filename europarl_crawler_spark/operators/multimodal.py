@@ -5,10 +5,10 @@ Arrow ``mapInPandas`` stages with explicit schemas and bounded batch sizes
 (the Spark-side plumbing is real and tested; decoders for container formats
 that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 
-Real decoders: raw / ppm / qraw (functions/imaging.py) — used by the crawl
-pipeline. Stubbed: jpeg/png/mp3/mp4 → NotImplementedError with the exact
-Arrow-stage shape already in place, so wiring a real codec is a one-function
-change.
+Real decoders: raw / ppm / qraw / png (functions/imaging.py — png is genuine
+zlib-compressed RFC 2083) — used by the crawl pipeline. Stubbed:
+jpeg/webp/mp3/wav/mp4 → NotImplementedError with the exact Arrow-stage shape
+already in place, so wiring a real codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..functions import imaging
 
-STUB_FORMATS = frozenset({"jpeg", "png", "webp", "mp3", "wav", "mp4"})
+STUB_FORMATS = frozenset({"jpeg", "webp", "mp3", "wav", "mp4"})
 
 META_SCHEMA = T.StructType(
     [

@@ -21,9 +21,10 @@ content-addressed (url_hash) so any scale regenerates identically:
   documentdownloader.py:124, db/requests.py:39).
 
 Pixel payloads are Philox-seeded noise keyed by url_hash; fmt is derived from
-the rule's filetype (.html→ppm, .pdf→raw, .xml→qraw) so all three codecs and
-the lossy-PSNR invariant are exercised. Generation is mapInPandas (Arrow);
-the per-row numpy work is fixture generation, not the crawl data path.
+the rule's filetype (.html→ppm or png by hash parity, .pdf→raw, .xml→qraw) so
+all four codecs — including the real zlib-compressed PNG lane — and the
+lossy-PSNR invariant are exercised. Generation is mapInPandas (Arrow); the
+per-row numpy work is fixture generation, not the crawl data path.
 """
 
 from __future__ import annotations
@@ -119,6 +120,8 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w = int(SIZES[key % len(SIZES)])
             h = int(SIZES[(key >> 8) % len(SIZES)])
             fmt = FMT_BY_FILETYPE.get(ftype, "raw")
+            if ftype == ".html" and key % 2:
+                fmt = "png"  # half the html lane serves compressed PNG
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             out["bytes"].append(imaging.encode(px, fmt))
             out["w"].append(w)

@@ -117,6 +117,24 @@ def test_image_invariants_vs_web(world):
         assert r.phash == imaging.phash64(got)
 
 
+def test_png_lane_flows_end_to_end(world):
+    """The compressed-PNG lane (half the .html rule slice) must land real
+    png documents whose decoded pixels equal the origin's exactly — the
+    invariant test above covers it generically; this pins that the lane is
+    actually exercised (a silent fmt-mapping regression would otherwise
+    vacuously pass it)."""
+    spark = world["eng"].spark
+    docs = world["store"].read("documents", spark)
+    png = docs.filter(F.col("fmt") == "png")
+    assert png.count() > 0, "no png documents crawled — lane not exercised"
+    r = png.first()
+    px = imaging.decode(bytes(r.bytes), r.w, r.h, "png")
+    assert px.shape == (r.h, r.w, 3)
+    assert r.phash == imaging.phash64(px)
+    # the payload is genuinely compressed PNG, not renamed raw
+    assert bytes(r.bytes)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_redirect_lane(world):
     """Reference contract (documentdownloader.py:97,124 + db/requests.py:39):
     redirects are followed; the request log records the FINAL url; documents
