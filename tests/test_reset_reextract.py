@@ -127,6 +127,61 @@ def test_reset_all_round_trip(world):
     assert _index_ids(store, spark) == before_idx
 
 
+def test_maintenance_job_cli_full_cycle(spark, tmp_path):
+    """VERDICT r2 #7: the operator entry point. Drive the full reference
+    maintenance workflow (eurocli.py:134-266) — reset → unindex → reextract
+    → index → text-features → reindex — through maintenance_job.main() and
+    assert the store round-trips bit-identically."""
+    from europarl_crawler_spark.jobs.maintenance_job import main as maint
+
+    days = session_days_df(spark, start=date(2019, 7, 2), n_days=10)
+    web_path = str(tmp_path / "web")
+    simulated_web(spark, days).write.parquet(web_path)
+    web = spark.read.parquet(web_path)
+    store_path = str(tmp_path / "store")
+    store = EpochStore(store_path)
+    eng = CrawlEngine(spark, store, web, prefetch_limit=40, epoch_secs=600.0)
+    eng.bootstrap(days)
+    eng.run(2, start=START)
+    indexer.index_epoch(store, spark)
+
+    before_docs = _doc_rows(store, spark)
+    before_idx = _index_ids(store, spark)
+    assert before_docs and before_idx
+
+    base = ["--store", store_path, "--web", web_path]
+    out = maint(base + ["reset-postprocessing"])
+    assert out["reset"] == len(before_docs)
+    assert store.read("documents", spark).count() == 0
+
+    out = maint(base + ["unindex"])
+    assert out["unindexed"] == len(before_idx)
+    assert _index_ids(store, spark) == set()
+
+    out = maint(base + ["reextract"])
+    assert out["reextracted"] == len(before_docs)
+    assert _doc_rows(store, spark) == before_docs
+
+    out = maint(base + ["index"])
+    assert _index_ids(store, spark) == before_idx
+
+    out = maint(base + ["text-features"])
+    assert out["rows"] == len(before_docs)
+
+    out = maint(base + ["reindex"])
+    assert out["rows"] == len(before_idx)
+    assert _index_ids(store, spark) == before_idx
+
+    # a rule-scoped serving drop through the CLI too (indexing reset analog)
+    rule = store.read("index_docs", spark).select("rulename").first().rulename
+    n_rule = (
+        store.read("index_docs", spark).filter(F.col("rulename") == rule).count()
+    )
+    out = maint(base + ["unindex-rule", "--rule", rule])
+    assert out["unindexed"] == n_rule
+    assert len(_index_ids(store, spark)) == len(before_idx) - n_rule
+
+
 def test_crawl_continues_after_reset_cycle(world):
     """The documents commit chain stays monotonic after out-of-band reset/
     reextract epochs: another crawl epoch merges fine and latest-wins still
