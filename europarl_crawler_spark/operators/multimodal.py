@@ -5,14 +5,17 @@ Arrow ``mapInPandas`` stages with explicit schemas and bounded batch sizes
 (the Spark-side plumbing is real and tested; decoders for container formats
 that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 
-Real decoders: raw / ppm / qraw / png (functions/imaging.py — png is genuine
-zlib-compressed RFC 2083) — used by the crawl pipeline. Stubbed:
-jpeg/webp/mp3/wav/mp4 → NotImplementedError with the exact Arrow-stage shape
+Real decoders: raw / ppm / qraw / png for images (functions/imaging.py — png
+is genuine zlib-compressed RFC 2083) and wav (PCM, stdlib ``wave``) for
+audio — used by the crawl pipeline and the audio feature lane. Stubbed:
+jpeg/webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage shape
 already in place, so wiring a real codec is a one-function change.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -24,7 +27,7 @@ from pyspark.sql import types as T
 
 from ..functions import imaging
 
-STUB_FORMATS = frozenset({"jpeg", "webp", "mp3", "wav", "mp4"})
+STUB_FORMATS = frozenset({"jpeg", "webp", "mp3", "mp4"})
 
 META_SCHEMA = T.StructType(
     [
@@ -101,6 +104,84 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         batches, schema=out_schema
+    )
+
+
+def wav_encode(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """Mono 16-bit PCM samples → WAV bytes (stdlib ``wave`` — a real RIFF
+    container, readable by any audio tool)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(body: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono int16 samples, framerate). Real PCM decode via
+    stdlib ``wave``; multi-channel input is averaged to mono. Compressed
+    audio (mp3/…) stays stubbed — see STUB_FORMATS."""
+    with wave.open(io.BytesIO(body), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("wav: only 16-bit PCM supported")
+        n = w.getnframes()
+        raw = np.frombuffer(w.readframes(n), dtype="<i2")
+        ch = w.getnchannels()
+        if ch > 1:
+            raw = raw.reshape(-1, ch).mean(axis=1).astype(np.int16)
+        return raw, w.getframerate()
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("framerate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Audio feature extraction over (audio_id, bytes, fmt): real decode for
+    wav (PCM), nulls for stubbed compressed formats. One Arrow pass; the
+    per-element numpy work is sample math, not Python row logic — the same
+    stage shape as ``image_features``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, body, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                body = bytes(body)
+                if fmt != "wav":
+                    rows.append((aid, len(body), None, None, None, None, None, None))
+                    continue
+                s, fr = wav_decode(body)
+                x = s.astype(np.float64)
+                n = len(s)
+                zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append(
+                    (
+                        aid,
+                        len(body),
+                        n,
+                        fr,
+                        round(n / fr, 6),
+                        round(float(np.sqrt(np.mean(x**2))) if n else 0.0, 6),
+                        round(zc / max(n - 1, 1), 6),
+                        int(np.max(np.abs(x))) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        batches, schema=AUDIO_SCHEMA
     )
 
 

@@ -43,6 +43,62 @@ def test_resize(images):
         assert px.shape == (4, 4, 3)
 
 
+def test_wav_roundtrip_exact():
+    # WAV is lossless PCM: encode→decode must be bit-exact, framerate kept
+    rng = np.random.Generator(np.random.Philox(key=7))
+    s = rng.integers(-32768, 32768, size=441, dtype=np.int16)
+    body = multimodal.wav_encode(s, 22050)
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    dec, fr = multimodal.wav_decode(body)
+    assert fr == 22050
+    assert np.array_equal(dec, s)
+
+
+def test_wav_decode_stereo_averages_to_mono():
+    import io
+    import wave
+
+    left = np.array([100, -200, 300], dtype=np.int16)
+    right = np.array([300, 200, -100], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = np.empty(6, dtype="<i2")
+        inter[0::2], inter[1::2] = left, right
+        w.writeframes(inter.tobytes())
+    dec, fr = multimodal.wav_decode(buf.getvalue())
+    assert fr == 8000
+    assert np.array_equal(dec, ((left.astype(np.int64) + right) / 2).astype(np.int16))
+
+
+def test_audio_features(spark):
+    sine = (
+        np.sin(2 * np.pi * 440 * np.arange(8000) / 8000) * 10000
+    ).astype(np.int16)
+    silence = np.zeros(100, dtype=np.int16)
+    rows = [
+        ("a_sine", bytearray(multimodal.wav_encode(sine, 8000)), "wav"),
+        ("a_silence", bytearray(multimodal.wav_encode(silence, 8000)), "wav"),
+        ("a_mp3", bytearray(b"ID3fakemp3"), "mp3"),
+    ]
+    audios = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r.audio_id: r for r in multimodal.audio_features(audios).collect()}
+    assert len(got) == 3
+    r = got["a_sine"]
+    assert (r.n_samples, r.framerate, r.duration_s) == (8000, 8000, 1.0)
+    # a 440 Hz tone crosses zero ~2*440 times/sec; RMS of A*sin is A/sqrt(2)
+    assert abs(r.zero_cross_rate - 2 * 440 / 8000) < 0.01
+    assert abs(r.rms - 10000 / np.sqrt(2)) < 10
+    assert r.peak == 10000
+    s = got["a_silence"]
+    assert (s.rms, s.peak, s.zero_cross_rate) == (0.0, 0, 0.0)
+    # stubbed compressed format passes through with null features, not a crash
+    m = got["a_mp3"]
+    assert m.n_samples is None and m.n_bytes == len(b"ID3fakemp3")
+
+
 def test_stub_raises_for_videos(spark):
     videos = spark.createDataFrame(
         [("v1", bytearray(b"notavideo"), "mp4", 90)],
