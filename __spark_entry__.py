@@ -13,10 +13,13 @@ BOTH engines (Spark DataFrame here, ANSI SQL in ``oracle_sql``):
 - ``requests``  : events re-typed as a crawl log (status by event_type,
                   host_key = user_id % 20)
 
-Entries whose physical plan depends on engine-specific hashing (minhash/simhash
-bucket contents, LSH buckets, fingerprints) have no oracle entry — the driver
-records the weaker rows-only check; their semantics are pytest-verified
-against exact baselines instead (tests/test_dedup.py, tests/test_similarity.py).
+The sketch lanes (minhash/simhash/fingerprint) run with the PORTABLE hash
+family (functions/porthash.py — Rabin-Karp + affine mod 2^31-1, bit-identical
+in DuckDB SQL), so their full algorithm is value-checked by the oracle; the
+engine default for production remains xxhash64 (64-bit collision budget).
+Only the ANN top-k lanes keep engine-dependent plans (float-sum ordering) —
+they get rows-only checks plus deterministic empty-set validity oracles
+(``ann_lsh_valid``/``ann_ivf_valid``) and pytest recall baselines.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
 from europarl_crawler_spark.operators import dedup, similarity, textstats
 
@@ -504,17 +508,23 @@ def q_dedup_groups(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup (exact-verified candidates; engine-hash-dependent
-    recall → rows-only check; precision asserted in tests)."""
+    """MinHash+LSH near-dup pairs, FULLY oracle-checked: the portable hash
+    family makes signatures, band buckets, candidate set, and the exact
+    Jaccard verify bit-identical in DuckDB — recall and precision both pinned
+    (engine default stays xxhash64; the algorithm is hash-agnostic)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, k=64, bands=16, n=5, threshold=0.4, df_cap=100)
+    return dedup.minhash_lsh_pairs(
+        d, k=64, bands=16, n=5, threshold=0.4, df_cap=100, portable=True
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, hamming ≤ 3 (rows-only: simhash value is
-    engine-hash-dependent)."""
+    """SimHash near-dup pairs, hamming ≤ 3, FULLY oracle-checked with the
+    portable bit family. The oracle computes hamming over ALL doc pairs
+    brute-force, so the match also proves the banded-bucket candidate join's
+    pigeonhole completeness — not just the verify step."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=3)
+    return dedup.simhash_near_pairs(d, max_hamming=3, portable=True)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -592,7 +602,10 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint summary (rows-only: hash-dependent)."""
+    """Winnowing fingerprint summary, FULLY oracle-checked: the gram hash is
+    the portable Rabin-Karp polynomial (the default — MOSS-style 32-bit
+    rolling hash), so window minima and the selected-fingerprint set are
+    reproduced exactly in DuckDB SQL."""
     return textstats.fingerprint_summary(_t(spark, sf_dir, "documents"), n=8, window=4)
 
 
@@ -819,6 +832,105 @@ SELECT id_a, id_b,
 FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
 WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
 """
+    # --- portable-hash sketch lanes (functions/porthash.py SQL mirrors) ---
+    # Shared shingle CTE hashed with the Rabin-Karp polynomial: DISTINCT over
+    # (doc_id, hash) BEFORE the df-cap, exactly as the Spark operator orders
+    # them (a 31-bit in-doc collision must merge in both engines alike).
+    psh = porthash.poly_hash_sql("s")
+    port_shingles = f"""
+g AS (
+  SELECT doc_id, substr(text, i, 5) AS s
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, i, 5)) = 5
+), sh0 AS (
+  SELECT DISTINCT doc_id, {psh} AS sh FROM g
+), sh AS (
+  SELECT doc_id, sh FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+)"""
+    k, bands, r = 64, 16, 4
+    sig_cols = ",\n         ".join(
+        f"min({porthash.affine_sql('sh', i)}) AS mh_{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=porthash.fold_bucket_sql([f"mh_{b * r + j}" for j in range(r)]),
+        )
+        for b in range(bands)
+    )
+    minhash_sql = f"""
+WITH {port_shingles},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sz za ON za.doc_id = c.id_a JOIN sz zb ON zb.doc_id = c.id_b
+WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
+"""
+    # simhash: 64 portable sign-sum bits per doc, then BRUTE-FORCE hamming
+    # over all pairs — matching the banded Spark plan proves the pigeonhole
+    # candidate join is complete, not just that the verify filter is right
+    pth = porthash.poly_hash_sql("tok")
+    bit_cols = ",\n         ".join(
+        "CASE WHEN sum(CASE WHEN ({a} & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN 1 ELSE 0 END AS b{i}".format(a=porthash.affine_sql("th", i), i=i)
+        for i in range(64)
+    )
+    ham = " + ".join(f"CAST(a.b{i} <> b.b{i} AS INTEGER)" for i in range(64))
+    simhash_sql = f"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), th AS (SELECT doc_id, {pth} AS th FROM tk),
+sg AS (
+  SELECT doc_id,
+         {bit_cols}
+  FROM th GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST({ham} AS INTEGER) AS hamming
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3
+"""
+    fingerprint_sql = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, substr(text, i, 8) AS gram
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, i, 8)) = 8
+), h AS (SELECT doc_id, pos, {porthash.poly_hash_sql('gram')} AS gh FROM g),
+w AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+), d AS (SELECT DISTINCT doc_id, fp FROM w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       min(fp) AS fp_min, max(fp) AS fp_max
+FROM d GROUP BY doc_id
+"""
     cos_sql = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
@@ -1003,6 +1115,9 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
             GROUP BY content HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": shingle_sql,
+        "dedup_minhash_lsh": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "text_fingerprint": fingerprint_sql,
         "dedup_groups": f"""
             WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({shingle_sql}) q),
             edges AS (

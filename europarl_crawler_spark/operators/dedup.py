@@ -26,6 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import porthash
+
+# Hash-family note: every sketch lane takes ``portable: bool``. Default
+# (False) hashes with xxhash64 — 64-bit space, the right collision budget at
+# 10^9+ docs. ``portable=True`` swaps in the cross-engine Rabin-Karp/affine
+# family (functions/porthash.py), making every sketch decision bit-identical
+# in DuckDB SQL so the correctness gate value-checks the WHOLE lane (the
+# hash is the only engine-dependent ingredient; the algorithm is shared).
+
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (text hash, representative id, n).
@@ -143,7 +152,7 @@ def shingles(docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = 
 
 def shingle_hashes(
     docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id",
-    df_cap: int | None = None,
+    df_cap: int | None = None, portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sh) distinct shingle-hash rows, optionally df-capped.
 
@@ -153,8 +162,23 @@ def shingle_hashes(
     discriminating signal (idf ≈ 0); with the cap the measure becomes
     "rare-shingle Jaccard". At corpus scale ALWAYS set a cap.
     """
-    sh = shingles(docs, n, text_col, id_col).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+    hash_expr = (
+        porthash.poly_hash(F.col("shingle")) if portable else F.xxhash64("shingle")
+    )
+    # distinct AFTER hashing: the set semantics land on the hash domain (what
+    # every consumer joins/aggregates on), the distinct's shuffle key is an
+    # 8-byte long instead of an n-char string, and the portable lane's DuckDB
+    # oracle can mirror "DISTINCT (doc_id, hash)" exactly even across hash
+    # collisions. ``shingles()`` (string-distinct) stays for direct use.
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+        lambda i: F.col(text_col).substr(i, F.lit(n)),
+    )
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(raw).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .select("doc_id", hash_expr.alias("sh"))
+        .distinct()
     )
     if df_cap is not None:
         rare = (
@@ -204,27 +228,33 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     docs: DataFrame, k: int = 64, n: int = 5,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", portable: bool = False,
 ) -> DataFrame:
-    """k min-hash values per doc in ONE aggregation: k ``min(xxhash64(sh,
-    seed_i))`` agg expressions over the exploded shingles — map-side partial
+    """k min-hash values per doc in ONE aggregation: k ``min(hash_i(sh))``
+    agg expressions over the exploded shingles — map-side partial
     aggregation does the heavy lifting, and the shuffle carries only
     (doc_id, k longs) per doc. (A seeds-dimension cross join would shuffle
     |shingles|·k rows — 96M at sf0.1 — which is why it isn't done that way.)
-    Output: wide (doc_id, mh_0 … mh_{k-1})."""
-    sh = shingle_hashes(docs, n, text_col, id_col)
-    return _signatures_from_hashes(sh, k)
+    hash_i = seeded xxhash64 by default, the affine family mod 2^31-1 when
+    ``portable``. Output: wide (doc_id, mh_0 … mh_{k-1})."""
+    sh = shingle_hashes(docs, n, text_col, id_col, portable=portable)
+    return _signatures_from_hashes(sh, k, portable)
 
 
-def _signatures_from_hashes(sh: DataFrame, k: int) -> DataFrame:
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+def _signatures_from_hashes(sh: DataFrame, k: int, portable: bool = False) -> DataFrame:
+    if portable:
+        aggs = [
+            F.min(porthash.affine(F.col("sh"), i)).alias(f"mh_{i}") for i in range(k)
+        ]
+    else:
+        aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 64, bands: int = 16, n: int = 5,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
-    df_cap: int | None = None,
+    df_cap: int | None = None, portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -245,12 +275,20 @@ def minhash_lsh_pairs(
     uniform).
     """
     r = k // bands
-    sh = shingle_hashes(docs, n, text_col, id_col, df_cap)
-    sig = _signatures_from_hashes(sh, k)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
-        for b in range(bands)
-    ]
+    sh = shingle_hashes(docs, n, text_col, id_col, df_cap, portable)
+    sig = _signatures_from_hashes(sh, k, portable)
+    if portable:
+        band_cols = [
+            porthash.fold_bucket(
+                [F.col(f"mh_{b * r + j}") for j in range(r)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
+            for b in range(bands)
+        ]
     buckets = sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
@@ -296,9 +334,10 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per doc: tokens → xxhash64 → per-bit sign sum → sign.
+    """64-bit SimHash per doc: tokens → hash → per-bit sign sum → sign.
 
     ONE wide aggregation: 64 conditional-sum expressions over the token
     hashes (``sum(case shiftright(th,i)&1 when 1 then 1 else -1 end)`` per
@@ -307,16 +346,23 @@ def simhash64(
     row of 64 longs per doc before the single doc_id-keyed shuffle — no bits
     dimension, no 64× row blowup (the same one-wide-agg shape as
     ``minhash_signatures``).
+
+    Bit source: bits of xxhash64(token) by default; with ``portable``, bit i
+    is ``affine_i(poly_hash(token)) & 1`` — 64 pairwise-independent bits the
+    DuckDB oracle reproduces exactly.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    th = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+    if portable:
+        th = toks.select("doc_id", porthash.poly_hash(F.col("tok")).alias("th"))
+        bit = lambda i: porthash.affine(F.col("th"), i).bitwiseAND(F.lit(1))
+    else:
+        th = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+        bit = lambda i: F.expr(f"shiftright(th, {i}) & 1")
     aggs = [
-        F.sum(
-            F.when(F.expr(f"shiftright(th, {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"s{i}")
         for i in range(64)
     ]
     g = th.groupBy("doc_id").agg(*aggs)
@@ -333,7 +379,8 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded buckets:
     split 64 bits into (max_hamming+1) bands — any pair within distance k
@@ -341,7 +388,7 @@ def simhash_near_pairs(
     of them; verify with bit_count on the candidate set."""
     nb = max_hamming + 1
     width = 64 // nb
-    sig = simhash64(docs, text_col, id_col)
+    sig = simhash64(docs, text_col, id_col, portable)
     spark = docs.sparkSession
     bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
     keyed = sig.crossJoin(F.broadcast(bands)).withColumn(

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import porthash
+
 # small stopword profiles for the n-gram/stopword-ratio language heuristic
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
@@ -154,7 +156,12 @@ def fingerprint(
     """Winnowing document fingerprint: rolling n-gram hashes, min per
     window of w consecutive positions, distinct selected hashes per doc.
     (Schleimer et al., SIGMOD'03 — the standard near-copy fingerprint.)
-    Implemented with posexplode + a per-doc sliding window min."""
+    Implemented with posexplode + a per-doc sliding window min.
+
+    Gram hash: Rabin-Karp polynomial (functions/porthash.py) — the classic
+    winnowing choice (MOSS uses a 32-bit rolling hash) AND cross-engine
+    portable, so the fingerprint summary is value-checked by the DuckDB
+    oracle; winnowing's coverage guarantee holds for any hash family."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
         lambda i: F.col(text_col).substr(i, F.lit(n)),
@@ -162,7 +169,7 @@ def fingerprint(
     pos = (
         docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
         .filter(F.length("gram") == n)
-        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+        .select("doc_id", "pos", porthash.poly_hash(F.col("gram")).alias("gh"))
     )
     w = (
         Window.partitionBy("doc_id")
