@@ -563,23 +563,34 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed ANN (rows-only: recall measured vs baseline in tests)."""
+def _srp_planes() -> list[list[float]]:
+    """The fixed SRP hyperplanes — ONE source of truth shared by the Spark
+    query and the DuckDB oracle (inlined as exact repr literals, which
+    round-trip to the same IEEE doubles both engines then fold identically)."""
     import numpy as np
 
+    rng = np.random.Generator(np.random.Philox(key=42))
+    return rng.normal(size=(6, 64)).tolist()
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN, FULLY oracle-checked: plane literals + strict
+    sequential-fold float arithmetic are bit-identical across engines, so
+    bucket sign bits, candidate sets, and the re-ranked top-k all match."""
     corpus = _emb_double(spark, sf_dir)
     q = _queries_vecs(spark, sf_dir)
-    dim = 64
-    rng = np.random.Generator(np.random.Philox(key=42))
-    planes = rng.normal(size=(6, dim)).tolist()
-    return similarity.lsh_topk(corpus, q, planes, k=10, query_id_col="query_id")
+    return similarity.lsh_topk(corpus, q, _srp_planes(), k=10, query_id_col="query_id")
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style two-stage ANN (rows-only)."""
+    """IVF-style two-stage ANN, FULLY oracle-checked: portable affine seed
+    stride + bit-identical fold arithmetic for assignment, probing, and
+    re-rank (engine default for seeding stays xxhash64)."""
     corpus = _emb_double(spark, sf_dir)
     q = _queries_vecs(spark, sf_dir)
-    return similarity.ivf_topk(corpus, q, n_cells=16, nprobe=4, k=10, query_id_col="query_id")
+    return similarity.ivf_topk(
+        corpus, q, n_cells=16, nprobe=4, k=10, query_id_col="query_id", portable=True
+    )
 
 
 def q_text_token_count(spark, sf_dir):
@@ -738,6 +749,49 @@ def q_multimodal_wav_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_y4m_codec(spark, sf_dir):
+    """The REAL video (Y4M/YUV4MPEG2) lane, oracle-checked end-to-end: two
+    8×8 RGB frames derived from each document's codepoints go through the
+    real BT.601 + 4:2:0 encoder (functions/videokit.py); the Y plane is pure
+    integer math, so DuckDB predicts each frame's mean luma exactly — any
+    container/bit-depth/plane-layout defect breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import videokit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "ok_container": [], "mean_y": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                flat = np.array(
+                    [cps[i % len(cps)] for i in range(2 * 8 * 8 * 3)], dtype=np.uint8
+                )
+                frames = flat.reshape(2, 8, 8, 3)
+                body = videokit.y4m_encode(frames, fps=25)
+                ok = (
+                    videokit.y4m_parse_header(body) == (8, 8, 25, 2)
+                    and body.count(b"FRAME\n") == 2
+                )
+                lumas = videokit.y4m_luma_planes(body)
+                for f in range(2):
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["ok_container"].append(bool(ok))
+                    out["mean_y"].append(
+                        round(float(lumas[f].astype(np.float64).mean()), 6)
+                    )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, ok_container boolean, mean_y double",
+    )
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → Arrow mapInPandas feature
     pass (byte length here; pixel decode for the crawl's own image tables —
@@ -800,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_png_codec": q_multimodal_png_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
+        "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
         "ann_ivf_valid": q_ann_ivf_valid,
@@ -930,6 +985,89 @@ w AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
        min(fp) AS fp_min, max(fp) AS fp_max
 FROM d GROUP BY doc_id
+"""
+    # --- ANN lanes: bit-exact float mirrors of the Spark fold arithmetic ---
+    # dot_expr/norm_expr are strict sequential folds (init 0.0, left-to-right
+    # adds); list_reduce over list_prepend reproduces the identical IEEE op
+    # sequence, so unrounded similarity values — which order windows and set
+    # SRP sign bits — agree to the last bit (verified in tests/test_porthash).
+    def _fdot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, [z[1] * z[2] "
+            f"FOR z IN list_zip({a}, {b})]), (acc, y) -> acc + y)"
+        )
+
+    def _fnorm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN {a}]), "
+            f"(acc, y) -> acc + y))"
+        )
+
+    def _fcos(a: str, b: str) -> str:
+        return f"({_fdot(a, b)} / ({_fnorm(a)} * {_fnorm(b)}))"
+
+    def _lit_arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    srp_bucket = " + ".join(
+        f"CASE WHEN {_fdot('v', _lit_arr(p))} > 0 THEN {1 << i}::BIGINT "
+        f"ELSE 0::BIGINT END"
+        for i, p in enumerate(_srp_planes())
+    )
+    ann_lsh_sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({srp_bucket}) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_fcos('q.qv', 'c.v')}, 6) AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+    ann_ivf_sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cnt AS (SELECT greatest(count(*) // 32, 1) AS stride FROM e),
+seeds AS (
+  SELECT vec_id AS cell_id, v AS c FROM e, cnt
+  WHERE ({porthash.affine_sql(f"(vec_id % {porthash.P})", 0)}) % stride = 0
+  ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cell_id FROM (
+    SELECT e.vec_id, e.v, s.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_fcos('e.v', 's.c')} DESC,
+                                       s.cell_id ASC) AS rn
+    FROM e CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 5),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, s.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_fcos('q.qv', 's.c')} DESC,
+                                       s.cell_id ASC) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, round({_fcos('p.qv', 'a.cv')}, 6) AS cosine
+  FROM assigned a JOIN probes p USING (cell_id)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10
 """
     cos_sql = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
@@ -1118,6 +1256,8 @@ FROM d GROUP BY doc_id
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
+        "ann_lsh_topk": ann_lsh_sql,
+        "ann_ivf_topk": ann_ivf_sql,
         "dedup_groups": f"""
             WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({shingle_sql}) q),
             edges AS (
@@ -1285,6 +1425,33 @@ FROM d GROUP BY doc_id
                    round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
                    CAST(max(abs(v)) AS INTEGER) AS peak
             FROM v GROUP BY doc_id
+        """,
+        # Y4M luma plane is pure integer math over codepoint-derived RGB:
+        # Y = (77R + 150G + 29B + 128) >> 8, per-frame mean of 64 ints is
+        # exact in double — SQL reproduces it without touching the container
+        "multimodal_y4m_codec": """
+            WITH s AS (
+              SELECT doc_id, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS cp
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 383)) AS i FROM documents)
+            ), px AS (
+              SELECT doc_id, i // 192 AS frame_idx, (i % 192) // 3 AS pix,
+                     max(CASE WHEN i % 3 = 0 THEN cp END) AS r,
+                     max(CASE WHEN i % 3 = 1 THEN cp END) AS g,
+                     max(CASE WHEN i % 3 = 2 THEN cp END) AS b
+              FROM s GROUP BY 1, 2, 3
+            ), y AS (
+              SELECT doc_id, frame_idx,
+                     (77 * r + 150 * g + 29 * b + 128) // 256 AS yv
+              FROM px
+            )
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   TRUE AS ok_container,
+                   round(avg(CAST(yv AS DOUBLE)), 6) AS mean_y
+            FROM y GROUP BY doc_id, frame_idx
         """,
         # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
         # are engine-hash-dependent, but their precision/validity is not —

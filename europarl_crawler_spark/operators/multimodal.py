@@ -6,10 +6,11 @@ Arrow ``mapInPandas`` stages with explicit schemas and bounded batch sizes
 that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 
 Real decoders: raw / ppm / qraw / png for images (functions/imaging.py — png
-is genuine zlib-compressed RFC 2083) and wav (PCM, stdlib ``wave``) for
-audio — used by the crawl pipeline and the audio feature lane. Stubbed:
-jpeg/webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage shape
-already in place, so wiring a real codec is a one-function change.
+is genuine zlib-compressed RFC 2083), wav (PCM, stdlib ``wave``) for audio,
+and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0 chroma
+subsampling) for video — used by the crawl pipeline and the feature lanes.
+Stubbed: jpeg/webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage
+shape already in place, so wiring a real codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import imaging
+from ..functions import imaging, videokit
 
 STUB_FORMATS = frozenset({"jpeg", "webp", "mp3", "mp4"})
 
@@ -185,31 +186,61 @@ def audio_features(audios: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB. The Spark plumbing (schema, explode of
-    sampled frame indices, partitioning by video) is real; the frame decode
-    raises until a codec is plugged in."""
-    frames = videos.select(
-        "video_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
-        "bytes",
-        "fmt",
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("mean_y", T.DoubleType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("video_id", T.StringType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("frame_bytes", T.BinaryType(), True),
-        ]
-    )
+
+def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling over (video_id, bytes, fmt): REAL decode for y4m
+    (YUV4MPEG2 — functions/videokit.py, genuine BT.601 + 4:2:0 container),
+    ``NotImplementedError`` for compressed codecs (mp4/h264 — no ffmpeg in
+    the sandbox; the Arrow-stage shape is identical, so plugging a codec is
+    a one-function change). Emits every ``every_n``-th frame with luma mean
+    (from the encoded Y plane — integer-exact, SQL-predictable) and the
+    8×8-DCT perceptual hash of the decoded frame.
+
+    One Arrow pass partitioned by video — at scale the decode parallelism is
+    the video count, and a long-tail video only ever costs its own task."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raise NotImplementedError(
-                "video frame decode requires ffmpeg-like codec; stub per sandbox"
-            )
+            rows = []
+            for vid, body, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                body = bytes(body)
+                if fmt != "y4m":
+                    raise NotImplementedError(
+                        f"video codec '{fmt}' requires ffmpeg-like decoder; "
+                        "stub per sandbox (y4m is the real lane)"
+                    )
+                frames, _fps = videokit.y4m_decode(body)
+                lumas = videokit.y4m_luma_planes(body)
+                n, h, w, _ = frames.shape
+                for idx in range(0, n, every_n):
+                    rows.append(
+                        (
+                            vid,
+                            idx,
+                            w,
+                            h,
+                            round(float(lumas[idx].astype(np.float64).mean()), 6),
+                            imaging.phash64(frames[idx]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return frames.mapInPandas(batches, schema=out_schema)
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Back-compat alias: the lane is real now (see ``frame_sample``)."""
+    return frame_sample(videos, every_n)

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions import porthash
+
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -187,18 +189,26 @@ def estimated_count(df: DataFrame) -> int:
 
 def centroid_seeds(
     corpus: DataFrame, n_cells: int, n: int, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", portable: bool = False,
 ) -> DataFrame:
     """Deterministic centroid sample via HASH-STRIDE: keep rows whose
-    ``xxhash64(id) % stride == 0`` (≈ 2·n_cells expected survivors), then the
+    ``hash(id) % stride == 0`` (≈ 2·n_cells expected survivors), then the
     n_cells lowest ids among them. No global window — the filter is a map-side
     predicate and the tail pick is a distributed TakeOrdered over the ~2·n_cells
     survivors, so seeding stays O(scan) with no single-task stage at any corpus
     size. ``n`` is required (no hidden ``count()`` in the seeds plan — callers
-    pass a known/estimated count, VERDICT r2 #3)."""
+    pass a known/estimated count, VERDICT r2 #3).
+
+    ``portable`` switches the stride hash from xxhash64 to the cross-engine
+    affine family (functions/porthash.py) so the DuckDB oracle reproduces the
+    exact seed set; distribution quality is equivalent for striding."""
     stride = max(n // max(n_cells * 2, 1), 1)
+    if portable:
+        h = porthash.affine(F.pmod(F.col(id_col), F.lit(porthash.P)), 0)
+    else:
+        h = F.xxhash64(F.col(id_col))
     return (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        corpus.filter(F.pmod(h, F.lit(stride)) == 0)
         .orderBy(F.asc(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_centroid"))
@@ -374,17 +384,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF search: deterministic hash-stride centroid seeds (``centroid_seeds``
     — a map-side predicate + small TakeOrdered, NO global window over the
     corpus), one assignment pass, probe the nprobe nearest cells per query,
     exact re-rank inside. ``n_cells`` defaults to ``cell_count_policy(n)``;
-    thread ``n`` from table metadata at scale (``estimated_count`` otherwise)."""
+    thread ``n`` from table metadata at scale (``estimated_count`` otherwise).
+    ``portable`` makes the seed stride cross-engine reproducible (see
+    ``centroid_seeds``); everything downstream is already engine-neutral
+    float arithmetic (sequential folds the oracle mirrors bit-for-bit)."""
     if n is None:
         n = estimated_count(corpus)
     if n_cells is None:
         n_cells = cell_count_policy(n)
-    seeds = centroid_seeds(corpus, n_cells, n, id_col, vec_col)
+    seeds = centroid_seeds(corpus, n_cells, n, id_col, vec_col, portable)
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
     assigned = (
         corpus.crossJoin(F.broadcast(seeds))

@@ -99,6 +99,67 @@ def test_audio_features(spark):
     assert m.n_samples is None and m.n_bytes == len(b"ID3fakemp3")
 
 
+def _gradient_frames(n=4, h=16, w=16):
+    # smooth luma gradient + gently varying chroma — camera-like content,
+    # where 4:2:0 must stay ≥ 40 dB; steep per-pixel chroma edges are the
+    # known worst case of ANY 4:2:0 codec and are out of the invariant
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    base = (64 + (xx * 2 + yy) % 128).astype(np.uint8)
+    for i in range(n):
+        frames[i, :, :, 0] = base
+        frames[i, :, :, 1] = base + 8
+        frames[i, :, :, 2] = (128 + 32 * np.sin(xx / 8 + i)).astype(np.uint8)
+    return frames
+
+
+def test_y4m_container_and_roundtrip():
+    from europarl_crawler_spark.functions import imaging, videokit
+
+    frames = _gradient_frames()
+    body = videokit.y4m_encode(frames, fps=25)
+    # genuine YUV4MPEG2 container: magic, header tokens, FRAME markers
+    assert body.startswith(b"YUV4MPEG2 W16 H16 F25:1")
+    assert body.count(b"FRAME\n") == 4
+    assert videokit.y4m_parse_header(body) == (16, 16, 25, 4)
+    dec, fps = videokit.y4m_decode(body)
+    assert fps == 25 and dec.shape == frames.shape
+    # the north's lossy-format PSNR invariant
+    assert imaging.psnr(frames, dec) >= 40.0
+
+
+def test_y4m_luma_plane_integer_exact():
+    from europarl_crawler_spark.functions import videokit
+
+    frames = _gradient_frames(n=2, h=8, w=8)
+    body = videokit.y4m_encode(frames)
+    lumas = videokit.y4m_luma_planes(body)
+    r = frames[..., 0].astype(np.int64)
+    g = frames[..., 1].astype(np.int64)
+    b = frames[..., 2].astype(np.int64)
+    want = (77 * r + 150 * g + 29 * b + 128) >> 8
+    assert np.array_equal(lumas.astype(np.int64), want)
+
+
+def test_frame_sample_real_y4m(spark):
+    from europarl_crawler_spark.functions import videokit
+
+    frames = _gradient_frames(n=7)
+    videos = spark.createDataFrame(
+        [("v1", bytearray(videokit.y4m_encode(frames)), "y4m")],
+        "video_id string, bytes binary, fmt string",
+    )
+    got = sorted(
+        multimodal.frame_sample(videos, every_n=3).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 3, 6]
+    for r in got:
+        assert (r.w, r.h) == (16, 16)
+        assert 0.0 <= r.mean_y <= 255.0
+        assert r.phash is not None
+
+
 def test_stub_raises_for_videos(spark):
     videos = spark.createDataFrame(
         [("v1", bytearray(b"notavideo"), "mp4", 90)],
