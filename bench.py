@@ -58,6 +58,9 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_binary_meta",
     "multimodal_png_codec",
+    "multimodal_wav_codec",
+    "multimodal_y4m_codec",
+    "multimodal_jpeg_codec",
 ]
 
 CRAWL_DAYS = int(os.environ.get("SPARK_GRAFT_CRAWL_DAYS", "60"))

@@ -5,11 +5,12 @@ Arrow ``mapInPandas`` stages with explicit schemas and bounded batch sizes
 (the Spark-side plumbing is real and tested; decoders for container formats
 that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 
-Real decoders: raw / ppm / qraw / png for images (functions/imaging.py — png
-is genuine zlib-compressed RFC 2083), wav (PCM, stdlib ``wave``) for audio,
+Real decoders: raw / ppm / qraw / png / jpeg for images (functions/imaging.py
+— png is genuine zlib RFC 2083, jpeg is genuine baseline T.81/JFIF with
+DCT + Huffman, functions/jpegkit.py), wav (PCM, stdlib ``wave``) for audio,
 and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0 chroma
 subsampling) for video — used by the crawl pipeline and the feature lanes.
-Stubbed: jpeg/webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage
+Stubbed: webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage
 shape already in place, so wiring a real codec is a one-function change.
 """
 
@@ -28,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..functions import imaging, videokit
 
-STUB_FORMATS = frozenset({"jpeg", "webp", "mp3", "mp4"})
+STUB_FORMATS = frozenset({"webp", "mp3", "mp4"})
 
 META_SCHEMA = T.StructType(
     [
@@ -68,7 +69,10 @@ def image_features(images: DataFrame) -> DataFrame:
                         (iid, len(body), float(m[0]), float(m[1]), float(m[2]),
                          imaging.phash64(px))
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, AssertionError):
+                    # stubbed codec OR corrupt payload → null features; a
+                    # feature pass over a web-scale crawl must not die on a
+                    # truncated download
                     rows.append((iid, len(body), None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
 

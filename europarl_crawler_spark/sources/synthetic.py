@@ -121,7 +121,11 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             h = int(SIZES[(key >> 8) % len(SIZES)])
             fmt = FMT_BY_FILETYPE.get(ftype, "raw")
             if ftype == ".html" and key % 2:
-                fmt = "png"  # half the html lane serves compressed PNG
+                # the html lane serves genuine compressed formats: half PNG
+                # (lossless zlib), a quarter baseline JPEG (lossy DCT at
+                # JPEG_QUALITY — exercises the PSNR ≥ 40 dB extract invariant
+                # on real compression artifacts)
+                fmt = "jpeg" if key % 4 == 3 else "png"
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             out["bytes"].append(imaging.encode(px, fmt))
             out["w"].append(w)

@@ -135,6 +135,24 @@ def test_png_lane_flows_end_to_end(world):
     assert bytes(r.bytes)[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_jpeg_lane_flows_end_to_end(world):
+    """The baseline-JPEG lane (a quarter of the .html rule slice) must land
+    real JFIF documents: genuine DCT-compressed payloads whose decode passes
+    the lossy PSNR ≥ 40 dB invariant — the web's dominant image format
+    crawled for real, not stubbed."""
+    spark = world["eng"].spark
+    docs = world["store"].read("documents", spark)
+    jp = docs.filter(F.col("fmt") == "jpeg")
+    if jp.count() == 0:
+        pytest.skip("no jpeg URL drained in this window")
+    r = jp.first()
+    body = bytes(r.bytes)
+    assert body[:2] == b"\xff\xd8" and b"JFIF\x00" in body[:32]
+    px = imaging.decode(body, r.w, r.h, "jpeg")
+    assert px.shape == (r.h, r.w, 3)
+    assert r.phash == imaging.phash64(px)
+
+
 def test_redirect_lane(world):
     """Reference contract (documentdownloader.py:97,124 + db/requests.py:39):
     redirects are followed; the request log records the FINAL url; documents

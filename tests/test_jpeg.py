@@ -1,0 +1,103 @@
+"""Baseline JPEG codec invariants (functions/jpegkit.py): JFIF structure,
+round-trip PSNR at web and serving qualities, quality/size monotonicity,
+odd-size padding, and graceful rejection of non-baseline streams."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from europarl_crawler_spark.functions import imaging, jpegkit
+
+
+def _smooth(h=24, w=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (64 + xx * 3).clip(0, 255),
+            (32 + yy * 4).clip(0, 255),
+            (128 + 40 * np.sin(xx / 6)).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _noise(h=16, w=16, key=3):
+    rng = np.random.Generator(np.random.Philox(key=key))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_jfif_structure():
+    body = jpegkit.jpeg_encode(_smooth(), quality=85)
+    assert body[:2] == b"\xff\xd8" and body[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in body[:32]
+    # the four marker kinds a baseline stream needs
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in body
+
+
+def test_roundtrip_smooth_web_quality():
+    px = _smooth()
+    body = jpegkit.jpeg_encode(px, quality=85)
+    dec = jpegkit.jpeg_decode(body)
+    assert dec.shape == px.shape
+    assert imaging.psnr(px, dec) >= 40.0
+    # genuinely compressed, not a renamed raw dump
+    assert len(body) < px.nbytes // 2
+
+
+def test_noise_at_serving_quality_holds_psnr_invariant():
+    # the crawl serves at imaging.JPEG_QUALITY; even worst-case content
+    # (uniform noise) must hold the input_hint's PSNR >= 40 dB
+    px = _noise()
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=imaging.JPEG_QUALITY))
+    assert imaging.psnr(px, dec) >= 40.0
+
+
+def test_quality_ladder_monotone():
+    px = _noise(h=24, w=24, key=9)
+    sizes, psnrs = [], []
+    for q in (50, 75, 90, 100):
+        body = jpegkit.jpeg_encode(px, quality=q)
+        sizes.append(len(body))
+        psnrs.append(imaging.psnr(px, jpegkit.jpeg_decode(body)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_odd_sizes_pad_and_crop():
+    px = _smooth()[:17, :23]
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=90))
+    assert dec.shape == (17, 23, 3)
+    assert imaging.psnr(px, dec) >= 38.0  # block padding at edges, still close
+
+
+def test_imaging_dispatch_jpeg():
+    px = _smooth(h=16, w=16)
+    body = imaging.encode(px, "jpeg")
+    assert body[:2] == b"\xff\xd8"
+    dec = imaging.decode(body, 16, 16, "jpeg")
+    assert imaging.psnr(px, dec) >= 40.0
+    with pytest.raises(AssertionError):
+        imaging.decode(body, 8, 8, "jpeg")  # metadata mismatch is loud
+
+
+def test_rejects_non_baseline():
+    body = bytearray(jpegkit.jpeg_encode(_smooth(h=8, w=8), quality=85))
+    i = bytes(body).find(b"\xff\xc0")
+    body[i + 1] = 0xC2  # pretend progressive SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        jpegkit.jpeg_decode(bytes(body))
+    with pytest.raises(ValueError, match="SOI"):
+        jpegkit.jpeg_decode(b"notajpeg")
+
+
+def test_dc_differential_across_blocks():
+    # >1 MCU in both dimensions with distinct per-block DC levels: exercises
+    # the DC prediction chain and ZRL/EOB paths
+    px = np.zeros((24, 24, 3), dtype=np.uint8)
+    px[:8] = 30
+    px[8:16] = 140
+    px[16:] = 240
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=92))
+    assert imaging.psnr(px, dec) >= 40.0

@@ -12,11 +12,12 @@ from europarl_crawler_spark.operators import multimodal
 @pytest.fixture(scope="module")
 def images(spark):
     rows = []
-    for i, fmt in enumerate(["raw", "ppm", "qraw"]):
+    for i, fmt in enumerate(["raw", "ppm", "qraw", "jpeg"]):
         rng = np.random.Generator(np.random.Philox(key=i))
         px = rng.integers(0, 256, size=(16, 8, 3), dtype=np.uint8)
         rows.append((f"img{i}", bytearray(imaging.encode(px, fmt)), 8, 16, fmt))
-    rows.append((f"imgjpeg", bytearray(b"\xff\xd8fakejpeg"), 8, 16, "jpeg"))
+    rows.append(("imgwebp", bytearray(b"RIFFfakewebp"), 8, 16, "webp"))
+    rows.append(("imgcorrupt", bytearray(b"\xff\xd8truncated"), 8, 16, "jpeg"))
     return spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
@@ -24,18 +25,20 @@ def images(spark):
 
 def test_image_features(images):
     got = {r.image_id: r for r in multimodal.image_features(images).collect()}
-    assert len(got) == 4
-    for i in range(3):
+    assert len(got) == 6
+    # raw/ppm/qraw/jpeg all decode for real — jpeg included since jpegkit
+    for i in range(4):
         r = got[f"img{i}"]
         assert r.mean_r is not None and 0 <= r.mean_r <= 255
         assert r.phash is not None
-    # stub format passes through with null features, not a crash
-    assert got["imgjpeg"].phash is None
-    assert got["imgjpeg"].n_bytes == len(b"\xff\xd8fakejpeg")
+    # stub format and corrupt payload pass through with null features
+    assert got["imgwebp"].phash is None
+    assert got["imgcorrupt"].phash is None
+    assert got["imgcorrupt"].n_bytes == len(b"\xff\xd8truncated")
 
 
 def test_resize(images):
-    decodable = images.filter("fmt != 'jpeg'")
+    decodable = images.filter("fmt != 'webp' AND image_id != 'imgcorrupt'")
     out = {r.image_id: r for r in multimodal.resize_images(decodable, 4, 4).collect()}
     for r in out.values():
         assert (r.w, r.h, r.fmt) == (4, 4, "raw")
