@@ -178,6 +178,38 @@ _TOKENIZE_SQL = (
     "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9'']+'), x -> x <> '')"
 )
 
+# DuckDB mirror of the image-ahash arithmetic (operators/imagedup.py:ahash64)
+# over the codepoint-derived 16×16 pixels: pure integer BT.601 luma, 2×2
+# block sums, bit = 64·block > total. Produces a CTE chain ending in
+# bits(doc_id, blk, bit); shared by dedup_image_ahash / dedup_image_pairs.
+_AHASH_BITS_SQL = """cp AS (
+              SELECT doc_id, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 767)) AS i FROM documents)
+            ), px AS (
+              SELECT doc_id, i // 3 AS p,
+                     max(CASE WHEN i % 3 = 0 THEN v END) AS r,
+                     max(CASE WHEN i % 3 = 1 THEN v END) AS g,
+                     max(CASE WHEN i % 3 = 2 THEN v END) AS b
+              FROM cp GROUP BY 1, 2
+            ), lum AS (
+              SELECT doc_id,
+                     ((p // 16) // 2) * 8 + ((p % 16) // 2) AS blk,
+                     (77 * r + 150 * g + 29 * b + 128) // 256 AS y
+              FROM px
+            ), bs AS (
+              SELECT doc_id, blk, sum(y) AS s FROM lum GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, sum(s) AS t FROM bs GROUP BY 1
+            ), bits AS (
+              SELECT bs.doc_id, blk,
+                     CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
+              FROM bs JOIN tot ON bs.doc_id = tot.doc_id
+            )"""
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -525,6 +557,96 @@ def q_dedup_simhash(spark, sf_dir):
     pigeonhole completeness — not just the verify step."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, max_hamming=3, portable=True)
+
+
+def _image_ahash_sig(spark, sf_dir):
+    """(doc_id, hash64): deterministic 16×16 RGB pixels from each document's
+    codepoints round-trip the zlib PNG codec (lossless, so decode is exact),
+    then the 8×8 average hash of the DECODED pixels
+    (operators/imagedup.py — pure integer: BT.601 luma, 2×2 block sums,
+    64·block > total)."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+    from europarl_crawler_spark.operators import imagedup
+
+    # the per-row codec round trip is the expensive part — spread it across
+    # the executors even when the source is a single small parquet file
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, hs = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(768)]
+                px = np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
+                dec = imaging.decode(imaging.encode(px, "png"), 16, 16, "png")
+                ids.append(did)
+                hs.append(imagedup.ahash64(dec))
+            yield pd.DataFrame({"doc_id": ids, "hash64": hs})
+
+    return d.mapInPandas(batches, schema="doc_id long, hash64 long")
+
+
+def q_dedup_image_ahash(spark, sf_dir):
+    """IMAGE perceptual-hash lane, FULLY oracle-checked through a REAL codec:
+    per document, the 8×8 average hash of its PNG-round-tripped pixels,
+    emitted as the four 16-bit band integers the banded hamming join keys on
+    (the exact ``shiftrightunsigned(hash, 16·b) & 0xFFFF`` expression from
+    operators/imagedup.py). The oracle recomputes every hash bit from the
+    codepoints in pure integer SQL and reassembles the same bands, so a
+    defect in the PNG codec, the luma/block/threshold arithmetic, or the
+    band extraction breaks the value hash on all 500+ rows. The pairs stage
+    over these hashes is ``dedup_image_pairs``; its banded plan is the same
+    code the green ``dedup_simhash`` oracle brute-force-verifies."""
+    sig = _image_ahash_sig(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        *[
+            F.expr(f"cast(shiftrightunsigned(hash64, {16 * b}) & 65535 as int)").alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
+    )
+
+
+def q_dedup_image_pairs(spark, sf_dir):
+    """IMAGE near-duplicate pairs: banded hamming LSH over the ahash
+    signatures — the image-side analog of ``dedup_simhash``, running the
+    SAME shared ``hamming_near_pairs`` plan (operators/imagedup.py). The
+    oracle brute-forces hamming over ALL doc pairs from the recomputed hash
+    bits, proving the pigeonhole candidate join's completeness on this lane
+    too. The threshold is 16 here (production near-dup default is 3): the
+    codepoint→pixel derivation is position-sensitive, so this synthetic
+    corpus's closest image pair sits at hamming 11 — 16 yields a real,
+    fully value-checked row set at sf0.01 (the hamming-≤3 regime is pinned
+    separately by tests/test_imagedup.py, incl. the 3-band pigeonhole worst
+    case). In production this lane runs over the crawl's stored DCT phash
+    column — see ``imagedup.image_near_pairs``."""
+    from europarl_crawler_spark.operators import imagedup
+
+    sig = _image_ahash_sig(spark, sf_dir)
+    return imagedup.hamming_near_pairs(sig, max_hamming=16)
+
+
+def q_dedup_image_groups(spark, sf_dir):
+    """IMAGE near-dup GROUPS: the banded hamming pairs closed into visual
+    duplicate clusters by the SAME min-label/pointer-jumping connected
+    components the text lane uses (operators/dedup.py:near_dup_groups) —
+    group_id = smallest reachable doc_id. Oracle: recursive CTE reachability
+    over the brute-forced hamming pairs, so band recall, CC convergence, and
+    representative choice are all value-checked on this lane too."""
+    from europarl_crawler_spark.operators import imagedup
+
+    sig = _image_ahash_sig(spark, sf_dir)
+    return imagedup.image_dup_groups(sig, max_hamming=16)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -886,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_image_ahash": q_dedup_image_ahash,
+        "dedup_image_pairs": q_dedup_image_pairs,
+        "dedup_image_groups": q_dedup_image_groups,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1497,6 +1622,56 @@ WHERE rank <= 10
                    TRUE AS ok_container,
                    round(avg(CAST(yv AS DOUBLE)), 6) AS mean_y
             FROM y GROUP BY doc_id, frame_idx
+        """,
+        # image ahash is pure integer arithmetic over codepoint-derived
+        # pixels (the PNG round trip on the Spark side is lossless), so the
+        # oracle recomputes every hash bit and reassembles the same 16-bit
+        # bands (dedup_image_ahash), then brute-forces hamming over ALL
+        # pairs (dedup_image_pairs) — codec transparency, hash math, band
+        # extraction, and pigeonhole completeness all value-checked
+        "dedup_image_ahash": f"""
+            WITH {_AHASH_BITS_SQL}
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN blk // 16 = 0 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b0,
+                   CAST(sum(CASE WHEN blk // 16 = 1 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b1,
+                   CAST(sum(CASE WHEN blk // 16 = 2 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b2,
+                   CAST(sum(CASE WHEN blk // 16 = 3 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b3
+            FROM bits GROUP BY doc_id
+        """,
+        "dedup_image_pairs": f"""
+            WITH {_AHASH_BITS_SQL}
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                          AS INTEGER) AS hamming
+              FROM bits a JOIN bits b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE hamming <= 16
+        """,
+        # image groups: recursive-CTE reachability over the brute-forced
+        # hamming pairs — the same closure the text dedup_groups oracle uses,
+        # here over the image lane's banded pairs
+        "dedup_image_groups": f"""
+            WITH RECURSIVE {_AHASH_BITS_SQL}, p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                            AS INTEGER) AS hamming
+                FROM bits a JOIN bits b
+                  ON a.blk = b.blk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              WHERE hamming <= 16
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+            )
+            SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
         """,
         # JPEG is lossy ⇒ decoded means aren't SQL-predictable; the lane's
         # invariants are: JFIF structure, decoded dims, PSNR ≥ 40 dB — all

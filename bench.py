@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_image_pairs",
+    "dedup_image_groups",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

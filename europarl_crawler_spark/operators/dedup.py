@@ -385,32 +385,14 @@ def simhash_near_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via banded buckets:
     split 64 bits into (max_hamming+1) bands — any pair within distance k
     must agree exactly on ≥1 band (pigeonhole), so the bucket join finds all
-    of them; verify with bit_count on the candidate set."""
-    nb = max_hamming + 1
-    width = 64 // nb
+    of them; verify with bit_count on the candidate set. The banded plan
+    itself is shared with the image lanes (operators/imagedup.py) — text
+    simhash and image phash/ahash dedup run one verified algorithm."""
+    from .imagedup import hamming_near_pairs
+
     sig = simhash64(docs, text_col, id_col, portable)
-    spark = docs.sparkSession
-    bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
-    keyed = sig.crossJoin(F.broadcast(bands)).withColumn(
-        "piece",
-        F.expr(f"shiftrightunsigned(simhash, band * {width}) & {(1 << width) - 1}"),
-    )
-    cand = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["band", "piece"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_near_pairs(
+        sig, max_hamming, id_col="doc_id", hash_col="simhash"
     )
 
 
