@@ -559,39 +559,51 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(d, max_hamming=3, portable=True)
 
 
-def _image_ahash_sig(spark, sf_dir):
-    """(doc_id, hash64): deterministic 16×16 RGB pixels from each document's
-    codepoints round-trip the zlib PNG codec (lossless, so decode is exact),
-    then the 8×8 average hash of the DECODED pixels
-    (operators/imagedup.py — pure integer: BT.601 luma, 2×2 block sums,
-    64·block > total)."""
+def _codepoint_px(txt: str):
+    """Deterministic 16×16 RGB pixels from a document's codepoints — the
+    synthetic image payload the image-lane oracles recompute in pure-integer
+    SQL (_AHASH_BITS_SQL's cp/px CTEs)."""
     import numpy as np
-    import pandas as pd
 
-    from europarl_crawler_spark.functions import imaging
-    from europarl_crawler_spark.operators import imagedup
+    cps = [ord(c) % 256 for c in txt] or [0]
+    vals = [cps[i % len(cps)] for i in range(768)]
+    return np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
 
-    # the per-row codec round trip is the expensive part — spread it across
-    # the executors even when the source is a single small parquet file
-    d = (
+
+def _codepoint_docs(spark, sf_dir):
+    """documents(doc_id, text), spread across executors: the per-row codec
+    round trips downstream are the expensive part — parallelize them even
+    when the source is a single small parquet file."""
+    return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
+
+def _image_ahash_sig(spark, sf_dir):
+    """(doc_id, hash64): the codepoint pixels round-trip the zlib PNG codec
+    (lossless, so decode is exact), then the 8×8 average hash of the DECODED
+    pixels (operators/imagedup.py — pure integer: BT.601 luma, 2×2 block
+    sums, 64·block > total)."""
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+    from europarl_crawler_spark.operators import imagedup
+
     def batches(it):
         for pdf in it:
             ids, hs = [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                cps = [ord(c) % 256 for c in txt] or [0]
-                vals = [cps[i % len(cps)] for i in range(768)]
-                px = np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
+                px = _codepoint_px(txt)
                 dec = imaging.decode(imaging.encode(px, "png"), 16, 16, "png")
                 ids.append(did)
                 hs.append(imagedup.ahash64(dec))
             yield pd.DataFrame({"doc_id": ids, "hash64": hs})
 
-    return d.mapInPandas(batches, schema="doc_id long, hash64 long")
+    return _codepoint_docs(spark, sf_dir).mapInPandas(
+        batches, schema="doc_id long, hash64 long"
+    )
 
 
 def q_dedup_image_ahash(spark, sf_dir):
@@ -647,6 +659,87 @@ def q_dedup_image_groups(spark, sf_dir):
 
     sig = _image_ahash_sig(spark, sf_dir)
     return imagedup.image_dup_groups(sig, max_hamming=16)
+
+
+# quality thresholds for the oracle-checked queries: the codepoint-pixel
+# corpus is tightly distributed (mean luma 88-99, contrast 49-59 at sf0.01),
+# so the production defaults (40/215/16) would never fire here. These sit
+# INSIDE the distribution so every verdict branch is exercised with many
+# boundary rows — a one-bit luma arithmetic error flips flags and breaks the
+# value hash. The production defaults are pytest-pinned in test_multimodal.
+_Q_DARK, _Q_BRIGHT, _Q_FLAT = 93, 95, 56
+
+
+def q_image_quality(spark, sf_dir):
+    """IMAGE quality curation filter (operators/multimodal.py:image_quality):
+    codepoint pixels → PNG round trip → real decode → integer BT.601 luma
+    stats → keep/drop verdict. The Arrow stage emits only integer sums; the
+    verdict (dark/bright/flat thresholds) is Catalyst column algebra, so the
+    oracle recomputes every output — mean luma, contrast, all three flags,
+    and keep — bit-exactly from the codepoints in pure-integer SQL."""
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+    from europarl_crawler_spark.operators import multimodal
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                px = _codepoint_px(txt)
+                rows.append(
+                    (str(did), bytearray(imaging.encode(px, "png")), 16, 16, "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    imgs = _codepoint_docs(spark, sf_dir).mapInPandas(
+        batches, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    q = multimodal.image_quality(
+        imgs, dark_max=_Q_DARK, bright_min=_Q_BRIGHT, flat_max=_Q_FLAT
+    )
+    return q.select(
+        "image_id",
+        "n_px",
+        "mean_luma",
+        F.col("contrast").cast("int").alias("contrast"),
+        "is_dark",
+        "is_bright",
+        "is_flat",
+        "keep",
+    )
+
+
+def q_image_curation(spark, sf_dir):
+    """END-TO-END image curation verdict — the composition a 100 TB
+    training-data pipeline actually ships: per image, keep iff it passes the
+    quality filter AND it is not a near-dup group loser (a non-representative
+    member of a visual duplicate cluster — the group's min-id member is the
+    keeper). Composes the oracle-checked quality and dedup-groups lanes into
+    one broadcastable verdict join; the oracle composes the same two SQL
+    bodies, so the whole pipeline — codec, hash, CC closure, quality algebra,
+    final join — is value-checked end-to-end."""
+    from europarl_crawler_spark.operators import imagedup
+
+    quality = q_image_quality(spark, sf_dir)
+    groups = imagedup.image_dup_groups(_image_ahash_sig(spark, sf_dir), max_hamming=16)
+    losers = (
+        groups.filter(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").cast("string").alias("image_id"))
+        .withColumn("_loser", F.lit(True))
+    )
+    # dup losers are a tiny fraction of the corpus — broadcast them
+    return (
+        quality.join(F.broadcast(losers), "image_id", "left")
+        .select(
+            "image_id",
+            F.col("keep").alias("quality_keep"),
+            F.coalesce("_loser", F.lit(False)).alias("is_dup_loser"),
+            (F.col("keep") & ~F.coalesce("_loser", F.lit(False))).alias("keep_final"),
+        )
+    )
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -1011,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_ahash": q_dedup_image_ahash,
         "dedup_image_pairs": q_dedup_image_pairs,
         "dedup_image_groups": q_dedup_image_groups,
+        "image_quality": q_image_quality,
+        "image_curation": q_image_curation,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1672,6 +1767,60 @@ WHERE rank <= 10
               SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
             )
             SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+        """,
+        # image quality: the luma CTE of the ahash chain aggregated per doc —
+        # mean/contrast/flags/keep are all integer-exact (PNG round trip is
+        # lossless on the Spark side)
+        "image_quality": f"""
+            WITH {_AHASH_BITS_SQL}
+            SELECT image_id, n_px, mean_luma, contrast,
+                   mean_luma < {_Q_DARK} AS is_dark,
+                   mean_luma > {_Q_BRIGHT} AS is_bright,
+                   contrast < {_Q_FLAT} AS is_flat,
+                   (mean_luma >= {_Q_DARK} AND mean_luma <= {_Q_BRIGHT}
+                    AND contrast >= {_Q_FLAT}) AS keep
+            FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     count(*) AS n_px,
+                     CAST(sum(y) // count(*) AS BIGINT) AS mean_luma,
+                     CAST(max(y) - min(y) AS INTEGER) AS contrast
+              FROM lum GROUP BY doc_id)
+        """,
+        # curation verdict: quality algebra × dedup-groups closure composed
+        # in SQL exactly as the Spark plan composes them
+        "image_curation": f"""
+            WITH RECURSIVE {_AHASH_BITS_SQL}, p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                            AS INTEGER) AS hamming
+                FROM bits a JOIN bits b
+                  ON a.blk = b.blk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              WHERE hamming <= 16
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+            ), losers AS (
+              SELECT CAST(id AS VARCHAR) AS image_id
+              FROM (SELECT id, min(r) AS g FROM reach GROUP BY id)
+              WHERE id <> g
+            ), quality AS (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     (sum(y) // count(*) >= {_Q_DARK}
+                      AND sum(y) // count(*) <= {_Q_BRIGHT}
+                      AND max(y) - min(y) >= {_Q_FLAT}) AS keep
+              FROM lum GROUP BY doc_id
+            )
+            SELECT q.image_id, q.keep AS quality_keep,
+                   l.image_id IS NOT NULL AS is_dup_loser,
+                   (q.keep AND l.image_id IS NULL) AS keep_final
+            FROM quality q LEFT JOIN losers l ON q.image_id = l.image_id
         """,
         # JPEG is lossy ⇒ decoded means aren't SQL-predictable; the lane's
         # invariants are: JFIF structure, decoded dims, PSNR ≥ 40 dB — all

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_image_pairs",
     "dedup_image_groups",
+    "image_quality",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

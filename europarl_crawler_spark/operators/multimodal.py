@@ -81,6 +81,79 @@ def image_features(images: DataFrame) -> DataFrame:
     )
 
 
+QUALITY_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_y", T.LongType(), True),
+        T.StructField("min_y", T.IntegerType(), True),
+        T.StructField("max_y", T.IntegerType(), True),
+    ]
+)
+
+
+def image_quality(
+    images: DataFrame,
+    dark_max: int = 40,
+    bright_min: int = 215,
+    flat_max: int = 16,
+) -> DataFrame:
+    """Image quality scoring for training-data curation — the image-side
+    analog of the text lane's quality filter (operators/textstats.py):
+    decode → INTEGER BT.601 luma stats → keep/drop verdict. The Arrow stage
+    emits only raw integer sums (n_px, sum_y, min_y, max_y); mean, contrast,
+    and the verdict are Catalyst column expressions on top — the decision
+    logic stays JVM-side, declarative, and bit-exactly oracle-mirrorable
+    (no float crosses the Arrow boundary).
+
+    Output: (image_id, n_px, mean_luma, contrast, is_dark, is_bright,
+    is_flat, keep). Undecodable payloads keep their row with null stats and
+    keep=false — a curation pass must neither die on nor silently admit a
+    truncated download."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, body, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_pixels(bytes(body), int(w), int(h), fmt)
+                except (NotImplementedError, ValueError, AssertionError):
+                    rows.append((iid, None, None, None, None))
+                    continue
+                p = px.astype(np.int64)
+                # the videokit/imagedup integer luma — one arithmetic, all lanes
+                y = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128) >> 8
+                rows.append(
+                    (iid, int(y.size), int(y.sum()), int(y.min()), int(y.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QUALITY_RAW_SCHEMA.fields]
+            )
+
+    raw = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        batches, schema=QUALITY_RAW_SCHEMA
+    )
+    mean_luma = (F.col("sum_y") / F.col("n_px")).cast("long")  # floor: all >= 0
+    contrast = F.col("max_y") - F.col("min_y")
+    is_dark = mean_luma < dark_max
+    is_bright = mean_luma > bright_min
+    is_flat = contrast < flat_max
+    return raw.select(
+        "image_id",
+        "n_px",
+        mean_luma.alias("mean_luma"),
+        contrast.alias("contrast"),
+        is_dark.alias("is_dark"),
+        is_bright.alias("is_bright"),
+        is_flat.alias("is_flat"),
+        (
+            F.col("n_px").isNotNull() & ~is_dark & ~is_bright & ~is_flat
+        ).alias("keep"),
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbour resize inside Arrow batches; output stays `raw`."""
 

@@ -46,6 +46,40 @@ def test_resize(images):
         assert px.shape == (4, 4, 3)
 
 
+def test_image_quality_flags_and_nulls(spark):
+    """Quality verdict per regime: dark, bright, flat, good — plus broken
+    payloads keeping their row with keep=false (curation must not admit
+    undecodable downloads)."""
+
+    def flat(val):
+        return np.full((16, 16, 3), val, dtype=np.uint8)
+
+    good = np.zeros((16, 16, 3), dtype=np.uint8)
+    good[:, :8] = 30   # left half dark, right half bright → mid mean,
+    good[:, 8:] = 200  # high contrast
+    rows = [
+        ("dark", bytearray(imaging.encode(flat(10), "png")), 16, 16, "png"),
+        ("bright", bytearray(imaging.encode(flat(250), "png")), 16, 16, "png"),
+        ("flat", bytearray(imaging.encode(flat(128), "png")), 16, 16, "png"),
+        ("good", bytearray(imaging.encode(good, "png")), 16, 16, "png"),
+        ("broken", bytearray(b"\x89PNGnope"), 16, 16, "png"),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r for r in multimodal.image_quality(images).collect()}
+    assert len(got) == 5
+    assert got["dark"].is_dark and not got["dark"].keep
+    assert got["bright"].is_bright and not got["bright"].keep
+    assert got["flat"].is_flat and got["flat"].contrast == 0
+    assert not got["flat"].keep
+    g = got["good"]
+    assert g.keep and not (g.is_dark or g.is_bright or g.is_flat)
+    assert g.n_px == 256
+    b = got["broken"]
+    assert b.n_px is None and b.mean_luma is None and b.keep is False
+
+
 def test_wav_roundtrip_exact():
     # WAV is lossless PCM: encode→decode must be bit-exact, framerate kept
     rng = np.random.Generator(np.random.Philox(key=7))
