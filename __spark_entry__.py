@@ -670,17 +670,13 @@ def q_dedup_image_groups(spark, sf_dir):
 _Q_DARK, _Q_BRIGHT, _Q_FLAT = 93, 95, 56
 
 
-def q_image_quality(spark, sf_dir):
-    """IMAGE quality curation filter (operators/multimodal.py:image_quality):
-    codepoint pixels → PNG round trip → real decode → integer BT.601 luma
-    stats → keep/drop verdict. The Arrow stage emits only integer sums; the
-    verdict (dark/bright/flat thresholds) is Catalyst column algebra, so the
-    oracle recomputes every output — mean luma, contrast, all three flags,
-    and keep — bit-exactly from the codepoints in pure-integer SQL."""
+def _codepoint_png_images(spark, sf_dir):
+    """(image_id, bytes, w, h, fmt='png'): each document's codepoint pixels
+    PNG-encoded — the shared synthetic image table the image lanes decode
+    through the real codec."""
     import pandas as pd
 
     from europarl_crawler_spark.functions import imaging
-    from europarl_crawler_spark.operators import multimodal
 
     def batches(it):
         for pdf in it:
@@ -694,9 +690,21 @@ def q_image_quality(spark, sf_dir):
                 rows, columns=["image_id", "bytes", "w", "h", "fmt"]
             )
 
-    imgs = _codepoint_docs(spark, sf_dir).mapInPandas(
+    return _codepoint_docs(spark, sf_dir).mapInPandas(
         batches, schema="image_id string, bytes binary, w int, h int, fmt string"
     )
+
+
+def q_image_quality(spark, sf_dir):
+    """IMAGE quality curation filter (operators/multimodal.py:image_quality):
+    codepoint pixels → PNG round trip → real decode → integer BT.601 luma
+    stats → keep/drop verdict. The Arrow stage emits only integer sums; the
+    verdict (dark/bright/flat thresholds) is Catalyst column algebra, so the
+    oracle recomputes every output — mean luma, contrast, all three flags,
+    and keep — bit-exactly from the codepoints in pure-integer SQL."""
+    from europarl_crawler_spark.operators import multimodal
+
+    imgs = _codepoint_png_images(spark, sf_dir)
     q = multimodal.image_quality(
         imgs, dark_max=_Q_DARK, bright_min=_Q_BRIGHT, flat_max=_Q_FLAT
     )
@@ -739,6 +747,51 @@ def q_image_curation(spark, sf_dir):
             F.coalesce("_loser", F.lit(False)).alias("is_dup_loser"),
             (F.col("keep") & ~F.coalesce("_loser", F.lit(False))).alias("keep_final"),
         )
+    )
+
+
+def q_image_resize_hash(spark, sf_dir):
+    """Thumbnail lane, oracle-checked end-to-end: PNG decode → the REAL
+    nearest-neighbour resize operator (16×16 → 8×8, raw re-encode:
+    operators/multimodal.py:resize_images) → decode → 8×8 average hash,
+    emitted as the four 16-bit bands. On an 8×8 input every ahash block is a
+    single pixel, and the NN index arithmetic (yi = i·h//out_h) lands on the
+    even input coordinates, so the oracle recomputes every bit from the
+    codepoints in pure integer SQL — a defect in the resize index math, the
+    raw round trip, or the hash arithmetic breaks all 500 value rows."""
+    from europarl_crawler_spark.operators import imagedup, multimodal
+
+    small = multimodal.resize_images(_codepoint_png_images(spark, sf_dir), 8, 8)
+    sig = imagedup.image_hashes(small, id_col="image_id", kind="ahash")
+    return sig.select(
+        "image_id",
+        *[
+            F.expr(f"cast(shiftrightunsigned(hash64, {16 * b}) & 65535 as int)").alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
+    )
+
+
+def q_dedup_image_pairs_blocked(spark, sf_dir):
+    """IMAGE near-dup pairs with a COARSE BLOCKING KEY — the 10⁹-image lever
+    (operators/imagedup.py scale note): pairs are sought only within a
+    mean-luma class (mean_luma // 8, from the oracle-checked quality lane),
+    so the banded-bucket join's candidate set stays bounded when random band
+    collisions would otherwise dominate. Exercises ``hamming_near_pairs``'s
+    ``block_cols`` path end-to-end; the oracle brute-forces hamming over all
+    pairs AND applies the same class-equality predicate, value-checking both
+    the recall within blocks and the exclusion across them."""
+    from europarl_crawler_spark.operators import imagedup, multimodal
+
+    sig = _image_ahash_sig(spark, sf_dir)
+    cls = multimodal.image_quality(_codepoint_png_images(spark, sf_dir)).select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        (F.col("mean_luma") / 8).cast("int").alias("luma_class"),
+    )
+    return imagedup.hamming_near_pairs(
+        sig.join(cls, "doc_id"), max_hamming=16, block_cols=["luma_class"]
     )
 
 
@@ -1106,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_groups": q_dedup_image_groups,
         "image_quality": q_image_quality,
         "image_curation": q_image_curation,
+        "image_resize_hash": q_image_resize_hash,
+        "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1785,6 +1840,48 @@ WHERE rank <= 10
                      CAST(sum(y) // count(*) AS BIGINT) AS mean_luma,
                      CAST(max(y) - min(y) AS INTEGER) AS contrast
               FROM lum GROUP BY doc_id)
+        """,
+        # resize lane: NN 16×16→8×8 keeps exactly the even-coordinate pixels
+        # (i·16//8 = 2i), and on an 8×8 image every ahash block is one pixel
+        # whose bit index equals the lum CTE's blk formula — so the oracle
+        # recomputes the thumbnail hash from the px CTE with a parity filter
+        "image_resize_hash": f"""
+            WITH {_AHASH_BITS_SQL}, rl AS (
+              SELECT doc_id,
+                     ((p // 16) // 2) * 8 + ((p % 16) // 2) AS k,
+                     (77 * r + 150 * g + 29 * b + 128) // 256 AS y
+              FROM px WHERE (p // 16) % 2 = 0 AND (p % 16) % 2 = 0
+            ), rt AS (
+              SELECT doc_id, sum(y) AS t FROM rl GROUP BY 1
+            ), rb AS (
+              SELECT rl.doc_id, k,
+                     CASE WHEN 64 * y > t THEN 1 ELSE 0 END AS bit
+              FROM rl JOIN rt ON rl.doc_id = rt.doc_id
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                   CAST(sum(CASE WHEN k // 16 = 0 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS b0,
+                   CAST(sum(CASE WHEN k // 16 = 1 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS b1,
+                   CAST(sum(CASE WHEN k // 16 = 2 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS b2,
+                   CAST(sum(CASE WHEN k // 16 = 3 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS b3
+            FROM rb GROUP BY doc_id
+        """,
+        # blocked pairs: the brute-force hamming join with the SAME
+        # mean-luma-class equality predicate the Spark plan blocks on —
+        # value-checks both within-block recall and cross-block exclusion
+        "dedup_image_pairs_blocked": f"""
+            WITH {_AHASH_BITS_SQL}, cls AS (
+              SELECT doc_id, (sum(y) // count(*)) // 8 AS c FROM lum GROUP BY 1
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                          AS INTEGER) AS hamming
+              FROM bits a JOIN bits b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              JOIN cls ca ON ca.doc_id = a.doc_id
+              JOIN cls cb ON cb.doc_id = b.doc_id AND ca.c = cb.c
+              GROUP BY 1, 2)
+            WHERE hamming <= 16
         """,
         # curation verdict: quality algebra × dedup-groups closure composed
         # in SQL exactly as the Spark plan composes them

@@ -80,6 +80,24 @@ def test_image_quality_flags_and_nulls(spark):
     assert b.n_px is None and b.mean_luma is None and b.keep is False
 
 
+def test_resize_hash_is_even_coordinate_subsample(spark):
+    """NN 16×16→8×8 keeps exactly the even-coordinate pixels (i·16//8 = 2i),
+    so the thumbnail's ahash must equal the hash of px[::2, ::2] — the
+    arithmetic identity the image_resize_hash oracle relies on."""
+    from europarl_crawler_spark.operators import imagedup
+
+    rng = np.random.Generator(np.random.Philox(key=11))
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    images = spark.createDataFrame(
+        [("a", bytearray(imaging.encode(px, "png")), 16, 16, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    small = multimodal.resize_images(images, 8, 8)
+    got = imagedup.image_hashes(small, kind="ahash").collect()
+    assert len(got) == 1
+    assert got[0].hash64 == imagedup.ahash64(px[::2, ::2])
+
+
 def test_wav_roundtrip_exact():
     # WAV is lossless PCM: encode→decode must be bit-exact, framerate kept
     rng = np.random.Generator(np.random.Philox(key=7))
