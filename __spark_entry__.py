@@ -210,6 +210,57 @@ _AHASH_BITS_SQL = """cp AS (
               FROM bs JOIN tot ON bs.doc_id = tot.doc_id
             )"""
 
+# DuckDB mirror of the VIDEO frame-ahash arithmetic (operators/videodup.py):
+# two 16×16 frames per doc at codepoint offsets 0 and 768; the Y4M container
+# stores the integer BT.601 luma plane exactly, so the per-frame hash bits
+# are the image-ahash chain keyed by (doc_id, frame). Ends in
+# bits(doc_id, f, blk, bit); shared by video_frame_ahash / dedup_video_pairs.
+_VID_BITS_SQL = """cp AS (
+              SELECT doc_id, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 1535)) AS i FROM documents)
+            ), px AS (
+              SELECT doc_id, i // 768 AS f, (i % 768) // 3 AS p,
+                     max(CASE WHEN i % 3 = 0 THEN v END) AS r,
+                     max(CASE WHEN i % 3 = 1 THEN v END) AS g,
+                     max(CASE WHEN i % 3 = 2 THEN v END) AS b
+              FROM cp GROUP BY 1, 2, 3
+            ), lum AS (
+              SELECT doc_id, f,
+                     ((p // 16) // 2) * 8 + ((p % 16) // 2) AS blk,
+                     (77 * r + 150 * g + 29 * b + 128) // 256 AS y
+              FROM px
+            ), bs AS (
+              SELECT doc_id, f, blk, sum(y) AS s FROM lum GROUP BY 1, 2, 3
+            ), tot AS (
+              SELECT doc_id, f, sum(s) AS t FROM bs GROUP BY 1, 2
+            ), bits AS (
+              SELECT bs.doc_id, bs.f, blk,
+                     CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
+              FROM bs JOIN tot ON bs.doc_id = tot.doc_id AND bs.f = tot.f
+            )"""
+
+# DuckDB mirror of the AUDIO delta-sign fingerprint (operators/audiodup.py):
+# sample i = (cp[i mod len] − 128)·256 is affine in the codepoint, so
+# bit i = (sample[i+1] > sample[i]) = (cp[i+1 mod len] > cp[i mod len]).
+# Ends in bits(doc_id, blk, bit) with blk = bit index 0..63.
+_AUD_BITS_SQL = """cp AS (
+              SELECT doc_id, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 64)) AS i FROM documents)
+            ), bits AS (
+              SELECT a.doc_id, a.i AS blk,
+                     CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+              FROM cp a JOIN cp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.i < 64
+            )"""
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -1104,6 +1155,149 @@ def q_multimodal_jpeg_codec(spark, sf_dir):
     )
 
 
+def _codepoint_y4m_videos(spark, sf_dir):
+    """(video_id, bytes, fmt='y4m'): two 16×16 RGB frames per document —
+    frame f's pixels are the codepoints at cyclic offset 768·f — through the
+    REAL Y4M encoder (functions/videokit.py). The video-lane oracles
+    recompute the stored Y planes from the codepoints in pure-integer SQL
+    (the BT.601 luma is exact; 4:2:0 only touches chroma)."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import videokit
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                flat = np.array(
+                    [cps[i % len(cps)] for i in range(2 * 768)], dtype=np.uint8
+                )
+                body = videokit.y4m_encode(flat.reshape(2, 16, 16, 3), fps=25)
+                rows.append((did, bytearray(body), "y4m"))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    return _codepoint_docs(spark, sf_dir).mapInPandas(
+        batches, schema="video_id long, bytes binary, fmt string"
+    )
+
+
+def _codepoint_wav_audios(spark, sf_dir):
+    """(audio_id, bytes, fmt='wav'): 65 int16 PCM samples per document —
+    sample i = (codepoint[i mod len] − 128)·256 — through the REAL stdlib
+    WAV encoder (operators/multimodal.py). Lossless, so the audio-lane
+    oracles predict every sample comparison straight from the codepoints."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.operators import multimodal
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = np.array(
+                    [(cps[i % len(cps)] - 128) * 256 for i in range(65)],
+                    dtype=np.int16,
+                )
+                rows.append((did, bytearray(multimodal.wav_encode(vals, 8000)), "wav"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    return _codepoint_docs(spark, sf_dir).mapInPandas(
+        batches, schema="audio_id long, bytes binary, fmt string"
+    )
+
+
+def q_video_frame_ahash(spark, sf_dir):
+    """VIDEO frame-signature lane, FULLY oracle-checked through the REAL Y4M
+    container: per document, a 2-frame video is encoded (BT.601 + 4:2:0),
+    the container is parsed back, and each STORED luma plane is hashed with
+    the image lane's integer average hash (operators/videodup.py:
+    frame_signatures → imagedup.ahash64_luma), emitted as the four 16-bit
+    band integers the banded hamming join keys on. The oracle recomputes
+    every luma value and hash bit from the codepoints in pure-integer SQL —
+    a defect in the container layout, the frame slicing, the luma
+    arithmetic, or the band extraction breaks the value hash on every row."""
+    from europarl_crawler_spark.operators import videodup
+
+    sig = videodup.frame_signatures(_codepoint_y4m_videos(spark, sf_dir))
+    return sig.select(
+        "video_id",
+        "frame_idx",
+        *[
+            F.expr(f"cast(shiftrightunsigned(hash64, {16 * b}) & 65535 as int)").alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
+    )
+
+
+def q_dedup_video_pairs(spark, sf_dir):
+    """VIDEO near-duplicate pairs: banded hamming LSH over per-frame luma
+    ahashes, collapsed to video pairs with min hamming + matching-frame
+    count (operators/videodup.py — the SAME shared ``hamming_near_pairs``
+    plan the image/simhash lanes run, signature id = (video, frame) struct).
+    The oracle brute-forces hamming over ALL cross-video frame pairs from
+    the recomputed hash bits and collapses them identically, proving
+    pigeonhole completeness and the video-pair aggregation at once. The
+    threshold is 16, matching the image lane's rationale: the
+    codepoint→pixel derivation is position-sensitive, so this synthetic
+    corpus's closest cross-video frame pair sits at hamming 11 (production
+    near-dup default is 3, pinned by tests/test_videodup.py)."""
+    from europarl_crawler_spark.operators import videodup
+
+    return videodup.video_near_pairs(
+        _codepoint_y4m_videos(spark, sf_dir), max_hamming=16
+    ).select(
+        "vid_a",
+        "vid_b",
+        "min_hamming",
+        F.col("n_frame_matches").cast("long").alias("n_frame_matches"),
+    )
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """AUDIO fingerprint lane, FULLY oracle-checked through the REAL PCM WAV
+    codec: per document, 65 samples round-trip the stdlib-wave container and
+    the decoded waveform is fingerprinted by delta signs — bit i set iff
+    sample i+1 exceeds sample i (operators/audiodup.py) — emitted as the
+    four 16-bit bands. WAV is lossless and the sample law is affine in the
+    codepoints, so the oracle predicts every bit with a pure integer
+    comparison; any container, PCM, or bit-packing defect breaks the value
+    hash on every row."""
+    from europarl_crawler_spark.operators import audiodup
+
+    fp = audiodup.audio_fingerprints(_codepoint_wav_audios(spark, sf_dir))
+    return fp.select(
+        "audio_id",
+        *[
+            F.expr(f"cast(shiftrightunsigned(hash64, {16 * b}) & 65535 as int)").alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
+    )
+
+
+def q_dedup_audio_pairs(spark, sf_dir):
+    """AUDIO near-duplicate pairs: banded hamming LSH over the delta-sign
+    fingerprints (operators/audiodup.py — the shared pigeonhole-complete
+    plan). The oracle brute-forces hamming over ALL audio pairs from the
+    SQL-recomputed fingerprint bits. Threshold 14: this corpus's exact
+    duplicate texts give identical waveforms (hamming 0 — 24 pairs at
+    sf0.01) and the nearest non-identical pairs sit at 4-14, so the result
+    set exercises both the dup and near-dup regimes (production default 3 is
+    pinned by tests/test_audiodup.py)."""
+    from europarl_crawler_spark.operators import audiodup
+
+    return audiodup.audio_near_pairs(
+        _codepoint_wav_audios(spark, sf_dir), max_hamming=14, id_col="audio_id"
+    )
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → Arrow mapInPandas feature
     pass (byte length here; pixel decode for the crawl's own image tables —
@@ -1170,6 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_profile": q_text_profile,
         "text_fingerprint": q_text_fingerprint,
+        "video_frame_ahash": q_video_frame_ahash,
+        "dedup_video_pairs": q_dedup_video_pairs,
+        "audio_fingerprint": q_audio_fingerprint,
+        "dedup_audio_pairs": q_dedup_audio_pairs,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "multimodal_png_codec": q_multimodal_png_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
@@ -1882,6 +2080,63 @@ WHERE rank <= 10
               JOIN cls cb ON cb.doc_id = b.doc_id AND ca.c = cb.c
               GROUP BY 1, 2)
             WHERE hamming <= 16
+        """,
+        # video frame signatures: the Y4M container stores the integer
+        # BT.601 luma plane exactly, so every per-frame hash bit is
+        # recomputed from the codepoints and reassembled into the same
+        # bands — container layout, frame slicing, luma math, and band
+        # extraction all value-checked
+        "video_frame_ahash": f"""
+            WITH {_VID_BITS_SQL}
+            SELECT doc_id AS video_id, CAST(f AS INTEGER) AS frame_idx,
+                   CAST(sum(CASE WHEN blk // 16 = 0 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b0,
+                   CAST(sum(CASE WHEN blk // 16 = 1 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b1,
+                   CAST(sum(CASE WHEN blk // 16 = 2 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b2,
+                   CAST(sum(CASE WHEN blk // 16 = 3 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b3
+            FROM bits GROUP BY doc_id, f
+        """,
+        # video near-dup pairs: brute-force hamming over ALL cross-video
+        # frame pairs, collapsed to video pairs exactly as the Spark plan
+        # does — pigeonhole completeness AND the video-pair aggregation
+        # (min hamming, matching-frame count) value-checked together
+        "dedup_video_pairs": f"""
+            WITH {_VID_BITS_SQL}, fp AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                          AS INTEGER) AS h
+              FROM bits a JOIN bits b ON a.blk = b.blk
+                AND (a.doc_id < b.doc_id
+                     OR (a.doc_id = b.doc_id AND a.f < b.f))
+              GROUP BY a.doc_id, a.f, b.doc_id, b.f
+            )
+            SELECT da AS vid_a, db AS vid_b, min(h) AS min_hamming,
+                   CAST(count(*) AS BIGINT) AS n_frame_matches
+            FROM fp WHERE h <= 16 AND da <> db GROUP BY 1, 2
+        """,
+        # audio delta-sign fingerprint: WAV is lossless and the sample law
+        # is affine in the codepoints, so every fingerprint bit is a pure
+        # integer comparison the oracle reproduces exactly
+        "audio_fingerprint": f"""
+            WITH {_AUD_BITS_SQL}
+            SELECT doc_id AS audio_id,
+                   CAST(sum(CASE WHEN blk // 16 = 0 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b0,
+                   CAST(sum(CASE WHEN blk // 16 = 1 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b1,
+                   CAST(sum(CASE WHEN blk // 16 = 2 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b2,
+                   CAST(sum(CASE WHEN blk // 16 = 3 THEN bit * (1 << (blk % 16)) ELSE 0 END) AS INTEGER) AS b3
+            FROM bits GROUP BY doc_id
+        """,
+        # audio near-dup pairs: brute-force hamming over ALL audio pairs
+        # from the SQL-recomputed fingerprint bits
+        "dedup_audio_pairs": f"""
+            WITH {_AUD_BITS_SQL}
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                          AS INTEGER) AS hamming
+              FROM bits a JOIN bits b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE hamming <= 14
         """,
         # curation verdict: quality algebra × dedup-groups closure composed
         # in SQL exactly as the Spark plan composes them

@@ -120,16 +120,15 @@ def image_dup_groups(
     return near_dup_groups(pairs, max_iter=max_iter)
 
 
-def ahash64(px: np.ndarray) -> int:
-    """8×8 average hash of an (h, w, 3) uint8 image, h and w multiples of 8.
-    Integer BT.601 luma (the videokit constants), block sums over the
-    (h/8)×(w/8) grid, bit k (row-major) set iff 64·block_sum_k > total_sum.
-    Returns a signed int64 (bit 63 lands in the sign bit, matching Spark's
-    LongType)."""
-    p = px.astype(np.int64)
-    y = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128) >> 8
+def ahash64_luma(y: np.ndarray) -> int:
+    """8×8 average hash of an (h, w) integer LUMA plane, h and w multiples
+    of 8: block sums over the (h/8)×(w/8) grid, bit k (row-major) set iff
+    64·block_sum_k > total_sum. Returns a signed int64 (bit 63 lands in the
+    sign bit, matching Spark's LongType). This is the shared perceptual core:
+    ``ahash64`` feeds it RGB-derived luma, the video lane feeds it the Y
+    planes a Y4M container already stores — one arithmetic, every lane."""
     h, w = y.shape
-    bs = y.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))  # 8×8 block sums
+    bs = y.astype(np.int64).reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
     total = int(bs.sum())
     bits = (64 * bs > total).flatten()  # row-major: bit k = block (k//8, k%8)
     acc = np.uint64(0)
@@ -137,6 +136,14 @@ def ahash64(px: np.ndarray) -> int:
         if bits[k]:
             acc |= np.uint64(1) << np.uint64(k)
     return int(acc.astype(np.int64))
+
+
+def ahash64(px: np.ndarray) -> int:
+    """8×8 average hash of an (h, w, 3) uint8 image, h and w multiples of 8.
+    Integer BT.601 luma (the videokit constants), then ``ahash64_luma``."""
+    p = px.astype(np.int64)
+    y = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128) >> 8
+    return ahash64_luma(y)
 
 
 def image_hashes(
