@@ -64,6 +64,9 @@ HEADLINE = [
     "multimodal_wav_codec",
     "multimodal_y4m_codec",
     "multimodal_jpeg_codec",
+    "multimodal_gif_codec",
+    "dedup_video_pairs",
+    "dedup_audio_pairs",
 ]
 
 CRAWL_DAYS = int(os.environ.get("SPARK_GRAFT_CRAWL_DAYS", "60"))

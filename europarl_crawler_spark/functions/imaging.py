@@ -23,6 +23,13 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
              verifies chunk CRCs, so externally-produced baseline RGB PNGs
              decode too. Lossless — the genuine compressed format of the
              image lane (VERDICT r2 next-step #1).
+- ``gif``  : real GIF87a (functions/gifkit.py): exact 256-color palette +
+             full variable-width LZW dictionary coding — the third
+             compression family (PNG = filter+DEFLATE, JPEG = DCT+Huffman,
+             GIF = palette+LZW). Lossless where it applies; the encoder
+             raises beyond 256 distinct colors instead of silently
+             quantizing, so it is served only for tiles whose exact palette
+             fits (any ≤256-pixel thumbnail).
 - ``jpeg`` : real baseline JPEG (ITU T.81 / JFIF — functions/jpegkit.py):
              8×8 DCT, quality-scaled Annex-K quantization, standard Huffman
              entropy coding, byte-stuffed JFIF container. Lossy; served at
@@ -41,8 +48,8 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw", "ppm", "qraw", "png", "jpeg")
-LOSSLESS = frozenset({"raw", "ppm", "png"})
+FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif")
+LOSSLESS = frozenset({"raw", "ppm", "png", "gif"})
 
 # serving quality for the crawl's jpeg lane: quant steps ≈ 1, so even noise
 # payloads hold the input_hint's PSNR ≥ 40 dB lossy invariant (measured
@@ -74,6 +81,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from . import jpegkit
 
         return jpegkit.jpeg_encode(px, quality=JPEG_QUALITY)
+    if fmt == "gif":
+        from . import gifkit
+
+        return gifkit.gif_encode(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -100,6 +111,12 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         px = jpegkit.jpeg_decode(payload)
         assert px.shape == (h, w, 3), "JPEG header/metadata mismatch"
+        return px
+    if fmt == "gif":
+        from . import gifkit
+
+        px = gifkit.gif_decode(payload)
+        assert px.shape == (h, w, 3), "GIF header/metadata mismatch"
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 

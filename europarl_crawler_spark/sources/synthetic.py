@@ -126,6 +126,12 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # JPEG_QUALITY — exercises the PSNR ≥ 40 dB extract invariant
                 # on real compression artifacts)
                 fmt = "jpeg" if key % 4 == 3 else "png"
+            elif ftype == ".html" and key % 4 == 2 and w * h <= 256:
+                # palette+LZW lane: GIF is served only where its exact
+                # 256-entry palette always fits (≤256-pixel thumbnails);
+                # larger html tiles keep ppm — the same content-driven
+                # format choice a real image host makes
+                fmt = "gif"
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             out["bytes"].append(imaging.encode(px, fmt))
             out["w"].append(w)
