@@ -699,6 +699,31 @@ def q_dedup_image_pairs(spark, sf_dir):
     return imagedup.hamming_near_pairs(sig, max_hamming=16)
 
 
+def q_dedup_image_pairs_streaming(spark, sf_dir):
+    """The SAME image near-dup pair set computed ONLINE: the ahash
+    signatures are split into 4 Parquet files, streamed back one file per
+    micro-batch, and deduped by the STATEFUL banded-LSH operator
+    (streaming/imagestream.py — applyInPandasWithState bucket membership).
+    Emitted pairs are batch-split-invariant, so this query shares the batch
+    lane's brute-force DuckDB oracle VERBATIM — a fully value-checked
+    stateful streaming operator, not just a rows-only smoke check."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.imagestream import drain_near_pairs
+
+    root = tempfile.mkdtemp(prefix="imgstream-")
+    sig_dir = os.path.join(root, "sig")
+    _image_ahash_sig(spark, sf_dir).repartition(4).write.parquet(sig_dir)
+    return drain_near_pairs(
+        spark,
+        sig_dir,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="imgstream_" + os.path.basename(root).replace("-", "_"),
+        max_hamming=16,
+    )
+
+
 def q_dedup_image_groups(spark, sf_dir):
     """IMAGE near-dup GROUPS: the banded hamming pairs closed into visual
     duplicate clusters by the SAME min-label/pointer-jumping connected
@@ -918,6 +943,16 @@ def q_text_token_count(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_budget_pack(spark, sf_dir):
+    """Corpus packing under a 10k-token budget: greedy by quality with an
+    exact GLOBAL running token total computed scale-safely (value-range
+    buckets + constant-size driver prefix sum + within-bucket windows — no
+    single-partition window; operators/textstats.py budget_pack). The oracle
+    is the naive global window, so the hash match proves the distributed
+    prefix sum is exactly the sequential one."""
+    return textstats.budget_pack(_t(spark, sf_dir, "documents"), token_budget=10_000)
 
 
 def q_text_language_id(spark, sf_dir):
@@ -1393,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_image_ahash": q_dedup_image_ahash,
         "dedup_image_pairs": q_dedup_image_pairs,
+        "dedup_image_pairs_streaming": q_dedup_image_pairs_streaming,
         "dedup_image_groups": q_dedup_image_groups,
         "image_quality": q_image_quality,
         "image_curation": q_image_curation,
@@ -1404,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_budget_pack": q_text_budget_pack,
         "text_language_id": q_text_language_id,
         "text_profile": q_text_profile,
         "text_fingerprint": q_text_fingerprint,
@@ -1886,6 +1923,38 @@ WHERE rank <= 10
                    6) AS quality_score
             FROM t
         """,
+        # the oracle computes the running total the NAIVE way — one global
+        # ordered window — so the hash match proves the Spark side's
+        # bucketed distributed prefix sum equals the sequential semantics
+        "text_budget_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len({tok}) AS n_tokens,
+                     len(list_intersect({tok}, {all_stop})) AS n_stop
+              FROM documents
+            ), s AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) * 0.25
+                     + least(round(n_alpha / greatest(n_chars, 1), 6) * 1.25, 1.0) * 0.35
+                     + (1 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0)) * 0.15
+                     + least(round(n_stop / greatest(n_tokens, 1), 6) * 5, 1.0) * 0.25,
+                   6) AS quality_score
+              FROM t
+            ), c AS (
+              SELECT doc_id, n_tokens, quality_score,
+                     CAST(sum(n_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum_tokens
+              FROM s
+            )
+            SELECT doc_id, n_tokens, quality_score, cum_tokens
+            FROM c WHERE cum_tokens <= 10000
+        """,
         "text_profile": f"""
             WITH t AS (
               SELECT doc_id,
@@ -2031,6 +2100,20 @@ WHERE rank <= 10
             FROM bits GROUP BY doc_id
         """,
         "dedup_image_pairs": f"""
+            WITH {_AHASH_BITS_SQL}
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                          AS INTEGER) AS hamming
+              FROM bits a JOIN bits b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE hamming <= 16
+        """,
+        # the streaming stateful operator emits the BATCH-SPLIT-INVARIANT
+        # pair set (a pair is emitted exactly when its later member
+        # arrives), so the online lane is pinned by the same brute force
+        "dedup_image_pairs_streaming": f"""
             WITH {_AHASH_BITS_SQL}
             SELECT id_a, id_b, hamming FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,

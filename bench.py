@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "text_quality",
+    "text_budget_pack",
     "text_language_id",
     "text_token_count",
     "text_profile",

@@ -149,6 +149,69 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def budget_pack(
+    docs: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy corpus packing under a global TOKEN BUDGET: keep the
+    highest-quality documents, in (quality_score DESC, id ASC) order, while
+    the running token total stays ≤ ``token_budget`` — the selection step of
+    a training-data mixing pipeline ("fill 1T tokens with the best of this
+    crawl").
+
+    The running total is a GLOBAL prefix sum, which naively is a
+    single-partition window — the classic scale-killer. Here it is computed
+    in three scale-safe steps:
+
+    1. bucket rows by a VALUE-derived range key (``floor((1-quality)·B)``) —
+       deterministic, no sampling, and bucket order == global quality order,
+       so rows in bucket i all precede bucket i+1;
+    2. per-bucket token subtotals (one tiny B-row aggregate) are
+       prefix-summed on the driver — B is a constant (default 64), never a
+       function of data size;
+    3. a WITHIN-bucket running sum (window partitioned by bucket) plus the
+       broadcast bucket offset gives every row its exact global prefix sum.
+
+    No global window, no driver collect of data rows. Quality ties across a
+    bucket boundary cannot split wrongly (equal scores always share a
+    bucket); within a bucket the order is total via the id tiebreak.
+    Output: (id, n_tokens, quality_score, cum_tokens) for the kept rows."""
+    scored = quality_score(docs, text_col, id_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    b = F.least(
+        F.floor((F.lit(1.0) - F.col("quality_score")) * n_buckets),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    with_b = scored.withColumn("_b", F.greatest(b, F.lit(0)))
+    totals = {
+        r._b: r._t
+        for r in with_b.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    }  # ≤ n_buckets rows — bounded by the constant, not the data
+    offsets, run = [], 0
+    for i in range(n_buckets):
+        offsets.append((i, run))
+        run += int(totals.get(i, 0))
+    spark = docs.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_b int, _offset long")
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_b.join(off, "_b")
+        .withColumn("cum_tokens", (F.sum("n_tokens").over(w) + F.col("_offset")))
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select(id_col, "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
 def fingerprint(
     docs: DataFrame, n: int = 8, window: int = 4,
     text_col: str = "text", id_col: str = "doc_id",

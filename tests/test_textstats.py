@@ -83,3 +83,45 @@ def test_runs_on_real_corpus(spark):
     assert textstats.language_id(docs).count() == 100
     assert textstats.quality_score(docs).count() == 100
     assert textstats.fingerprint_summary(docs, n=8, window=4).count() == 100
+
+
+def test_budget_pack_matches_sequential_greedy(spark):
+    """The bucketed distributed prefix sum == the naive sequential greedy:
+    sort all docs by (quality desc, id), accumulate, keep while ≤ budget."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    scored = sorted(
+        textstats.quality_score(docs).select(
+            "doc_id", "n_tokens", "quality_score"
+        ).collect(),
+        key=lambda r: (-r.quality_score, r.doc_id),
+    )
+    budget = 5_000
+    run, expected = 0, {}
+    for r in scored:
+        run += r.n_tokens
+        if run > budget:
+            break
+        expected[r.doc_id] = run
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in textstats.budget_pack(docs, budget).collect()
+    }
+    assert got == expected and got  # nonempty and exact, incl. cum values
+
+
+def test_budget_pack_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the and is of to in it for on this " * 30),  # high stop-ratio
+            (2, ";;;;;;;;;;"),  # junk
+            (3, "plain english words here with the usual amount of text"),
+        ],
+        "doc_id long, text string",
+    )
+    # budget below the best doc's token count -> empty selection
+    assert textstats.budget_pack(docs, 1).count() == 0
+    # budget exactly at the first cum -> inclusive keep
+    first = textstats.budget_pack(docs, 10**9).orderBy("cum_tokens").first()
+    assert textstats.budget_pack(docs, first.cum_tokens).count() == 1
+    # huge budget keeps everything
+    assert textstats.budget_pack(docs, 10**9).count() == 3
