@@ -1233,6 +1233,126 @@ def q_multimodal_gif_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_adpcm_codec(spark, sf_dir):
+    """The REAL compressed-audio lane (IMA ADPCM, WAV format tag 0x11 —
+    functions/adpcmkit.py: 4-bit adaptive delta quantization, 4:1 vs PCM),
+    oracle-checked end-to-end via its invariants: a 1000-sample tone whose
+    amplitude/frequency derive from each document's codepoints round-trips
+    through encode + decode. The first sample is stored VERBATIM in the
+    block header (IMA spec), so ``first_sample`` is codepoint-predictable in
+    exact integer SQL even though the codec is lossy; n_samples comes from
+    the mandatory ``fact`` chunk; psnr_ok pins the north's ≥ 40 dB lossy
+    invariant (measured floor 60.5 dB on this signal family); ratio_ok pins
+    genuine compression (WAV/ADPCM ≤ 0.35 × the 16-bit PCM payload)."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import adpcmkit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "ok_container": [], "n_samples": [],
+                   "framerate": [], "first_sample": [], "psnr_ok": [],
+                   "ratio_ok": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                amp = 4000 + (cps[0] % 96) * 64
+                freq = 80 + (cps[1 % len(cps)] % 64) * 8
+                i = np.arange(1000)
+                sig = (amp * np.sin(2 * np.pi * freq * i / 16000)).astype(
+                    np.int16
+                )
+                sig[0] = (cps[0] - 128) * 256  # block-header predictor: exact
+                body = adpcmkit.adpcm_wav_encode(sig, 16000)
+                dec, fr = adpcmkit.adpcm_wav_decode(body)
+                out["doc_id"].append(did)
+                out["ok_container"].append(
+                    bool(body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+                         and b"fact" in body[:64])
+                )
+                out["n_samples"].append(len(dec))
+                out["framerate"].append(int(fr))
+                out["first_sample"].append(int(dec[0]))
+                out["psnr_ok"].append(
+                    bool(adpcmkit.psnr_int16(sig, dec) >= 40.0)
+                )
+                out["ratio_ok"].append(bool(len(body) <= 0.35 * 2 * len(sig)))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_container boolean, n_samples long, "
+        "framerate int, first_sample int, psnr_ok boolean, ratio_ok boolean",
+    )
+
+
+def q_multimodal_avi_codec(spark, sf_dir):
+    """The REAL compressed-video lane (Motion-JPEG in a RIFF AVI container —
+    functions/avikit.py over functions/jpegkit.py: every frame a genuine
+    baseline-JPEG bitstream), oracle-checked end-to-end via its invariants:
+    two 16×16 smooth-gradient frames parameterized by each document's
+    codepoints go through avi_encode(q=95) + avi_decode. The container probe
+    (``avi_header_info`` — avih/strh parsing without frame decode) must
+    report exactly (16, 16, 2 frames, 12 fps), the decoded stack must match
+    those dims, and psnr_ok pins the ≥ 40 dB lossy invariant (measured floor
+    58.3 dB on this content family). Any RIFF framing, header pack, idx1, or
+    per-frame JPEG defect flips a boolean and breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import avikit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in it:
+            out = {"doc_id": [], "ok_container": [], "w": [], "h": [],
+                   "n_frames": [], "fps": [], "psnr_ok": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                frames = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+                for f in range(2):
+                    for c in range(3):
+                        base = cps[(f * 3 + c) % len(cps)]
+                        frames[f, :, :, c] = np.clip(
+                            base // 2 + xx * 4 + yy * 4 + f * 16, 0, 255
+                        )
+                body = avikit.avi_encode(frames, fps=12, quality=95)
+                w, h, n, fps = avikit.avi_header_info(body)
+                dec, dec_fps = avikit.avi_decode(body)
+                mse = float(
+                    np.mean(
+                        (frames.astype(np.float64) - dec.astype(np.float64))
+                        ** 2
+                    )
+                )
+                psnr = 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+                out["doc_id"].append(did)
+                out["ok_container"].append(
+                    bool(
+                        body[:4] == b"RIFF"
+                        and body[8:12] == b"AVI "
+                        and dec.shape == (2, 16, 16, 3)
+                        and dec_fps == 12
+                    )
+                )
+                out["w"].append(int(w))
+                out["h"].append(int(h))
+                out["n_frames"].append(int(n))
+                out["fps"].append(int(fps))
+                out["psnr_ok"].append(bool(psnr >= 40.0))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_container boolean, w int, h int, "
+        "n_frames int, fps int, psnr_ok boolean",
+    )
+
+
 def _codepoint_y4m_videos(spark, sf_dir):
     """(video_id, bytes, fmt='y4m'): two 16×16 RGB frames per document —
     frame f's pixels are the codepoints at cyclic offset 768·f — through the
@@ -1454,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "multimodal_jpeg_codec": q_multimodal_jpeg_codec,
         "multimodal_gif_codec": q_multimodal_gif_codec,
+        "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
+        "multimodal_avi_codec": q_multimodal_avi_codec,
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
         "ann_ivf_valid": q_ann_ivf_valid,
@@ -2342,6 +2464,33 @@ WHERE rank <= 10
             SELECT m.doc_id, TRUE AS ok_roundtrip, n.n_colors,
                    m.mean_r, m.mean_g, m.mean_b
             FROM means m JOIN ncol n ON m.doc_id = n.doc_id
+        """,
+        # IMA ADPCM is lossy, but the IMA block header stores the first
+        # sample VERBATIM (predictor seed), so first_sample is exact integer
+        # SQL off the codepoints; n_samples comes from the mandatory fact
+        # chunk; the booleans pin container structure, the ≥40 dB lossy
+        # invariant (floor 60.5 dB), and genuine 4:1-class compression
+        "multimodal_adpcm_codec": """
+            SELECT doc_id, TRUE AS ok_container,
+                   CAST(1000 AS BIGINT) AS n_samples,
+                   CAST(16000 AS INTEGER) AS framerate,
+                   CAST(((CASE WHEN length(text) = 0 THEN 0
+                               ELSE unicode(substr(text, 1, 1)) % 256 END)
+                         - 128) * 256 AS INTEGER) AS first_sample,
+                   TRUE AS psnr_ok, TRUE AS ratio_ok
+            FROM documents
+        """,
+        # MJPEG-in-AVI is lossy ⇒ pixels aren't SQL-predictable; the lane's
+        # invariants are: RIFF/AVI structure, the avih/strh header probe
+        # reporting exactly (16,16,2,12), decoded stack dims, PSNR ≥ 40 dB
+        # (floor 58.3 dB at q95 on smooth-gradient frames) — any container
+        # or per-frame JPEG defect flips a boolean and breaks the hash
+        "multimodal_avi_codec": """
+            SELECT doc_id, TRUE AS ok_container,
+                   CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+                   CAST(2 AS INTEGER) AS n_frames,
+                   CAST(12 AS INTEGER) AS fps, TRUE AS psnr_ok
+            FROM documents
         """,
         # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
         # are engine-hash-dependent, but their precision/validity is not —

@@ -66,6 +66,8 @@ HEADLINE = [
     "multimodal_y4m_codec",
     "multimodal_jpeg_codec",
     "multimodal_gif_codec",
+    "multimodal_adpcm_codec",
+    "multimodal_avi_codec",
     "dedup_video_pairs",
     "dedup_audio_pairs",
 ]

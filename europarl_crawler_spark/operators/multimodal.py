@@ -5,13 +5,17 @@ Arrow ``mapInPandas`` stages with explicit schemas and bounded batch sizes
 (the Spark-side plumbing is real and tested; decoders for container formats
 that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 
-Real decoders: raw / ppm / qraw / png / jpeg for images (functions/imaging.py
-— png is genuine zlib RFC 2083, jpeg is genuine baseline T.81/JFIF with
-DCT + Huffman, functions/jpegkit.py), wav (PCM, stdlib ``wave``) for audio,
-and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0 chroma
-subsampling) for video — used by the crawl pipeline and the feature lanes.
-Stubbed: webp/mp3/mp4 → NotImplementedError with the exact Arrow-stage
-shape already in place, so wiring a real codec is a one-function change.
+Real decoders: raw / ppm / qraw / png / jpeg / gif for images
+(functions/imaging.py — png is genuine zlib RFC 2083, jpeg is genuine
+baseline T.81/JFIF with DCT + Huffman, functions/jpegkit.py, gif is full
+variable-width LZW, functions/gifkit.py), wav (PCM, stdlib ``wave``) and
+adpcm (IMA ADPCM WAV tag 0x11, 4:1 lossy — functions/adpcmkit.py) for
+audio, and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0
+chroma subsampling) plus avi (Motion-JPEG in a RIFF AVI container —
+functions/avikit.py) for video — used by the crawl pipeline and the
+feature lanes. Stubbed: webp/mp3/mp4 → NotImplementedError with the exact
+Arrow-stage shape already in place, so wiring a real codec is a
+one-function change.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import imaging, videokit
+from ..functions import adpcmkit, avikit, imaging, videokit
 
 STUB_FORMATS = frozenset({"webp", "mp3", "mp4"})
 
@@ -228,19 +232,23 @@ AUDIO_SCHEMA = T.StructType(
 
 def audio_features(audios: DataFrame) -> DataFrame:
     """Audio feature extraction over (audio_id, bytes, fmt): real decode for
-    wav (PCM), nulls for stubbed compressed formats. One Arrow pass; the
-    per-element numpy work is sample math, not Python row logic — the same
-    stage shape as ``image_features``."""
+    wav (PCM, lossless) and adpcm (IMA ADPCM, 4:1 lossy — adpcmkit), nulls
+    for stubbed compressed formats (mp3). One Arrow pass; the per-element
+    numpy work is sample math, not Python row logic — the same stage shape
+    as ``image_features``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for aid, body, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
                 body = bytes(body)
-                if fmt != "wav":
+                if fmt == "wav":
+                    s, fr = wav_decode(body)
+                elif fmt == "adpcm":
+                    s, fr = adpcmkit.adpcm_wav_decode(body)
+                else:
                     rows.append((aid, len(body), None, None, None, None, None, None))
                     continue
-                s, fr = wav_decode(body)
                 x = s.astype(np.float64)
                 n = len(s)
                 zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
@@ -277,12 +285,15 @@ FRAME_SCHEMA = T.StructType(
 
 def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling over (video_id, bytes, fmt): REAL decode for y4m
-    (YUV4MPEG2 — functions/videokit.py, genuine BT.601 + 4:2:0 container),
-    ``NotImplementedError`` for compressed codecs (mp4/h264 — no ffmpeg in
-    the sandbox; the Arrow-stage shape is identical, so plugging a codec is
-    a one-function change). Emits every ``every_n``-th frame with luma mean
-    (from the encoded Y plane — integer-exact, SQL-predictable) and the
-    8×8-DCT perceptual hash of the decoded frame.
+    (YUV4MPEG2 — functions/videokit.py, genuine BT.601 + 4:2:0 container)
+    and avi (Motion-JPEG in RIFF AVI — functions/avikit.py, every frame a
+    genuine baseline-JPEG bitstream); ``NotImplementedError`` for other
+    compressed codecs (mp4/h264 — no ffmpeg in the sandbox; the Arrow-stage
+    shape is identical, so plugging a codec is a one-function change).
+    Emits every ``every_n``-th frame with luma mean (y4m: from the encoded
+    Y plane — integer-exact, SQL-predictable; avi: the same BT.601 integer
+    luma recomputed from the decoded RGB) and the 8×8-DCT perceptual hash
+    of the decoded frame.
 
     One Arrow pass partitioned by video — at scale the decode parallelism is
     the video count, and a long-tail video only ever costs its own task."""
@@ -292,13 +303,20 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
             rows = []
             for vid, body, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
                 body = bytes(body)
-                if fmt != "y4m":
+                if fmt == "y4m":
+                    frames, _fps = videokit.y4m_decode(body)
+                    lumas = videokit.y4m_luma_planes(body)
+                elif fmt == "avi":
+                    frames, _fps = avikit.avi_decode(body)
+                    p = frames.astype(np.int64)
+                    lumas = (
+                        77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128
+                    ) >> 8
+                else:
                     raise NotImplementedError(
                         f"video codec '{fmt}' requires ffmpeg-like decoder; "
-                        "stub per sandbox (y4m is the real lane)"
+                        "stub per sandbox (y4m/avi are the real lanes)"
                     )
-                frames, _fps = videokit.y4m_decode(body)
-                lumas = videokit.y4m_luma_planes(body)
                 n, h, w, _ = frames.shape
                 for idx in range(0, n, every_n):
                     rows.append(

@@ -1,0 +1,111 @@
+"""IMA ADPCM codec (functions/adpcmkit.py): WAV 0x11 container structure,
+block-header predictor exactness, multi-block boundaries, the >=40 dB lossy
+invariant on tones, genuine 4:1-class compression, and the audio_features
+crawl-lane dispatch."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from europarl_crawler_spark.functions import adpcmkit
+
+
+def _tone(n=1000, amp=8000, freq=440, rate=16000):
+    i = np.arange(n)
+    return (amp * np.sin(2 * np.pi * freq * i / rate)).astype(np.int16)
+
+
+def test_container_structure():
+    body = adpcmkit.adpcm_wav_encode(_tone(), 16000)
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    # fmt chunk: tag 0x0011, mono, 4-bit, declared samples-per-block ext
+    at = body.index(b"fmt ")
+    tag, ch, rate, _abps, balign, bits, ext, spb = struct.unpack_from(
+        "<HHIIHHHH", body, at + 8
+    )
+    assert (tag, ch, rate, bits) == (0x0011, 1, 16000, 4)
+    assert balign == adpcmkit.BLOCK_ALIGN
+    assert (ext, spb) == (2, adpcmkit.SAMPLES_PER_BLOCK)
+    # mandatory fact chunk carries the TRUE sample count (not block padding)
+    at = body.index(b"fact")
+    (size,), (n,) = (
+        struct.unpack_from("<I", body, at + 4),
+        struct.unpack_from("<I", body, at + 8),
+    )
+    assert (size, n) == (4, 1000)
+
+
+def test_first_sample_verbatim_in_block_header():
+    # The IMA block header stores sample 0 as the predictor seed — exact
+    # even though the codec is lossy (this is what the oracle pins).
+    for seed in (-32768, -1234, 0, 77, 32767):
+        sig = _tone(600)
+        sig[0] = seed
+        dec, fr = adpcmkit.adpcm_wav_decode(adpcmkit.adpcm_wav_encode(sig))
+        assert int(dec[0]) == seed and fr == 16000
+
+
+def test_psnr_on_tone_family():
+    # The codec-lane oracle asserts psnr_ok >= 40 dB; the measured floor on
+    # this amplitude/frequency family is ~60 dB — check a margin below that.
+    for amp, freq in [(4000, 80), (8000, 440), (10096, 584), (4064, 200)]:
+        sig = _tone(1000, amp, freq)
+        dec, _ = adpcmkit.adpcm_wav_decode(adpcmkit.adpcm_wav_encode(sig))
+        assert len(dec) == 1000
+        assert adpcmkit.psnr_int16(sig, dec) >= 50.0
+
+
+def test_multi_block_boundary():
+    # > SAMPLES_PER_BLOCK forces a second block: the decoder must restart
+    # from the new header and the fact count must trim the tail padding.
+    n = adpcmkit.SAMPLES_PER_BLOCK + 37
+    sig = _tone(n, 6000, 120)
+    body = adpcmkit.adpcm_wav_encode(sig)
+    dec, _ = adpcmkit.adpcm_wav_decode(body)
+    assert len(dec) == n
+    assert adpcmkit.psnr_int16(sig, dec) >= 50.0
+    # two block headers worth of data
+    at = body.index(b"data")
+    (dsize,) = struct.unpack_from("<I", body, at + 4)
+    assert dsize == 2 * adpcmkit.BLOCK_ALIGN
+
+
+def test_compression_ratio():
+    sig = _tone(4000, 9000, 300)
+    body = adpcmkit.adpcm_wav_encode(sig)
+    assert len(body) <= 0.35 * 2 * len(sig)  # vs 16-bit PCM payload
+
+
+def test_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="RIFF"):
+        adpcmkit.adpcm_wav_decode(b"nope" * 10)
+    good = adpcmkit.adpcm_wav_encode(_tone(100))
+    # strip the fact chunk -> must refuse (compressed WAV requires it)
+    at = good.index(b"fact")
+    stripped = good[:at] + good[at + 12 :]
+    with pytest.raises(ValueError, match="fact"):
+        adpcmkit.adpcm_wav_decode(stripped)
+
+
+def test_audio_features_dispatch(spark):
+    """fmt='adpcm' flows through the same Arrow stage as wav — real decode,
+    feature parity with the PCM lane on the same signal."""
+    from europarl_crawler_spark.operators.multimodal import (
+        audio_features,
+        wav_encode,
+    )
+
+    sig = _tone(2000, 9000, 250)
+    rows = [
+        ("pcm", bytearray(wav_encode(sig, 16000)), "wav"),
+        ("ima", bytearray(adpcmkit.adpcm_wav_encode(sig, 16000)), "adpcm"),
+        ("stub", bytearray(b"ID3\x00"), "mp3"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {r.audio_id: r for r in audio_features(df).collect()}
+    assert got["ima"].n_samples == 2000 and got["ima"].framerate == 16000
+    assert got["stub"].n_samples is None  # stub lane yields nulls
+    # lossy but close: features of decoded ADPCM track the PCM features
+    assert abs(got["ima"].rms - got["pcm"].rms) / got["pcm"].rms < 0.01
+    assert abs(got["ima"].zero_cross_rate - got["pcm"].zero_cross_rate) < 0.01
