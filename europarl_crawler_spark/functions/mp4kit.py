@@ -1,0 +1,183 @@
+"""MP4 / ISO BMFF (ISO 14496-12) container prober and writer — pure stdlib.
+
+Full mp4 *video* decode means H.264/H.265 entropy + prediction and stays
+stubbed in this sandbox. The part a web-scale pipeline runs over every
+crawled mp4 is the container walk: box tree → track dims, codec fourcc,
+duration, frame count, fps. ``mp4_probe`` implements that from the public
+box layout (size+fourcc framing, full-box version field, mvhd/tkhd/mdhd/
+stsd/stsz/stts), including 64-bit largesize boxes and version-1 headers, so
+it parses real-world files. ``mp4_write`` emits a structurally-genuine
+minimal mp4 (ftyp + moov with one video trak + mdat) for the synthetic-web
+side, so the probe lane is exercised end-to-end without a codec.
+
+Reference analog: the per-filetype extract dispatch
+(/root/reference/europarl/rules/extraction.py:27-52).
+
+Scale shape: probing touches only the box headers and sample tables —
+O(kB) per payload regardless of media size — inside the same Arrow batch
+stage as the other probes (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _boxes(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) across a box run."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        fourcc = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("mp4: malformed box size")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_probe(body: bytes) -> dict:
+    """Box-walk → (brand, duration_ms, w, h, codec, n_samples, fps). The
+    video trak's numbers win; fps = timescale-exact n_samples·mdhd_timescale
+    / track media duration, rounded. Raises ValueError unless a well-formed
+    ftyp + moov are present (the dispatcher's not-an-mp4 signal)."""
+    if len(body) < 16 or body[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp box")
+    brand = body[8:12].decode("latin1")
+    info = {
+        "brand": brand, "duration_ms": None, "w": None, "h": None,
+        "codec": None, "n_samples": None, "fps": None,
+    }
+    saw_moov = False
+    # per-track accumulator; committed to info when the track is video
+    trk: dict = {}
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal saw_moov, trk
+        for fourcc, p, q in _boxes(body, pos, end):
+            if fourcc in CONTAINERS:
+                if fourcc == b"trak":
+                    trk = {}
+                saw_moov = saw_moov or fourcc == b"moov"
+                walk(p, q)
+                if fourcc == b"trak" and trk.get("is_video"):
+                    info["w"], info["h"] = trk.get("w"), trk.get("h")
+                    info["codec"] = trk.get("codec")
+                    info["n_samples"] = trk.get("n_samples")
+                    dur, ts = trk.get("duration"), trk.get("timescale")
+                    if dur and ts and trk.get("n_samples"):
+                        info["fps"] = round(trk["n_samples"] * ts / dur)
+                continue
+            ver = body[p] if q > p else 0
+            if fourcc == b"mvhd":
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", body, p + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", body, p + 12)
+                if ts:
+                    info["duration_ms"] = dur * 1000 // ts
+            elif fourcc == b"tkhd":
+                # width/height: 16.16 fixed point at the box tail
+                w_fx, h_fx = struct.unpack_from(">II", body, q - 8)
+                trk["w"], trk["h"] = w_fx >> 16, h_fx >> 16
+            elif fourcc == b"mdhd":
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", body, p + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", body, p + 12)
+                trk["timescale"], trk["duration"] = ts, dur
+            elif fourcc == b"hdlr":
+                trk["is_video"] = body[p + 8 : p + 12] == b"vide"
+            elif fourcc == b"stsd":
+                (n_entries,) = struct.unpack_from(">I", body, p + 4)
+                if n_entries >= 1:
+                    trk["codec"] = body[p + 12 : p + 16].decode("latin1")
+            elif fourcc == b"stsz":
+                _sz, cnt = struct.unpack_from(">II", body, p + 4)
+                trk["n_samples"] = cnt
+
+    walk(0, len(body))
+    if not saw_moov:
+        raise ValueError("mp4: missing moov box")
+    return info
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def mp4_write(
+    w: int, h: int, n_frames: int, fps: int, samples: list[bytes],
+    codec: bytes = b"mp4v", timescale: int = 1000,
+) -> bytes:
+    """Minimal standards-shaped mp4: ftyp + moov (mvhd, one video trak with
+    tkhd/mdhd/hdlr/stbl sample tables) + mdat holding ``samples``. The
+    sample bytes are opaque to the container (codec fourcc declares them) —
+    this is the synthetic-web payload generator for the probe lane."""
+    if len(samples) != n_frames:
+        raise ValueError("mp4: one sample blob per frame required")
+    dur = n_frames * timescale // fps
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0) + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 7) + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0),
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00"
+    )
+    # VisualSampleEntry: 86 bytes total including its own size+fourcc
+    sample_entry = (
+        struct.pack(">I", 86) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1) + b"\x00" * 32
+        + struct.pack(">hH", 24, 0xFFFF)
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
+    stts = _box(
+        b"stts",
+        struct.pack(">II", 0, 1) + struct.pack(">II", n_frames, timescale // fps),
+    )
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, n_frames, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_frames)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    # stco patched after moov size is known (mdat payload offset)
+    stbl_wo_stco = stsd + stts + stsc + stsz
+
+    def assemble(chunk_offset: int) -> bytes:
+        stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", chunk_offset))
+        stbl = _box(b"stbl", stbl_wo_stco + stco)
+        minf = _box(b"minf", _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0)) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    moov_len = len(assemble(0))
+    mdat_payload = b"".join(samples)
+    offset = len(ftyp) + moov_len + 8  # first byte inside mdat
+    return ftyp + assemble(offset) + _box(b"mdat", mdat_payload)

@@ -13,9 +13,15 @@ adpcm (IMA ADPCM WAV tag 0x11, 4:1 lossy — functions/adpcmkit.py) for
 audio, and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0
 chroma subsampling) plus avi (Motion-JPEG in a RIFF AVI container —
 functions/avikit.py) for video — used by the crawl pipeline and the
-feature lanes. Stubbed: webp/mp3/mp4 → NotImplementedError with the exact
-Arrow-stage shape already in place, so wiring a real codec is a
-one-function change.
+feature lanes.
+
+Container-level metadata for mp3 and mp4 is REAL (``media_probe`` —
+MPEG frame-header walk in functions/mp3kit.py, ISO BMFF box walk in
+functions/mp4kit.py: dims, frame counts, fps, samplerate, bitrate,
+duration); only their SAMPLE decoders (Layer III filterbank, H.264)
+remain NotImplementedError stubs, as does webp pixel decode — each with
+the exact Arrow-stage shape in place so wiring a codec is a one-function
+change.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import adpcmkit, avikit, imaging, videokit
+from ..functions import adpcmkit, avikit, imaging, mp3kit, mp4kit, videokit
 
 STUB_FORMATS = frozenset({"webp", "mp3", "mp4"})
 
@@ -339,3 +345,113 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
 def frame_sample_stub(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Back-compat alias: the lane is real now (see ``frame_sample``)."""
     return frame_sample(videos, every_n)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("samplerate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _probe_one(body: bytes, fmt: str) -> dict:
+    """Container/frame-header metadata WITHOUT sample decode — the O(kB)
+    pass a 100 TB pipeline runs over every media blob before deciding what
+    to decode. Real parsers for wav/adpcm (RIFF fmt+fact), mp3 (frame-header
+    walk, mp3kit), y4m (stream header), avi (avih/strh, avikit), and mp4
+    (ISO BMFF box walk, mp4kit)."""
+    import struct as _struct
+
+    if fmt == "mp3":
+        p = mp3kit.mp3_probe(body)
+        return dict(
+            kind="audio", samplerate=p["samplerate"], channels=p["channels"],
+            bitrate_kbps=p["bitrate_kbps"], duration_ms=p["duration_ms"],
+            n_frames=p["n_frames"],
+        )
+    if fmt == "mp4":
+        p = mp4kit.mp4_probe(body)
+        return dict(
+            kind="video", w=p["w"], h=p["h"], n_frames=p["n_samples"],
+            fps=p["fps"], duration_ms=p["duration_ms"],
+        )
+    if fmt == "avi":
+        w, h, n, fps = avikit.avi_header_info(body)
+        return dict(
+            kind="video", w=w, h=h, n_frames=n, fps=fps,
+            duration_ms=n * 1000 // fps if fps else None,
+        )
+    if fmt == "y4m":
+        w, h, fps, n = videokit.y4m_parse_header(body)
+        return dict(
+            kind="video", w=w, h=h, n_frames=n, fps=fps,
+            duration_ms=n * 1000 // fps if fps else None,
+        )
+    if fmt in ("wav", "adpcm"):
+        if body[:4] != b"RIFF" or body[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, fmt_c, fact, data_len = 12, None, None, None
+        while pos + 8 <= len(body):
+            cid = body[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", body, pos + 4)
+            if cid == b"fmt ":
+                fmt_c = body[pos + 8 : pos + 8 + size]
+            elif cid == b"fact":
+                (fact,) = _struct.unpack_from("<I", body, pos + 8)
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size % 2)
+        if fmt_c is None or data_len is None:
+            raise ValueError("missing fmt/data chunk")
+        tag, ch, rate, abps, balign, bits = _struct.unpack_from("<HHIIHH", fmt_c, 0)
+        if tag == 0x0011:  # IMA ADPCM: fact carries the true sample count
+            n_samples = fact if fact is not None else 0
+        else:  # PCM
+            n_samples = data_len // (ch * (bits // 8))
+        return dict(
+            kind="audio", samplerate=rate, channels=ch,
+            bitrate_kbps=abps * 8 // 1000,
+            duration_ms=n_samples * 1000 // rate if rate else None,
+        )
+    raise NotImplementedError(f"no prober for format {fmt!r}")
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Media metadata over (media_id, bytes, fmt): one Arrow pass of
+    header-only parsing (no sample decode — O(kB) per payload regardless of
+    media size). Corrupt or unknown payloads yield ok=false with null
+    fields; a metadata pass over a web-scale crawl must not die on a
+    truncated download. This is the lane that makes the mp3/mp4 formats
+    REAL at the container level while their sample decoders remain declared
+    stubs (no Layer III filterbank / H.264 in the sandbox)."""
+
+    cols = [f.name for f in PROBE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, body, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                base = {c: None for c in cols}
+                base.update(media_id=mid, fmt=fmt, ok=False)
+                try:
+                    base.update(_probe_one(bytes(body), fmt), ok=True)
+                except (NotImplementedError, ValueError, IndexError,
+                        KeyError, EOFError):
+                    pass
+                rows.append(tuple(base[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        batches, schema=PROBE_SCHEMA
+    )
