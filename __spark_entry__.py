@@ -1353,6 +1353,51 @@ def q_multimodal_avi_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_webp_codec(spark, sf_dir):
+    """The REAL WebP lossless lane (VP8L, RFC 9649 — functions/webpkit.py:
+    prefix-coded literals on encode; the decoder handles the full spec
+    incl. transforms/cache/LZ77/meta groups), oracle-checked end-to-end
+    like the png/gif lanes: deterministic 8×8 RGB pixels from each
+    document's codepoints round-trip through encode+decode; VP8L is
+    lossless so DuckDB predicts the decoded means straight from the
+    codepoints — any bitstream defect (prefix-code emission, canonical
+    assignment, bit order) breaks the hash match. ok_magic pins the
+    RIFF/WEBP/VP8L container framing."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import webpkit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "ok_magic": [], "ok_roundtrip": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                body = webpkit.webp_encode(px)
+                dec = webpkit.webp_decode(body)
+                m = dec.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out["doc_id"].append(did)
+                out["ok_magic"].append(
+                    bool(body[:4] == b"RIFF" and body[8:16] == b"WEBPVP8L")
+                )
+                out["ok_roundtrip"].append(bool(np.array_equal(dec, px)))
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_magic boolean, ok_roundtrip boolean, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
 def q_multimodal_media_probe(spark, sf_dir):
     """Container-metadata probe lane (operators/multimodal.py:media_probe —
     functions/mp3kit.py + mp4kit.py): the O(kB) header-only pass a 100 TB
@@ -1643,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
         "multimodal_avi_codec": q_multimodal_avi_codec,
+        "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
@@ -2559,6 +2605,25 @@ WHERE rank <= 10
                    CAST(2 AS INTEGER) AS n_frames,
                    CAST(12 AS INTEGER) AS fps, TRUE AS psnr_ok
             FROM documents
+        """,
+        # VP8L is lossless ⇒ decoded pixels equal the codepoint-derived
+        # bytes; same mean oracle as png. ok_magic pins RIFF/WEBP/VP8L.
+        "multimodal_webp_codec": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 191)) AS i FROM documents)
+            )
+            SELECT doc_id,
+                   TRUE AS ok_magic,
+                   TRUE AS ok_roundtrip,
+                   round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY doc_id
         """,
         # the probe lane's every field is integer arithmetic on doc_id: the
         # oracle recomputes the MPEG frame-length/duration math, the ISO BMFF

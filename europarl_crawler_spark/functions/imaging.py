@@ -35,6 +35,11 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
              entropy coding, byte-stuffed JFIF container. Lossy; served at
              JPEG_QUALITY so the PSNR ≥ 40 dB invariant holds on any
              content. The web's dominant image format, handled for real.
+- ``webp`` : real WebP lossless / VP8L (RFC 9649 — functions/webpkit.py):
+             the fourth compression family (prefix-coded literals, and the
+             decoder additionally handles every spec feature — all four
+             transforms, color cache, LZ77 2D distances, meta prefix
+             groups — so files from other encoders decode too). Lossless.
 
 ``phash64`` is the classic 8×8-DCT perceptual hash (32×32 grayscale → DCT-II →
 top-left 8×8 minus DC → sign vs median → 64-bit int), all numpy matmuls so it
@@ -48,8 +53,8 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif")
-LOSSLESS = frozenset({"raw", "ppm", "png", "gif"})
+FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp")
+LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp"})
 
 # serving quality for the crawl's jpeg lane: quant steps ≈ 1, so even noise
 # payloads hold the input_hint's PSNR ≥ 40 dB lossy invariant (measured
@@ -85,6 +90,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from . import gifkit
 
         return gifkit.gif_encode(px)
+    if fmt == "webp":
+        from . import webpkit
+
+        return webpkit.webp_encode(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -117,6 +126,12 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         px = gifkit.gif_decode(payload)
         assert px.shape == (h, w, 3), "GIF header/metadata mismatch"
+        return px
+    if fmt == "webp":
+        from . import webpkit
+
+        px = webpkit.webp_decode(payload)
+        assert px.shape == (h, w, 3), "WEBP header/metadata mismatch"
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 

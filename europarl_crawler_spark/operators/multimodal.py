@@ -15,13 +15,13 @@ chroma subsampling) plus avi (Motion-JPEG in a RIFF AVI container —
 functions/avikit.py) for video — used by the crawl pipeline and the
 feature lanes.
 
-Container-level metadata for mp3 and mp4 is REAL (``media_probe`` —
-MPEG frame-header walk in functions/mp3kit.py, ISO BMFF box walk in
-functions/mp4kit.py: dims, frame counts, fps, samplerate, bitrate,
-duration); only their SAMPLE decoders (Layer III filterbank, H.264)
-remain NotImplementedError stubs, as does webp pixel decode — each with
-the exact Arrow-stage shape in place so wiring a codec is a one-function
-change.
+Images additionally decode webp (real VP8L lossless, RFC 9649 —
+functions/webpkit.py). Container-level metadata for mp3 and mp4 is REAL
+(``media_probe`` — MPEG frame-header walk in functions/mp3kit.py, ISO
+BMFF box walk in functions/mp4kit.py: dims, frame counts, fps,
+samplerate, bitrate, duration); only their SAMPLE decoders (Layer III
+filterbank, H.264) remain NotImplementedError stubs, each with the exact
+Arrow-stage shape in place so wiring a codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from ..functions import adpcmkit, avikit, imaging, mp3kit, mp4kit, videokit
 
-STUB_FORMATS = frozenset({"webp", "mp3", "mp4"})
+STUB_FORMATS = frozenset({"mp3", "mp4"})  # sample decode only; see media_probe
 
 META_SCHEMA = T.StructType(
     [

@@ -132,6 +132,10 @@ def _gen_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # larger html tiles keep ppm — the same content-driven
                 # format choice a real image host makes
                 fmt = "gif"
+            elif ftype == ".html" and key % 4 == 0:
+                # prefix-coded lossless lane: real VP8L WebP
+                # (functions/webpkit.py) — the fourth compression family
+                fmt = "webp"
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             out["bytes"].append(imaging.encode(px, fmt))
             out["w"].append(w)
