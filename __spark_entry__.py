@@ -1353,6 +1353,40 @@ def q_multimodal_avi_codec(spark, sf_dir):
     )
 
 
+def q_store_incremental_read(spark, sf_dir):
+    """Iceberg-style incremental (CDC) consumption
+    (sources/epochstore.py:read_changes): a downstream training-data
+    pipeline processes ONLY what new crawl epochs wrote — never a rescan of
+    the base table. Builds a 3-epoch store from the documents table (epoch
+    1: even doc_ids; epoch 2: every 3rd doc_id updated with a '-v2' suffix;
+    epoch 3: every 10th doc_id tombstoned), then reads the change window
+    (since=1): net per-key latest versions tagged upsert/delete. The window
+    is manifest-pruned to delta directories only. DuckDB recomputes the
+    expected change set in pure SQL."""
+    import tempfile
+
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = EpochStore(tempfile.mkdtemp(prefix="cdc-query-"))
+    store.merge("docs", d.filter(F.col("doc_id") % 2 == 0), 1, keys=["doc_id"])
+    store.merge(
+        "docs",
+        d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat("text", F.lit("-v2"))
+        ),
+        2,
+        keys=["doc_id"],
+    )
+    store.delete("docs", d.filter(F.col("doc_id") % 10 == 0), 3, keys=["doc_id"])
+    ch = store.read_changes("docs", spark, since=1)
+    return ch.select(
+        "doc_id",
+        F.length("text").cast("int").alias("text_len"),
+        F.col("_change").alias("change"),
+    )
+
+
 def q_multimodal_webp_codec(spark, sf_dir):
     """The REAL WebP lossless lane (VP8L, RFC 9649 — functions/webpkit.py:
     prefix-coded literals on encode; the decoder handles the full spec
@@ -1688,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
         "multimodal_avi_codec": q_multimodal_avi_codec,
+        "store_incremental_read": q_store_incremental_read,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
         "dedup_lsh_precision": q_dedup_lsh_precision,
@@ -2605,6 +2640,18 @@ WHERE rank <= 10
                    CAST(2 AS INTEGER) AS n_frames,
                    CAST(12 AS INTEGER) AS fps, TRUE AS psnr_ok
             FROM documents
+        """,
+        # the change window holds keys committed in epochs 2-3, latest-wins:
+        # %10==0 keys end tombstoned (epoch 3), the rest are the epoch-2
+        # '-v2' updates — pure modular arithmetic for the oracle
+        "store_incremental_read": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN NULL
+                             ELSE length(text) + 3 END AS INTEGER) AS text_len,
+                   CASE WHEN doc_id % 10 = 0 THEN 'delete'
+                        ELSE 'upsert' END AS change
+            FROM documents
+            WHERE doc_id % 3 = 0 OR doc_id % 10 = 0
         """,
         # VP8L is lossless ⇒ decoded pixels equal the codepoint-derived
         # bytes; same mean oracle as png. ok_magic pins RIFF/WEBP/VP8L.

@@ -122,6 +122,10 @@ def main(argv=None) -> None:
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--img-px", type=int, default=8)
     p.add_argument("--no-warmup", action="store_true")
+    # warm-up exists to pay JIT/codegen/Arrow-worker startup, not to move
+    # data: cap its per-host budget so the untimed epoch stays short while
+    # still exercising every stage of the pipeline
+    p.add_argument("--warmup-budget", type=int, default=None)
     p.add_argument("--web", default=None, help="pre-generated web dir (reused across runs)")
     p.add_argument("--store", default=None)
     # executor-style sharding: this process crawls only hosts with
@@ -130,6 +134,12 @@ def main(argv=None) -> None:
     # launches K concurrent processes to evidence a K-executor cluster)
     p.add_argument("--host-shard", type=int, default=0)
     p.add_argument("--host-shards", type=int, default=1)
+    # start barrier: with a dir given, every process finishes its warm-up,
+    # drops ready-{shard}, and blocks until the harness writes "go" — so the
+    # timed windows of concurrent executor-processes align exactly and the
+    # harness's /proc/stat deltas attribute CPU to timed work only (JVM
+    # startup, JIT, and warm-up excluded at every parallelism level alike)
+    p.add_argument("--barrier-dir", default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -190,8 +200,13 @@ def main(argv=None) -> None:
         # store so JIT / codegen / Arrow worker startup don't bill the first
         # timed epoch (the cross-level comparison needs equally-warm JVMs)
         warm_store = EpochStore(tempfile.mkdtemp() + "/warm")
+        warm_budgets = budgets
+        if args.warmup_budget:
+            warm_budgets = budgets.withColumn(
+                "budget", F.least("budget", F.lit(args.warmup_budget))
+            )
         warm_pending = frontier
-        warm_drained = priority_drain(warm_pending, budgets)
+        warm_drained = priority_drain(warm_pending, warm_budgets)
         warm_fetched = simulate_requests(
             warm_drained, web, 1, datetime.now(timezone.utc)
         ).persist()
@@ -201,6 +216,15 @@ def main(argv=None) -> None:
             keys=["image_id"],
         )
         warm_fetched.unpersist()
+
+    if args.barrier_dir:
+        bdir = os.path.abspath(args.barrier_dir)
+        os.makedirs(bdir, exist_ok=True)
+        with open(os.path.join(bdir, f"ready-{args.host_shard}"), "w") as f:
+            f.write(str(os.getpid()))
+        go = os.path.join(bdir, "go")
+        while not os.path.exists(go):
+            time.sleep(0.05)
 
     t0 = time.perf_counter()
     fetched_total = 0

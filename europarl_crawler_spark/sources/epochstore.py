@@ -174,3 +174,55 @@ class EpochStore:
                 .drop("_rn")
             )
         return df.filter(~F.col("_deleted"))
+
+    def read_changes(
+        self,
+        table: str,
+        spark: SparkSession,
+        since: int,
+        until: int | None = None,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Incremental scan (the Iceberg CDC / incremental-append analog):
+        the NET row changes committed in epochs (since, until] — each key's
+        latest version in the window, with ``_change`` = 'upsert' |
+        'delete'. This is how a downstream training-data pipeline consumes
+        the crawl without rescanning the table: process only what the new
+        epochs wrote.
+
+        Scale shape: reads ONLY the delta directories in the window
+        (manifest-pruned — no scan of the base), one window per key within
+        the window for latest-wins. Raises if the window crosses a ``base``
+        snapshot (compaction rewrites every row, so 'what changed' is no
+        longer answerable from data files — the same rule Iceberg's
+        incremental read enforces for overwrite snapshots).
+        """
+        ms = [
+            m for m in self.manifests(table)
+            if m["epoch"] > since and (until is None or m["epoch"] <= until)
+        ]
+        if not ms:
+            if schema is None:
+                raise ValueError(f"no commits after epoch {since} and no schema given")
+            return spark.createDataFrame([], schema).withColumn(
+                "_change", F.lit("upsert")
+            )
+        if any(m["kind"] == "base" for m in ms):
+            raise ValueError(
+                "incremental read across a base snapshot (compaction) is "
+                "not change-preserving; read from the compacted epoch instead"
+            )
+        parts = [str(self.root / table / f"epoch={m['epoch']}") for m in ms]
+        df = spark.read.option("mergeSchema", "true").parquet(*parts)
+        keys = self._keys(table)
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(F.desc("_epoch"))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return df.withColumn(
+            "_change",
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+        ).drop("_deleted")

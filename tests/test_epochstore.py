@@ -72,3 +72,41 @@ def test_empty_read_needs_schema(spark, store):
     assert store.read("nope", spark, schema=schema).count() == 0
     with pytest.raises(ValueError):
         store.read("nope", spark)
+
+
+def test_read_changes_incremental(spark, store):
+    """CDC window: net per-key changes in (since, until], upsert/delete
+    tagged — the downstream pipeline's process-only-new-epochs primitive."""
+    store.merge("t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B2"), (4, "d")]), 2, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B3"), (5, "e")]), 3, keys=["k"])
+    store.delete("t", _df(spark, [(1, "a")]), 4, keys=["k"])
+
+    got = {(r.k, r.v, r._change)
+           for r in store.read_changes("t", spark, since=1).collect()}
+    assert got == {(2, "B3", "upsert"), (4, "d", "upsert"),
+                   (5, "e", "upsert"), (1, None, "delete")}
+
+    # bounded window: only epoch 2's commits
+    got = {(r.k, r.v, r._change)
+           for r in store.read_changes("t", spark, since=1, until=2).collect()}
+    assert got == {(2, "B2", "upsert"), (4, "d", "upsert")}
+
+    # empty window with schema → empty frame, not an error
+    import pyspark.sql.types as st
+    sch = st.StructType([st.StructField("k", st.LongType()),
+                         st.StructField("v", st.StringType())])
+    assert store.read_changes("t", spark, since=9, schema=sch).count() == 0
+
+
+def test_read_changes_refuses_crossing_compaction(spark, store):
+    store.merge("t", _df(spark, [(1, "a")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "b")]), 2, keys=["k"])
+    store.compact("t", spark, 3)
+    store.merge("t", _df(spark, [(3, "c")]), 4, keys=["k"])
+    with pytest.raises(ValueError, match="base snapshot"):
+        store.read_changes("t", spark, since=2)
+    # from the compacted epoch onward is fine
+    got = {(r.k, r._change)
+           for r in store.read_changes("t", spark, since=3).collect()}
+    assert got == {(3, "upsert")}

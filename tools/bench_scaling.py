@@ -46,13 +46,14 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-HOSTS = int(os.environ.get("SCALE_HOSTS", "10000"))
+HOSTS = int(os.environ.get("SCALE_HOSTS", "30000"))
 URLS_PER_HOST = int(os.environ.get("SCALE_URLS_PER_HOST", "300"))
-IMG_PX = int(os.environ.get("SCALE_IMG_PX", "16"))
-EPOCHS = int(os.environ.get("SCALE_EPOCHS", "2"))
-TRIALS = int(os.environ.get("SCALE_TRIALS", "6"))
-CORES_PER_PROC = int(os.environ.get("SCALE_CORES_PER_PROC", "2"))
+IMG_PX = int(os.environ.get("SCALE_IMG_PX", "8"))
+EPOCHS = int(os.environ.get("SCALE_EPOCHS", "1"))
+TRIALS = int(os.environ.get("SCALE_TRIALS", "4"))
+CORES_PER_PROC = int(os.environ.get("SCALE_CORES_PER_PROC", "1"))
 PROBE_TOL = float(os.environ.get("SCALE_PROBE_TOL", "1.5"))
+WARMUP_BUDGET = int(os.environ.get("SCALE_WARMUP_BUDGET", "5"))
 
 _PROBE_CODE = """
 import time, numpy as np
@@ -126,6 +127,7 @@ def launch(
     shards: int = 1,
     epochs: int = EPOCHS,
     warmup: bool = True,
+    barrier_dir: str | None = None,
 ) -> tuple[subprocess.Popen, str]:
     driver = workdir / "driver.py"
     if not driver.exists():
@@ -160,7 +162,10 @@ def launch(
         "--store", store,
         "--host-shard", str(shard),
         "--host-shards", str(shards),
-    ] + ([] if warmup else ["--no-warmup"])
+        "--warmup-budget", str(WARMUP_BUDGET),
+    ] + ([] if warmup else ["--no-warmup"]) + (
+        ["--barrier-dir", barrier_dir] if barrier_dir else []
+    )
     env = dict(
         os.environ,
         PYSPARK_PYTHON=sys.executable,
@@ -192,19 +197,50 @@ def ensure_web(pkg_zip: Path, web_dir: str, workdir: Path) -> None:
 
 
 def run_cluster(n_procs: int, pkg_zip: Path, web_dir: str, workdir: Path) -> dict:
+    """One leg: n_procs executor-processes over disjoint host shards.
+
+    A file barrier aligns the timed windows: every process finishes JVM
+    startup + JIT warm-up, reports ready, and the timed epochs start
+    simultaneously on "go". The /proc/stat CPU delta is taken from the "go"
+    instant to the last process exit, so user/system/steal attribution
+    covers TIMED work only — identically at both parallelism levels (the
+    previous whole-process window billed 4× JVM startup+JIT to the 4N leg's
+    work-efficiency)."""
+    import time as _time
+
+    bdir = tempfile.mkdtemp(prefix=f"scale-barrier-{n_procs}-")
     procs = [
-        launch(CORES_PER_PROC, pkg_zip, web_dir, workdir, shard=i, shards=n_procs)
+        launch(
+            CORES_PER_PROC, pkg_zip, web_dir, workdir,
+            shard=i, shards=n_procs, barrier_dir=bdir,
+        )
         for i in range(n_procs)
     ]
+    deadline = _time.time() + 1800
+    while len(list(Path(bdir).glob("ready-*"))) < n_procs:
+        if _time.time() > deadline:
+            for p, _ in procs:
+                p.kill()
+            raise RuntimeError("scale bench barrier timed out")
+        _time.sleep(0.2)
+    cpu0 = read_cpu()
+    (Path(bdir) / "go").write_text("go")
     runs = [collect(p, s) for p, s in procs]
+    cpu = cpu_delta(cpu0, read_cpu())
+    shutil.rmtree(bdir, ignore_errors=True)
     urls = sum(r["urls_fetched"] for r in runs)
     wall = max(r["wall_sec"] for r in runs)
+    busy = cpu["user"] + cpu["system"]
     return {
         "executors": n_procs,
         "cores_per_executor": CORES_PER_PROC,
         "urls_fetched": urls,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(urls / wall, 2),
+        "cpu": cpu,
+        "sys_frac": round(cpu["system"] / busy, 3) if busy else None,
+        "urls_per_user_cpu_sec": round(urls / cpu["user"], 1) if cpu["user"] else None,
+        "stages": [r.get("stages") for r in runs],
         "shards": [
             {"shard": i, "urls": r["urls_fetched"], "wall_sec": r["wall_sec"]}
             for i, r in enumerate(runs)
@@ -225,17 +261,9 @@ def main_procs() -> None:
         probes = {}
         for lvl in levels:  # legs back-to-back: paired, symmetric counts
             probes[lvl] = cpu_probe()
-            c0 = read_cpu()
             r = run_cluster(lvl, pkg_zip, web_dir, workdir)
-            cpu = cpu_delta(c0, read_cpu())
             r["trial"] = t + 1
             r["probe_sec"] = probes[lvl]
-            r["cpu"] = cpu
-            busy = cpu["user"] + cpu["system"]
-            r["sys_frac"] = round(cpu["system"] / busy, 3) if busy else None
-            r["urls_per_user_cpu_sec"] = (
-                round(r["urls_fetched"] / cpu["user"], 1) if cpu["user"] else None
-            )
             trials[lvl].append(r)
             print(json.dumps(r), flush=True)
         probe_ratio = max(probes.values()) / min(probes.values())
@@ -348,10 +376,17 @@ per-pair efficiencies over same-window pairs; best-of-N and unpaired medians
 are reported as supplementary only. JVM pools pinned per process
 (`-XX:ActiveProcessorCount`); one BLAS thread per Python worker.
 
-Every leg additionally records system-wide `/proc/stat` deltas (user /
-kernel / hypervisor-steal CPU-seconds over the leg's wall window; nothing
-else runs on the host during the run). The single-threaded probe fingerprints
-userland speed, but this VM's documented ceiling is KERNEL-side (syscall and
+**Start barrier.** Within a leg, every executor-process finishes JVM
+startup + JIT warm-up (one full untimed pipeline epoch), reports ready, and
+the timed epochs start simultaneously on a file-barrier "go" — so the leg's
+makespan is the true concurrent makespan and none of a process's startup
+overlaps another's timed window.
+
+Every leg records system-wide `/proc/stat` deltas from the barrier-release
+instant to the last process exit (user / kernel / hypervisor-steal
+CPU-seconds; nothing else runs on the host) — i.e. over TIMED work only,
+identically at both levels. The single-threaded probe fingerprints userland
+speed, but this VM's documented ceiling is KERNEL-side (syscall and
 scheduler time exploding above ~8 busy threads) — invisible to a 1-thread
 matmul. The `/proc/stat` deltas see it directly: they attribute each leg's
 wall time to engine work (user), host kernel overhead (system), and
