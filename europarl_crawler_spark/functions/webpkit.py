@@ -510,7 +510,7 @@ def webp_decode(body: bytes) -> np.ndarray:
         pos += 8 + size + (size % 2)
     if payload is None:
         raise ValueError("webp: no VP8L chunk (lossy VP8 not supported)")
-    if payload[0] != 0x2F:
+    if not payload or payload[0] != 0x2F:
         raise ValueError("vp8l: bad signature byte")
     br = BitReader(payload[1:])
     w = br.read(14) + 1

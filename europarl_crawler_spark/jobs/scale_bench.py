@@ -10,11 +10,12 @@ politeness budget (bucket cap 100/epoch), then measures URLs
   pending anti-join → two-stage salted priority drain → content-store fetch
   join → Arrow decode + phash extract → requests/documents merges
 
-Run via spark-submit at two parallelism levels (tools/bench_scaling.py) on
-the SAME input; efficiency = (thpt_4N / thpt_N) / 4.
+Run via spark-submit at two executor counts (tools/bench_scaling.py: 1 vs 4
+concurrent processes over disjoint host shards, timed windows aligned by a
+file barrier) on the SAME input; efficiency = (thpt_4N / thpt_N) / 4.
 
-    spark-submit --master local[8]  --py-files pkg.zip scale_bench.py --hosts 2000
-    spark-submit --master local[32] --py-files pkg.zip scale_bench.py --hosts 2000
+    spark-submit --master local[1] --py-files pkg.zip scale_bench.py \
+        --hosts 30000 --host-shard 0 --host-shards 4 --warmup-budget 5
 """
 
 from __future__ import annotations

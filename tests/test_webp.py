@@ -398,6 +398,16 @@ def test_rejects_bad_input():
         webp_decode(b"RIFF\x04\x00\x00\x00WEBP")
 
 
+def test_truncation_always_valueerror():
+    # a web-scale extract stage must get a CLEAN rejection for any
+    # truncated download — never an IndexError or a hang
+    rng = np.random.default_rng(99)
+    body = webp_encode(rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8))
+    for cut in range(len(body)):
+        with pytest.raises(ValueError):
+            webp_decode(body[:cut])
+
+
 def test_synthetic_web_serves_webp(spark):
     """The html lane serves real VP8L bytes that decode to exact pixels."""
     from datetime import date
