@@ -359,10 +359,32 @@ work is identical at both levels — the 4 shards partition the same workload;
 
 Workload: {HOSTS} politeness domains × {URLS_PER_HOST} URLs ({IMG_PX}px image
 payloads, {HOSTS * URLS_PER_HOST} content-store rows), per-host token budget
-100/epoch (reference bucket cap), {EPOCHS} epochs of the full pipeline after
-an untimed warm-up epoch: pending anti-join → two-stage salted priority
-drain → payload-stationary content-store fetch → Arrow decode+phash extract
-→ requests append + documents merge (snapshot commits).
+100/epoch (reference bucket cap), {EPOCHS} epoch(s) of the full pipeline
+after an untimed budget-capped warm-up epoch (budget {WARMUP_BUDGET}/host —
+pays JIT/codegen/Arrow-worker startup through every stage without moving an
+epoch of data): pending anti-join → two-stage salted priority drain →
+payload-stationary content-store fetch → Arrow decode+phash extract →
+requests append + documents merge (snapshot commits).
+
+### Workload sizing (single-trial calibration, exclusive host, local[1])
+
+Stage walls at three shard sizes of the 10k-host/1-epoch job expose the
+per-process PER-EPOCH fixed cost (driver/stage scheduling, equal task
+counts at every shard size — only bytes shrink):
+
+| slice | URLs/epoch | wall (s) | drain_fetch | extract_merge |
+|---|---|---|---|---|
+| full | 1,000,000 | 264.5 | 109.5 | 151.8 |
+| 1/4 | 250,000 | 88.3 | 15.9 | 71.7 |
+| 1/16 | 64,600 | 26.5 | 8.9 | 16.9 |
+
+Fitting wall = F + c·N gives F ≈ 10-30 s/epoch/process, c ≈ 240 µs/URL: at
+1M-URL epochs a quarter-shard's useful work (c·250k ≈ 60 s) is only ~2-6× F,
+capping wall efficiency at 0.5-0.7 REGARDLESS of the engine. A real cluster
+does not pay this 4×: one driver schedules the same total task count at
+both sizes; our executor-process model runs 4 drivers. The workload above
+therefore uses {HOSTS * 100}-URL epochs so per-shard work dominates F —
+the same regime a 10^10-URL frontier is always in.
 
 ## Measurement protocol (paired same-window trials — ADVICE r2)
 
