@@ -17,9 +17,12 @@ The sketch lanes (minhash/simhash/fingerprint) run with the PORTABLE hash
 family (functions/porthash.py — Rabin-Karp + affine mod 2^31-1, bit-identical
 in DuckDB SQL), so their full algorithm is value-checked by the oracle; the
 engine default for production remains xxhash64 (64-bit collision budget).
-Only the ANN top-k lanes keep engine-dependent plans (float-sum ordering) —
-they get rows-only checks plus deterministic empty-set validity oracles
-(``ann_lsh_valid``/``ann_ivf_valid``) and pytest recall baselines.
+The ANN top-k lanes are full-value-checked too (integer-scaled similarity
+scores make the ordering engine-independent; the SQL mirrors the bucket
+and probe-set construction), with deterministic empty-set validity oracles
+(``ann_lsh_valid``/``ann_ivf_valid``) and pytest recall baselines on top.
+Every ``queries()`` entry has an ``oracle_sql()`` counterpart — no
+rows-only lanes remain.
 """
 
 from __future__ import annotations
