@@ -499,11 +499,19 @@ def webp_decode(body: bytes) -> np.ndarray:
     image tables are RGB; decoded alpha is honored during reconstruction)."""
     if body[:4] != b"RIFF" or body[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP file")
+    (riff_size,) = struct.unpack_from("<I", body, 4)
+    if riff_size != len(body) - 8:
+        # the RIFF header states the container's exact byte length; any
+        # disagreement is a truncated (or padded) download — reject before
+        # touching the bitstream so the extract stage gets a clean error
+        raise ValueError("webp: truncated container (RIFF size mismatch)")
     pos = 12
     payload = None
     while pos + 8 <= len(body):
         fourcc = body[pos : pos + 4]
         (size,) = struct.unpack_from("<I", body, pos + 4)
+        if pos + 8 + size > len(body):
+            raise ValueError("webp: truncated chunk")
         if fourcc == b"VP8L":
             payload = body[pos + 8 : pos + 8 + size]
             break
