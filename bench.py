@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "store_incremental_read",
     "text_quality",
     "text_budget_pack",
     "text_language_id",

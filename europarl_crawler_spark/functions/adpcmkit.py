@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 # Public IMA step-size table (89 entries) and index-adjust table.
 STEP_TABLE = np.array(
     [
@@ -170,17 +172,23 @@ def adpcm_wav_encode(samples: np.ndarray, framerate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+@rejects_malformed("adpcm")
 def adpcm_wav_decode(body: bytes) -> tuple[np.ndarray, int]:
     """WAV/IMA-ADPCM bytes → (mono int16 samples, framerate). Chunk-walking
     RIFF parser: requires fmt tag 0x0011, mono, and a fact chunk (the true
     sample count — tail-block padding is not data)."""
     if body[:4] != b"RIFF" or body[8:12] != b"WAVE":
         raise ValueError("adpcm: not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", body, 4)
+    if riff_size != len(body) - 8:
+        raise ValueError("adpcm: truncated container (RIFF size mismatch)")
     pos = 12
     fmt = fact = data = None
     while pos + 8 <= len(body):
         cid = body[pos : pos + 4]
         (size,) = struct.unpack_from("<I", body, pos + 4)
+        if pos + 8 + size > len(body):
+            raise ValueError("adpcm: truncated chunk")
         payload = body[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = payload

@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 from . import jpegkit
 
 
@@ -87,14 +89,24 @@ def _walk(buf: bytes, pos: int, end: int):
     while pos + 8 <= end:
         fourcc = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("avi: truncated chunk")
         yield fourcc, pos + 8, size
         pos += 8 + size + (size % 2)
 
 
-def avi_decode(body: bytes) -> tuple[np.ndarray, int]:
-    """AVI/MJPG bytes → ((n, h, w, 3) uint8 RGB frames, fps)."""
+def _check_riff(body: bytes) -> None:
     if body[:4] != b"RIFF" or body[8:12] != b"AVI ":
         raise ValueError("avi: not a RIFF/AVI file")
+    (riff_size,) = struct.unpack_from("<I", body, 4)
+    if riff_size != len(body) - 8:
+        raise ValueError("avi: truncated container (RIFF size mismatch)")
+
+
+@rejects_malformed("avi")
+def avi_decode(body: bytes) -> tuple[np.ndarray, int]:
+    """AVI/MJPG bytes → ((n, h, w, 3) uint8 RGB frames, fps)."""
+    _check_riff(body)
     fps = 25
     jpegs: list[bytes] = []
 
@@ -117,11 +129,11 @@ def avi_decode(body: bytes) -> tuple[np.ndarray, int]:
     return frames, fps
 
 
+@rejects_malformed("avi")
 def avi_header_info(body: bytes) -> tuple[int, int, int, int]:
     """(w, h, n_frames, fps) straight from avih/strh without decoding frames
     — the container-structure probe the codec-lane oracle checks."""
-    if body[:4] != b"RIFF" or body[8:12] != b"AVI ":
-        raise ValueError("avi: not a RIFF/AVI file")
+    _check_riff(body)
     w = h = n = 0
     fps = 25
 

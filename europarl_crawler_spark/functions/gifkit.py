@@ -34,6 +34,8 @@ import struct
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 MAX_COLORS = 256
 _MAX_CODE_WIDTH = 12
 _TABLE_LIMIT = 1 << _MAX_CODE_WIDTH  # 4096 LZW codes
@@ -251,6 +253,7 @@ def gif_encode(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+@rejects_malformed("gif")
 def gif_decode(payload: bytes) -> np.ndarray:
     """GIF bytes → (h, w, 3) uint8. Accepts GIF87a/GIF89a, skips extension
     blocks, honors a local color table; non-interlaced only (asserted)."""
@@ -302,5 +305,14 @@ def gif_decode(payload: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("palette index out of range")
         assert (left, top, w, h) == (0, 0, sw, sh), "sub-rectangle frames unsupported"
+        # require the 0x3B trailer (extensions may precede it): a download cut
+        # right before the trailer is truncated even though the image decoded
+        while p < len(payload) and payload[p] == 0x21:
+            p += 2
+            while payload[p] != 0:
+                p += 1 + payload[p]
+            p += 1
+        if p >= len(payload) or payload[p] != 0x3B:
+            raise ValueError("gif: missing trailer (truncated stream)")
         return table[idx].reshape(h, w, 3).copy()
     raise ValueError("no image block in GIF")

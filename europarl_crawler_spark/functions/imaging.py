@@ -53,6 +53,8 @@ import zlib
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp")
 LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp"})
 
@@ -97,6 +99,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+@rejects_malformed("image")
 def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """payload bytes → (h, w, 3) uint8 pixels."""
     if fmt == "raw":
@@ -104,7 +107,8 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "ppm":
         # header is self-describing; trust it but cross-check against (w, h)
         parts = payload.split(b"\n", 3)
-        assert parts[0] == b"P6", "bad PPM magic"
+        if parts[0] != b"P6" or len(parts) < 4:
+            raise ValueError("ppm: bad magic / truncated header")
         pw, ph = (int(x) for x in parts[1].split())
         assert (pw, ph) == (w, h), "PPM header/metadata mismatch"
         return np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
@@ -196,6 +200,7 @@ def _png_encode(px: np.ndarray, level: int = 6) -> bytes:
     )
 
 
+@rejects_malformed("png")
 def _png_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Decode PNG bytes → (h, w, 3) uint8. Supports 8-bit RGB (color type 2),
     non-interlaced, all five filter types, multiple IDAT chunks; verifies
@@ -219,10 +224,17 @@ def _png_decode(payload: bytes, w: int, h: int) -> np.ndarray:
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
+            iend = True
             break
         pos += 12 + length
+    else:
+        iend = False
     if ihdr is None:
         raise ValueError("png: missing IHDR")
+    if not iend:
+        # a PNG without its IEND chunk is a truncated download even when
+        # every IDAT byte arrived (the CRC-checked loop above just stops)
+        raise ValueError("png: missing IEND (truncated stream)")
     pw, ph, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
     if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
         raise ValueError(

@@ -27,6 +27,8 @@ import struct
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 # ---------------------------------------------------------------------------
 # constant tables (ITU T.81 Annex K — public standard)
 # ---------------------------------------------------------------------------
@@ -311,6 +313,7 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+@rejects_malformed("jpeg")
 def jpeg_decode(body: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB. Decodes with the tables
     embedded in the stream; baseline 4:4:4 only (progressive / subsampled
@@ -373,9 +376,12 @@ def jpeg_decode(body: bytes) -> np.ndarray:
             break
     if data_start < 0 or not comps:
         raise ValueError("jpeg: no scan data")
-    # entropy data runs until EOI
+    # entropy data runs until EOI; a body with no EOI marker is a truncated
+    # download even when the entropy bits happen to decode completely
     end = body.rfind(b"\xff\xd9")
-    br = _BitReader(body[data_start : end if end > 0 else len(body)])
+    if end < 0:
+        raise ValueError("jpeg: missing EOI (truncated stream)")
+    br = _BitReader(body[data_start:end])
     d = _dct_matrix8()
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     planes = np.zeros((3, ph, pw), dtype=np.float64)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import struct
 
+from .kitguard import rejects_malformed
+
 # Public MPEG-1/2 Layer III bitrate table (kbps); index 0 = free, 15 = bad.
 BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
 BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
@@ -71,6 +73,7 @@ def frame_header(body: bytes, pos: int) -> dict | None:
     }
 
 
+@rejects_malformed("mp3")
 def mp3_probe(body: bytes) -> dict:
     """Walk every frame header: (n_frames, samplerate, channels, bitrate_kbps
     mode/average, duration_ms, vbr). Raises ValueError when no valid frame
@@ -91,6 +94,10 @@ def mp3_probe(body: bytes) -> dict:
             samplerate, channels = fh["samplerate"], fh["channels"]
         elif fh["samplerate"] != samplerate:
             break  # a new stream's parameters: treat as end
+        if pos + fh["length"] > len(body):
+            # valid header but the frame body is cut off — a truncated
+            # download, not trailing junk; reject instead of undercounting
+            raise ValueError("mp3: truncated final frame")
         n += 1
         samples += fh["samples"]
         bitrates[fh["bitrate"]] = bitrates.get(fh["bitrate"], 0) + 1

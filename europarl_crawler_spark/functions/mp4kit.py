@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import struct
 
+from .kitguard import rejects_malformed
+
 
 def _boxes(buf: bytes, pos: int, end: int):
     """Yield (fourcc, payload_start, payload_end) across a box run."""
@@ -38,11 +40,16 @@ def _boxes(buf: bytes, pos: int, end: int):
             raise ValueError("mp4: malformed box size")
         yield fourcc, body, pos + size
         pos += size
+    if pos != end:
+        # ISO BMFF boxes tile their container exactly; a 1-7 byte remainder
+        # is a truncated box header, not padding
+        raise ValueError("mp4: truncated box header")
 
 
 CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
+@rejects_malformed("mp4")
 def mp4_probe(body: bytes) -> dict:
     """Box-walk → (brand, duration_ms, w, h, codec, n_samples, fps). The
     video trak's numbers win; fps = timescale-exact n_samples·mdhd_timescale
@@ -106,6 +113,12 @@ def mp4_probe(body: bytes) -> dict:
     walk(0, len(body))
     if not saw_moov:
         raise ValueError("mp4: missing moov box")
+    if info["n_samples"]:
+        # the sample table declares media data; a file whose mdat box is
+        # entirely missing is a truncated download even though every box
+        # present parses (boxes tile exactly, so a partial mdat raises above)
+        if not any(f == b"mdat" for f, _, _ in _boxes(body, 0, len(body))):
+            raise ValueError("mp4: missing mdat (truncated stream)")
     return info
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 MAGIC = b"YUV4MPEG2"
 
 
@@ -81,6 +83,7 @@ def y4m_encode(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"".join(out)
 
 
+@rejects_malformed("y4m")
 def y4m_parse_header(body: bytes) -> tuple[int, int, int, int]:
     """Y4M bytes → (w, h, fps, n_frames) without decoding pixel data."""
     nl = body.index(b"\n")
@@ -95,11 +98,20 @@ def y4m_parse_header(body: bytes) -> tuple[int, int, int, int]:
             h = int(tok[1:])
         elif tok[:1] == b"F":
             fps = int(tok[1:].split(b":")[0])
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m: missing or non-positive W/H header")
     fsz = len(b"FRAME\n") + w * h + 2 * (w // 2) * (h // 2)
+    # Y4M carries no frame count — length implies it. A body that is not an
+    # exact multiple of the frame size was truncated mid-frame; reject it
+    # instead of silently dropping the partial tail (a truncation at an exact
+    # frame boundary is indistinguishable from a shorter video by design).
+    if (len(body) - nl - 1) % fsz != 0:
+        raise ValueError("y4m: truncated mid-frame")
     n_frames = (len(body) - nl - 1) // fsz
     return w, h, fps, n_frames
 
 
+@rejects_malformed("y4m")
 def y4m_decode(body: bytes) -> tuple[np.ndarray, int]:
     """Y4M bytes → ((n, h, w, 3) uint8 RGB frames, fps)."""
     w, h, fps, n = y4m_parse_header(body)
@@ -121,6 +133,7 @@ def y4m_decode(body: bytes) -> tuple[np.ndarray, int]:
     return frames, fps
 
 
+@rejects_malformed("y4m")
 def y4m_luma_planes(body: bytes) -> np.ndarray:
     """Y4M bytes → (n, h, w) uint8 luma planes — the exact encoded Y values
     (no decode round-trip), which integer math makes SQL-predictable."""

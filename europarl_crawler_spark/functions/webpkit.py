@@ -31,6 +31,8 @@ import struct
 
 import numpy as np
 
+from .kitguard import rejects_malformed
+
 # Code-length-code read order (spec §"normal code length code").
 K_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
@@ -494,6 +496,7 @@ def _inv_color_indexing(
     return out
 
 
+@rejects_malformed("webp")
 def webp_decode(body: bytes) -> np.ndarray:
     """WebP/VP8L bytes → (h, w, 3) uint8 RGB (alpha dropped — the repo's
     image tables are RGB; decoded alpha is honored during reconstruction)."""

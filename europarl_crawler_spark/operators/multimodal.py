@@ -27,6 +27,7 @@ Arrow-stage shape in place so wiring a codec is a one-function change.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 from typing import Iterator
 
@@ -211,15 +212,25 @@ def wav_decode(body: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (mono int16 samples, framerate). Real PCM decode via
     stdlib ``wave``; multi-channel input is averaged to mono. Compressed
     audio (mp3/…) stays stubbed — see STUB_FORMATS."""
-    with wave.open(io.BytesIO(body), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError("wav: only 16-bit PCM supported")
-        n = w.getnframes()
-        raw = np.frombuffer(w.readframes(n), dtype="<i2")
-        ch = w.getnchannels()
-        if ch > 1:
-            raw = raw.reshape(-1, ch).mean(axis=1).astype(np.int16)
-        return raw, w.getframerate()
+    if len(body) >= 8:
+        (riff_size,) = struct.unpack_from("<I", body, 4)
+        if riff_size != len(body) - 8:
+            raise ValueError("wav: truncated container (RIFF size mismatch)")
+    try:
+        with wave.open(io.BytesIO(body), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("wav: only 16-bit PCM supported")
+            n = w.getnframes()
+            ch = w.getnchannels()
+            raw = np.frombuffer(w.readframes(n), dtype="<i2")
+            if len(raw) != n * ch:
+                # the data chunk header promised more frames than the body holds
+                raise ValueError("wav: truncated data chunk")
+            if ch > 1:
+                raw = raw.reshape(-1, ch).mean(axis=1).astype(np.int16)
+            return raw, w.getframerate()
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"wav: malformed stream ({e})") from e
 
 
 AUDIO_SCHEMA = T.StructType(

@@ -81,11 +81,15 @@ def test_decode_rejects_bad_input():
     with pytest.raises(ValueError, match="RIFF"):
         adpcmkit.adpcm_wav_decode(b"nope" * 10)
     good = adpcmkit.adpcm_wav_encode(_tone(100))
-    # strip the fact chunk -> must refuse (compressed WAV requires it)
+    # strip the fact chunk (fixing up the RIFF size so the container-length
+    # check doesn't fire first) -> must refuse (compressed WAV requires it)
+    import struct
+
     at = good.index(b"fact")
-    stripped = good[:at] + good[at + 12 :]
+    stripped = bytearray(good[:at] + good[at + 12 :])
+    stripped[4:8] = struct.pack("<I", len(stripped) - 8)
     with pytest.raises(ValueError, match="fact"):
-        adpcmkit.adpcm_wav_decode(stripped)
+        adpcmkit.adpcm_wav_decode(bytes(stripped))
 
 
 def test_audio_features_dispatch(spark):
