@@ -1356,6 +1356,72 @@ def q_multimodal_avi_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_mp4_codec(spark, sf_dir):
+    """The REAL mp4 video lane (Motion-JPEG samples in an ISO BMFF
+    container — functions/mp4kit.py over functions/jpegkit.py: stsz/stsc/
+    stco sample-table walk, every sample a genuine baseline-JPEG
+    bitstream), oracle-checked end-to-end via its invariants exactly like
+    the AVI lane: two 16×16 smooth-gradient frames parameterized by each
+    document's codepoints go through mp4_encode_mjpeg(q=95) + mp4_decode.
+    The container probe (``mp4_probe`` — box walk without sample decode)
+    must report exactly (mjpg, 16, 16, 2 samples, 12 fps), the decoded
+    stack must match those dims, and psnr_ok pins the ≥ 40 dB lossy
+    invariant. Any box framing, sample-table, or per-sample JPEG defect
+    flips a boolean and breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import mp4kit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in it:
+            out = {"doc_id": [], "ok_container": [], "w": [], "h": [],
+                   "n_frames": [], "fps": [], "psnr_ok": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                frames = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+                for f in range(2):
+                    for c in range(3):
+                        base = cps[(f * 3 + c) % len(cps)]
+                        frames[f, :, :, c] = np.clip(
+                            base // 2 + xx * 4 + yy * 4 + f * 16, 0, 255
+                        )
+                body = mp4kit.mp4_encode_mjpeg(frames, fps=12, quality=95)
+                info = mp4kit.mp4_probe(body)
+                dec, dec_fps = mp4kit.mp4_decode(body)
+                mse = float(
+                    np.mean(
+                        (frames.astype(np.float64) - dec.astype(np.float64))
+                        ** 2
+                    )
+                )
+                psnr = 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+                out["doc_id"].append(did)
+                out["ok_container"].append(
+                    bool(
+                        body[4:8] == b"ftyp"
+                        and info["codec"] == "mjpg"
+                        and dec.shape == (2, 16, 16, 3)
+                        and dec_fps == 12
+                    )
+                )
+                out["w"].append(int(info["w"]))
+                out["h"].append(int(info["h"]))
+                out["n_frames"].append(int(info["n_samples"]))
+                out["fps"].append(int(info["fps"]))
+                out["psnr_ok"].append(bool(psnr >= 40.0))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_container boolean, w int, h int, "
+        "n_frames int, fps int, psnr_ok boolean",
+    )
+
+
 def q_store_incremental_read(spark, sf_dir):
     """Iceberg-style incremental (CDC) consumption
     (sources/epochstore.py:read_changes): a downstream training-data
@@ -1725,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
         "multimodal_avi_codec": q_multimodal_avi_codec,
+        "multimodal_mp4_codec": q_multimodal_mp4_codec,
         "store_incremental_read": q_store_incremental_read,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
@@ -2638,6 +2705,16 @@ WHERE rank <= 10
         # (floor 58.3 dB at q95 on smooth-gradient frames) — any container
         # or per-frame JPEG defect flips a boolean and breaks the hash
         "multimodal_avi_codec": """
+            SELECT doc_id, TRUE AS ok_container,
+                   CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+                   CAST(2 AS INTEGER) AS n_frames,
+                   CAST(12 AS INTEGER) AS fps, TRUE AS psnr_ok
+            FROM documents
+        """,
+        # same invariant family as the avi lane: probe fields are pinned
+        # container constants, decode correctness is folded into
+        # ok_container (codec fourcc, decoded dims/fps) and psnr_ok
+        "multimodal_mp4_codec": """
             SELECT doc_id, TRUE AS ok_container,
                    CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
                    CAST(2 AS INTEGER) AS n_frames,

@@ -70,6 +70,7 @@ HEADLINE = [
     "multimodal_gif_codec",
     "multimodal_adpcm_codec",
     "multimodal_avi_codec",
+    "multimodal_mp4_codec",
     "multimodal_webp_codec",
     "multimodal_media_probe",
     "dedup_video_pairs",

@@ -1,14 +1,19 @@
-"""MP4 / ISO BMFF (ISO 14496-12) container prober and writer — pure stdlib.
+"""MP4 / ISO BMFF (ISO 14496-12) container prober, writer, and MJPEG codec.
 
-Full mp4 *video* decode means H.264/H.265 entropy + prediction and stays
-stubbed in this sandbox. The part a web-scale pipeline runs over every
-crawled mp4 is the container walk: box tree → track dims, codec fourcc,
-duration, frame count, fps. ``mp4_probe`` implements that from the public
-box layout (size+fourcc framing, full-box version field, mvhd/tkhd/mdhd/
-stsd/stsz/stts), including 64-bit largesize boxes and version-1 headers, so
-it parses real-world files. ``mp4_write`` emits a structurally-genuine
-minimal mp4 (ftyp + moov with one video trak + mdat) for the synthetic-web
-side, so the probe lane is exercised end-to-end without a codec.
+H.264/H.265 decode means entropy + prediction and stays stubbed in this
+sandbox; Motion-JPEG in mp4 (codec fourcc ``mjpg`` — the same
+VisualSampleEntry layout QuickTime defined) is REAL here: every sample is a
+complete baseline-JPEG bitstream, so ``mp4_decode`` = sample-table walk
+(stsz/stsc/stco) + the genuine JPEG decoder in functions/jpegkit.py, exactly
+how the AVI lane decodes MJPG-in-RIFF (functions/avikit.py). The part a
+web-scale pipeline runs over EVERY crawled mp4 regardless of codec is the
+container walk: box tree → track dims, codec fourcc, duration, frame count,
+fps. ``mp4_probe`` implements that from the public box layout (size+fourcc
+framing, full-box version field, mvhd/tkhd/mdhd/stsd/stsz/stts), including
+64-bit largesize boxes and version-1 headers, so it parses real-world files.
+``mp4_write`` emits a structurally-genuine minimal mp4 (ftyp + moov with one
+video trak + full sample tables + mdat); ``mp4_encode_mjpeg`` fills it with
+real JPEG samples for the synthetic-web side.
 
 Reference analog: the per-filetype extract dispatch
 (/root/reference/europarl/rules/extraction.py:27-52).
@@ -120,6 +125,108 @@ def mp4_probe(body: bytes) -> dict:
         if not any(f == b"mdat" for f, _, _ in _boxes(body, 0, len(body))):
             raise ValueError("mp4: missing mdat (truncated stream)")
     return info
+
+
+@rejects_malformed("mp4")
+def mp4_samples(body: bytes) -> list[bytes]:
+    """The video track's raw sample bytes via its stsz/stsc/stco tables —
+    the ISO BMFF sample-to-chunk walk: stsc run-length-maps chunks to
+    samples-per-chunk, stco gives each chunk's absolute file offset, stsz
+    sizes lay samples consecutively within a chunk. Codec-agnostic; raises
+    ValueError when any declared sample falls outside the body (a truncated
+    download that still box-parses)."""
+    trk: dict = {}
+    video: dict | None = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal trk, video
+        for fourcc, p, q in _boxes(body, pos, end):
+            if fourcc in CONTAINERS:
+                if fourcc == b"trak":
+                    trk = {}
+                walk(p, q)
+                if fourcc == b"trak" and trk.get("is_video") and video is None:
+                    video = trk
+                continue
+            if fourcc == b"hdlr":
+                trk["is_video"] = body[p + 8 : p + 12] == b"vide"
+            elif fourcc == b"stsz":
+                _sz, cnt = struct.unpack_from(">II", body, p + 4)
+                if _sz:  # constant-size shorthand: no per-sample entries
+                    trk["sizes"] = [_sz] * cnt
+                else:
+                    trk["sizes"] = list(
+                        struct.unpack_from(f">{cnt}I", body, p + 12)
+                    )
+            elif fourcc == b"stsc":
+                (n,) = struct.unpack_from(">I", body, p + 4)
+                trk["stsc"] = [
+                    struct.unpack_from(">III", body, p + 8 + 12 * i)[:2]
+                    for i in range(n)
+                ]
+            elif fourcc == b"stco":
+                (n,) = struct.unpack_from(">I", body, p + 4)
+                trk["offsets"] = list(struct.unpack_from(f">{n}I", body, p + 8))
+
+    walk(0, len(body))
+    if not video or "sizes" not in video or "offsets" not in video:
+        raise ValueError("mp4: no video sample tables")
+    sizes, offsets = video["sizes"], video["offsets"]
+    stsc = video.get("stsc") or [(1, len(sizes))]
+    out: list[bytes] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        spc = next(
+            spc for first, spc in reversed(stsc) if first <= ci
+        )
+        off = chunk_off
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            size = sizes[si]
+            if off + size > len(body):
+                raise ValueError("mp4: sample out of range (truncated)")
+            out.append(body[off : off + size])
+            off += size
+            si += 1
+    if si != len(sizes):
+        raise ValueError("mp4: sample count / chunk tables disagree")
+    return out
+
+
+@rejects_malformed("mp4")
+def mp4_decode(body: bytes):
+    """MJPEG-in-mp4 bytes → ((n, h, w, 3) uint8 RGB frames, fps). Every
+    sample must be a baseline-JPEG bitstream (codec fourcc ``mjpg``); other
+    codecs raise NotImplementedError — the honest sandbox boundary (no
+    ffmpeg), same as the AVI lane's MJPG-only contract."""
+    import numpy as np
+
+    from . import jpegkit
+
+    info = mp4_probe(body)
+    if (info["codec"] or "").lower() not in ("mjpg", "jpeg"):
+        raise NotImplementedError(
+            f"mp4 codec {info['codec']!r} requires an ffmpeg-like decoder; "
+            "mjpg (Motion-JPEG) is the real lane in this sandbox"
+        )
+    frames = [jpegkit.jpeg_decode(s) for s in mp4_samples(body)]
+    if not frames:
+        raise ValueError("mp4: no video samples")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("mp4: inconsistent frame dims across samples")
+    return np.stack(frames), int(info["fps"] or 25)
+
+
+def mp4_encode_mjpeg(frames, fps: int = 25, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 frames → Motion-JPEG mp4: each frame a genuine
+    baseline-JPEG sample (functions/jpegkit.py), boxed by ``mp4_write`` with
+    codec fourcc ``mjpg``."""
+    from . import jpegkit
+
+    n, h, w, _ = frames.shape
+    samples = [jpegkit.jpeg_encode(frames[i], quality=quality) for i in range(n)]
+    return mp4_write(w, h, n, fps, samples, codec=b"mjpg")
 
 
 def _box(fourcc: bytes, payload: bytes) -> bytes:

@@ -40,7 +40,11 @@ from pyspark.sql import types as T
 
 from ..functions import adpcmkit, avikit, imaging, mp3kit, mp4kit, videokit
 
-STUB_FORMATS = frozenset({"mp3", "mp4"})  # sample decode only; see media_probe
+# mp3 audio decode stays stubbed (Layer III entropy + IMDCT, no codec lib);
+# mp4 VIDEO decode is real for mjpg samples (mp4kit.mp4_decode via the
+# frame_sample lane) — these two are not pixel formats, so the image-decode
+# dispatch below routes them to the honest NotImplementedError instead.
+STUB_FORMATS = frozenset({"mp3", "mp4"})
 
 META_SCHEMA = T.StructType(
     [
@@ -302,11 +306,13 @@ FRAME_SCHEMA = T.StructType(
 
 def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling over (video_id, bytes, fmt): REAL decode for y4m
-    (YUV4MPEG2 — functions/videokit.py, genuine BT.601 + 4:2:0 container)
-    and avi (Motion-JPEG in RIFF AVI — functions/avikit.py, every frame a
-    genuine baseline-JPEG bitstream); ``NotImplementedError`` for other
-    compressed codecs (mp4/h264 — no ffmpeg in the sandbox; the Arrow-stage
-    shape is identical, so plugging a codec is a one-function change).
+    (YUV4MPEG2 — functions/videokit.py, genuine BT.601 + 4:2:0 container),
+    avi (Motion-JPEG in RIFF AVI — functions/avikit.py), and mp4 holding
+    Motion-JPEG samples (``mjpg`` — functions/mp4kit.py walks stsz/stsc/stco
+    and jpeg-decodes every sample); every compressed frame is a genuine
+    baseline-JPEG bitstream. ``NotImplementedError`` for entropy-coded
+    codecs (h264/h265 — no ffmpeg in the sandbox; the Arrow-stage shape is
+    identical, so plugging a codec is a one-function change).
     Emits every ``every_n``-th frame with luma mean (y4m: from the encoded
     Y plane — integer-exact, SQL-predictable; avi: the same BT.601 integer
     luma recomputed from the decoded RGB) and the 8×8-DCT perceptual hash
@@ -323,8 +329,12 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
                 if fmt == "y4m":
                     frames, _fps = videokit.y4m_decode(body)
                     lumas = videokit.y4m_luma_planes(body)
-                elif fmt == "avi":
-                    frames, _fps = avikit.avi_decode(body)
+                elif fmt in ("avi", "mp4"):
+                    frames, _fps = (
+                        avikit.avi_decode(body)
+                        if fmt == "avi"
+                        else mp4kit.mp4_decode(body)
+                    )
                     p = frames.astype(np.int64)
                     lumas = (
                         77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128
@@ -332,7 +342,7 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"video codec '{fmt}' requires ffmpeg-like decoder; "
-                        "stub per sandbox (y4m/avi are the real lanes)"
+                        "stub per sandbox (y4m/avi/mp4-mjpg are the real lanes)"
                     )
                 n, h, w, _ = frames.shape
                 for idx in range(0, n, every_n):

@@ -1,8 +1,9 @@
 """Video near-duplicate detection via per-frame perceptual signatures.
 
 The crawl's extract stage can frame-sample videos (operators/multimodal.py:
-frame_sample — real decode for the Y4M lane); this module makes the sampled
-frames actionable for training-data curation: two videos are near-duplicates
+frame_sample — real decode for the y4m/avi/mp4-mjpg lanes); this module makes
+the sampled frames actionable for training-data curation: two videos are
+near-duplicates
 when any of their frames' perceptual hashes sit within a hamming radius —
 the standard frame-signature dedup a 100 TB video corpus needs (re-encoded,
 trimmed, or re-containered copies share frames even when the bytes differ).
@@ -12,11 +13,12 @@ at extraction; the curation layer dedups on what was extracted.
 
 Plan shape (the ONLY shuffles are hash-partitioned joins/aggregations):
 
-1. one Arrow ``mapInPandas`` pass over (video_id, bytes, fmt): parse the
-   Y4M container, take the STORED Y planes (no RGB round trip — the luma
-   plane is the codec's own integer BT.601 output), hash each sampled frame
-   with ``imagedup.ahash64_luma`` — the same oracle-verified arithmetic the
-   image lane uses;
+1. one Arrow ``mapInPandas`` pass over (video_id, bytes, fmt): decode the
+   container — y4m takes the STORED Y planes (no RGB round trip — the luma
+   plane is the codec's own integer BT.601 output); avi/mp4 decode their
+   Motion-JPEG samples and recompute the same integer luma — then hash each
+   sampled frame with ``imagedup.ahash64_luma`` — the same oracle-verified
+   arithmetic the image lane uses;
 2. banded hamming LSH over the frame signatures via the SHARED
    ``imagedup.hamming_near_pairs`` plan (pigeonhole-complete candidate join,
    candidate-local exact ``bit_count`` verify) with the signature id being a
@@ -52,20 +54,44 @@ def frame_signatures(
     id_col: str = "video_id",
 ) -> DataFrame:
     """(id, bytes, fmt) → (id, frame_idx, hash64): one Arrow pass that
-    parses the REAL Y4M container and hashes every ``every_n``-th frame's
-    stored luma plane with the image lane's ``ahash64_luma``. Non-y4m rows
-    drop (a curation pass skips what it cannot decode — compressed
-    inter-frame codecs need ffmpeg, stubbed per sandbox). The id column's
-    type is preserved so callers can key on whatever their catalog uses."""
+    decodes the REAL containers — y4m (stored luma planes, integer-exact),
+    avi and mp4 (Motion-JPEG samples via functions/avikit.py /
+    functions/mp4kit.py, BT.601 integer luma from the decoded RGB) — and
+    hashes every ``every_n``-th frame with the image lane's ``ahash64_luma``.
+    One arithmetic across containers means a y4m original and its mjpeg
+    re-encode land a few hamming bits apart — the cross-container near-dup
+    case a curation pass exists for. Rows in entropy-coded formats drop
+    (h264/h265 need ffmpeg, stubbed per sandbox); undecodable payloads drop
+    (skip what you cannot read). The id column's type is preserved so
+    callers can key on whatever their catalog uses."""
+    from ..functions import avikit, mp4kit
+
     id_type = videos.schema[id_col].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fids, hs = [], [], []
             for vid, body, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                if fmt != "y4m":
+                body = bytes(body)
+                try:
+                    if fmt == "y4m":
+                        lumas = videokit.y4m_luma_planes(body)
+                    elif fmt in ("avi", "mp4"):
+                        frames = (
+                            avikit.avi_decode(body)
+                            if fmt == "avi"
+                            else mp4kit.mp4_decode(body)
+                        )[0].astype("int64")
+                        lumas = (
+                            77 * frames[..., 0]
+                            + 150 * frames[..., 1]
+                            + 29 * frames[..., 2]
+                            + 128
+                        ) >> 8
+                    else:
+                        continue
+                except (NotImplementedError, ValueError):
                     continue
-                lumas = videokit.y4m_luma_planes(bytes(body))
                 for f in range(0, lumas.shape[0], every_n):
                     ids.append(vid)
                     fids.append(f)
@@ -121,9 +147,9 @@ def video_near_pairs(
     every_n: int = 1,
     id_col: str = "video_id",
 ) -> DataFrame:
-    """Near-duplicate video pairs straight from payload bytes: real Y4M
-    parse → per-frame luma ahash → banded hamming pairs → video-pair
-    collapse."""
+    """Near-duplicate video pairs straight from payload bytes: real
+    container decode (y4m/avi/mp4-mjpg) → per-frame luma ahash → banded
+    hamming pairs → video-pair collapse."""
     return video_near_pairs_from_signatures(
         frame_signatures(videos, every_n=every_n, id_col=id_col),
         max_hamming,

@@ -61,6 +61,9 @@ STRICT = [
         ),
         mp4kit.mp4_probe,
     ),
+    # every cut lands inside a box (or drops moov/mdat), so the box-tiling
+    # checks fire before the codec gate — ValueError, never a jpeg error
+    ("mp4_dec", mp4kit.mp4_encode_mjpeg(FRAMES[:2], fps=10), mp4kit.mp4_decode),
 ]
 
 

@@ -1,6 +1,7 @@
 """Video near-dup lane (operators/videodup.py): luma-ahash equivalence with
 the image lane, frame sampling, banded pair recall at the production
-threshold, video-pair collapse semantics, and non-y4m skip."""
+threshold, video-pair collapse semantics, undecodable-row skip, and
+cross-container (y4m/avi/mp4-mjpg) re-encode matching."""
 
 from __future__ import annotations
 
@@ -112,3 +113,49 @@ def test_video_near_pairs_end_to_end_bytes(spark):
     }
     assert got[("a", "b")] == (0, 2)
     assert ("a", "c") in got and ("b", "c") in got
+
+
+def test_cross_container_reencode_pairs(spark):
+    """The curation case the lane exists for: the SAME content stored as a
+    y4m master and as a Motion-JPEG mp4 re-encode must pair — one luma
+    arithmetic across containers keeps the hashes a few hamming bits apart
+    even through the lossy jpeg round trip."""
+    from europarl_crawler_spark.functions import avikit, mp4kit
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+    for f in range(2):
+        # frame 1 mirrors the x-gradient: structurally distinct under the
+        # mean-thresholded ahash (a mere brightness shift would hash
+        # identically and cross-match every frame pair)
+        gx = (15 - xx) if f else xx
+        for c in range(3):
+            frames[f, :, :, c] = np.clip(
+                20 * (c + 1) + gx * 4 + yy * 4, 0, 255
+            )
+    videos = spark.createDataFrame(
+        [
+            ("y4m", bytearray(videokit.y4m_encode(frames, fps=12)), "y4m"),
+            (
+                "mp4",
+                bytearray(mp4kit.mp4_encode_mjpeg(frames, fps=12, quality=95)),
+                "mp4",
+            ),
+            (
+                "avi",
+                bytearray(avikit.avi_encode(frames, fps=12, quality=95)),
+                "avi",
+            ),
+        ],
+        "video_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["vid_a"], r["vid_b"]): r["n_frame_matches"]
+        for r in videodup.video_near_pairs(videos, max_hamming=3).collect()
+    }
+    # all three containers carry the same two frames: every pair matches both
+    assert got == {
+        ("avi", "mp4"): 2,
+        ("avi", "y4m"): 2,
+        ("mp4", "y4m"): 2,
+    }
