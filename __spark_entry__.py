@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
-from europarl_crawler_spark.operators import dedup, similarity, textstats
+from europarl_crawler_spark.operators import dedup, sampling, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # shared derived views — Spark side
@@ -1422,6 +1422,36 @@ def q_multimodal_mp4_codec(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment over the corpus
+    (operators/sampling.py:split_assign): split = pure function of the
+    portable affine hash of doc_id, so membership survives re-runs,
+    repartitioning, and incremental appends — the property randomSplit
+    lacks. Plan: one projection, zero shuffle. The DuckDB oracle reproduces
+    every assignment bit-identically (same int64 arithmetic)."""
+    from europarl_crawler_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.split_assign(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Per-language deterministic rebalancing sample
+    (operators/sampling.py:stratified_sample): keep u(doc_id) <
+    fraction(lang), fractions riding a broadcast dimension — scan →
+    broadcast join → filter, no corpus shuffle, no skew sensitivity.
+    Value-oracled: the DuckDB mirror folds the dimension into a CASE with
+    identical arithmetic."""
+    from europarl_crawler_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_store_incremental_read(spark, sf_dir):
     """Iceberg-style incremental (CDC) consumption
     (sources/epochstore.py:read_changes): a downstream training-data
@@ -1792,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
         "multimodal_avi_codec": q_multimodal_avi_codec,
         "multimodal_mp4_codec": q_multimodal_mp4_codec,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "store_incremental_read": q_store_incremental_read,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
@@ -2795,6 +2827,21 @@ WHERE rank <= 10
                    TRUE AS ok
             FROM documents
         """,
+        # deterministic hash-split / stratified-sample lanes: the DuckDB
+        # mirrors are generated from the SAME constants and int64 arithmetic
+        # as the Spark column expressions (operators/sampling.py), so the
+        # value hash pins every assignment bit, not just counts
+        "corpus_split": (
+            "SELECT doc_id, lang, "
+            + sampling.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1})
+            + " AS split FROM documents"
+        ),
+        "corpus_sample_stratified": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + sampling.stratified_keep_sql(
+                {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
+            )
+        ),
         # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
         # are engine-hash-dependent, but their precision/validity is not —
         # the violation sets must be deterministically empty

@@ -1,0 +1,157 @@
+"""Deterministic corpus splitting and sampling for training-data curation.
+
+A 100 TB training corpus needs reproducible membership decisions that never
+depend on partitioning, execution order, or a session seed: train/val/test
+splits must be STABLE under re-runs, incremental appends, and engine
+versions, or evaluation leaks. The standard pattern (what `df.randomSplit`
+cannot give you — its assignment is partition-order-dependent) is a
+content-keyed hash split: each row's split is a pure function of its id, so
+the same document lands in the same split on any cluster, any day.
+
+Everything here is a single projection of portable-hash column expressions
+(functions/porthash.py: exact int64 arithmetic reproducible in DuckDB SQL),
+so the lanes are value-oracle-checked end-to-end, zero shuffle, and
+trivially whole-stage-codegen'd:
+
+- ``split_assign``     : id → one of K named splits by cumulative weight
+                         ranges over u = affine(id-hash)/P ∈ [0,1).
+- ``sample``           : deterministic Bernoulli(fraction) keep-filter on a
+                         DIFFERENT affine member, so sampling is independent
+                         of the split assignment.
+- ``stratified_sample``: per-stratum fractions (e.g. rebalance languages) via
+                         a broadcast join against a tiny fractions dimension.
+
+Exact-k-per-stratum sampling is deliberately absent: it needs a per-stratum
+rank (a window whose partition count = #strata — maximally skewed when
+strata are languages), and at corpus scale the fraction form is what
+pipelines actually run. Callers that need "about k" compute
+fraction = k / stratum_count from table stats.
+
+Reference analog: the reference has no sampling surface (its corpus is one
+site); this is part of the training-data operator suite the engine adds on
+top (README "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import porthash
+
+# distinct affine members so split / sample / stratified decisions are
+# pairwise-independent even over the same id
+SPLIT_MEMBER = 40
+SAMPLE_MEMBER = 41
+STRATA_MEMBER = 42
+
+
+def _id_unit(id_col: str, member: int) -> Column:
+    """id column (long or string) → u ∈ [0, 1): portable affine hash of the
+    id reduced mod P, as exact-int64 arithmetic divided by P at the end."""
+    c = F.col(id_col)
+    h = porthash.affine(F.pmod(c.cast("long"), F.lit(porthash.P)), member)
+    return h / F.lit(float(porthash.P))
+
+
+def _id_unit_sql(id_expr: str, member: int) -> str:
+    """DuckDB mirror of ``_id_unit`` (same constants, same arithmetic)."""
+    h = porthash.affine_sql(
+        f"((({id_expr}) % {porthash.P}) + {porthash.P}) % {porthash.P}", member
+    )
+    return f"(CAST({h} AS DOUBLE) / {porthash.P})"
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append a ``split`` column: the named split whose cumulative-weight
+    interval contains u(id). Weights are normalized; interval edges are
+    closed-open so every u maps to exactly one split. Assignment is a pure
+    projection — membership survives repartitioning, appends, and re-runs."""
+    total = float(sum(weights.values()))
+    u = _id_unit(id_col, SPLIT_MEMBER)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights.items())
+    for name, wgt in names[:-1]:
+        acc += wgt / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", out)
+
+
+def split_assign_sql(weights: dict[str, float], id_expr: str = "doc_id") -> str:
+    """DuckDB CASE expression mirroring ``split_assign`` exactly."""
+    total = float(sum(weights.values()))
+    u = _id_unit_sql(id_expr, SPLIT_MEMBER)
+    names = list(weights.items())
+    parts = ["CASE"]
+    acc = 0.0
+    for name, wgt in names[:-1]:
+        acc += wgt / total
+        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1][0]}' END")
+    return " ".join(parts)
+
+
+def sample(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) subsample: keep rows with
+    u(id) < fraction. Same id ⇒ same decision, always — so downstream
+    joins between independently-sampled tables stay consistent."""
+    return docs.filter(_id_unit(id_col, SAMPLE_MEMBER) < F.lit(float(fraction)))
+
+
+def sample_keep_sql(fraction: float, id_expr: str = "doc_id") -> str:
+    """DuckDB WHERE predicate mirroring ``sample``."""
+    return f"{_id_unit_sql(id_expr, SAMPLE_MEMBER)} < {float(fraction)!r}"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row when
+    u(id) < fraction(stratum). ``fractions`` rides in as a broadcast
+    dimension (strata counts are small — languages, sources, quality bands),
+    so the plan is scan → broadcast-hash-join → filter: no shuffle of the
+    corpus, no skew sensitivity (the hot stratum is a map-side filter like
+    every other)."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata_col} string, _frac double",
+    )
+    u = _id_unit(id_col, STRATA_MEMBER)
+    return (
+        docs.join(F.broadcast(dim), strata_col, "left")
+        .filter(u < F.coalesce(F.col("_frac"), F.lit(float(default_fraction))))
+        .drop("_frac")
+    )
+
+
+def stratified_keep_sql(
+    fractions: dict[str, float],
+    strata_expr: str = "lang",
+    id_expr: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB WHERE predicate mirroring ``stratified_sample`` (the dimension
+    join folded into a CASE — same values, same comparisons)."""
+    u = _id_unit_sql(id_expr, STRATA_MEMBER)
+    case = ["CASE"]
+    for k, v in fractions.items():
+        case.append(f"WHEN {strata_expr} = '{k}' THEN {float(v)!r}")
+    case.append(f"ELSE {float(default_fraction)!r} END")
+    return f"{u} < ({' '.join(case)})"

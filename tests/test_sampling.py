@@ -1,0 +1,125 @@
+"""Deterministic corpus split/sample lanes (operators/sampling.py):
+exhaustive-coverage and stability of the hash split, nested-subset property
+of Bernoulli sampling, per-stratum fractions, and exact cross-engine parity
+of every decision with the DuckDB SQL mirrors (the oracle-gate foundation)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from europarl_crawler_spark.operators import sampling
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_split_covers_every_row_once(docs):
+    got = sampling.split_assign(docs, WEIGHTS)
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # proportions track the weights (hash-uniformity at n=2000: ±6%)
+    assert abs(counts["train"] / 2000 - 0.8) < 0.06
+    assert abs(counts.get("val", 0) / 2000 - 0.1) < 0.06
+    assert abs(counts.get("test", 0) / 2000 - 0.1) < 0.06
+
+
+def test_split_is_partitioning_invariant(docs):
+    a = sampling.split_assign(docs, WEIGHTS).select("doc_id", "split")
+    b = sampling.split_assign(docs.repartition(13, "lang"), WEIGHTS).select(
+        "doc_id", "split"
+    )
+    assert {(r.doc_id, r.split) for r in a.collect()} == {
+        (r.doc_id, r.split) for r in b.collect()
+    }
+
+
+def test_sample_is_nested_by_fraction(docs):
+    small = {r.doc_id for r in sampling.sample(docs, 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in sampling.sample(docs, 0.5).select("doc_id").collect()}
+    assert small < big  # same hash member: lower threshold ⊂ higher threshold
+    assert abs(len(big) / 2000 - 0.5) < 0.06
+
+
+def test_sample_independent_of_split(docs):
+    # split uses member 40, sample member 41: within the train split the
+    # sample rate must stay ≈ the global fraction (no correlation)
+    train = sampling.split_assign(docs, WEIGHTS).filter(F.col("split") == "train")
+    n_train = train.count()
+    kept = sampling.sample(train, 0.3).count()
+    assert abs(kept / n_train - 0.3) < 0.06
+
+
+def test_stratified_fractions_and_default(docs):
+    got = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 0.1}, strata_col="lang", default_fraction=0.0
+    )
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "fr" not in counts  # default 0.0 drops unlisted strata
+    assert abs(counts["en"] / 667 - 0.5) < 0.1
+    assert abs(counts["de"] / 667 - 0.1) < 0.1
+
+
+def test_parity_with_duckdb(docs):
+    """Every decision — split label, sample membership, stratified
+    membership — must be bit-identical to the SQL mirrors."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(2000)],
+    )
+
+    got_split = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(docs, WEIGHTS).select("doc_id", "split").collect()
+    }
+    want_split = dict(
+        con.execute(
+            f"SELECT doc_id, {sampling.split_assign_sql(WEIGHTS)} FROM t"
+        ).fetchall()
+    )
+    assert got_split == want_split
+
+    got_sample = {
+        r.doc_id for r in sampling.sample(docs, 0.3).select("doc_id").collect()
+    }
+    want_sample = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM t WHERE {sampling.sample_keep_sql(0.3)}"
+        ).fetchall()
+    }
+    assert got_sample == want_sample
+
+    fr = {"en": 0.5, "de": 0.1, "fr": 0.9}
+    got_strat = {
+        r.doc_id
+        for r in sampling.stratified_sample(docs, fr).select("doc_id").collect()
+    }
+    want_strat = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM t WHERE {sampling.stratified_keep_sql(fr)}"
+        ).fetchall()
+    }
+    assert got_strat == want_strat
+
+
+def test_plan_is_shuffle_free(docs):
+    """Scale shape: split and stratified sample must compile to a projection
+    / broadcast-join + filter — no Exchange of the corpus."""
+    plan = sampling.split_assign(docs, WEIGHTS)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = (
+        sampling.stratified_sample(docs, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only exchange allowed is the tiny dimension's broadcast
+    assert "ShuffleExchange" not in plan2 and "Exchange hashpartitioning" not in plan2
