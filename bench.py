@@ -56,6 +56,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "store_incremental_read",
+    "corpus_split",
+    "corpus_sample_stratified",
     "text_quality",
     "text_budget_pack",
     "text_language_id",

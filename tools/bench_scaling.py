@@ -256,18 +256,34 @@ def main_procs() -> None:
 
     levels = [1, 4]
     trials: dict[int, list[dict]] = {lvl: [] for lvl in levels}
-    pairs = []
+    # SCALE_SEED_JSON: jsonl of prior raw trial rows (the "Raw JSON" block of
+    # an earlier BENCH/BASELINE.md) — merged so the headline accumulates
+    # trials across runs instead of discarding paid-for evidence. Legs must
+    # stay symmetric (ADVICE r2).
+    seed = os.environ.get("SCALE_SEED_JSON")
+    if seed:
+        for line in Path(seed).read_text().splitlines():
+            line = line.strip()
+            if line:
+                r = json.loads(line)
+                trials[r["executors"]].append(r)
+        if len(trials[1]) != len(trials[4]):
+            raise SystemExit("seed legs asymmetric: 1N vs 4N trial counts differ")
+    base = len(trials[1])
     for t in range(TRIALS):
-        probes = {}
         for lvl in levels:  # legs back-to-back: paired, symmetric counts
-            probes[lvl] = cpu_probe()
+            probe = cpu_probe()
             r = run_cluster(lvl, pkg_zip, web_dir, workdir)
-            r["trial"] = t + 1
-            r["probe_sec"] = probes[lvl]
+            r["trial"] = base + t + 1
+            r["probe_sec"] = probe
             trials[lvl].append(r)
             print(json.dumps(r), flush=True)
-        probe_ratio = max(probes.values()) / min(probes.values())
-        r1, r4 = trials[1][t], trials[4][t]
+
+    pairs = []
+    for r1, r4 in zip(trials[1], trials[4]):
+        probe_ratio = max(r1["probe_sec"], r4["probe_sec"]) / min(
+            r1["probe_sec"], r4["probe_sec"]
+        )
         eff_work = None
         if r1["urls_per_user_cpu_sec"] and r4["urls_per_user_cpu_sec"]:
             # engine work-efficiency: user cycles consumed per URL, 4N vs 1N.
@@ -279,13 +295,13 @@ def main_procs() -> None:
             )
         pairs.append(
             {
-                "trial": t + 1,
+                "trial": r1["trial"],
                 "eff": round((r4["urls_per_sec"] / r1["urls_per_sec"]) / 4, 3),
                 "eff_work": eff_work,
                 "sys_frac_1n": r1["sys_frac"],
                 "sys_frac_4n": r4["sys_frac"],
-                "probe_1n": probes[1],
-                "probe_4n": probes[4],
+                "probe_1n": r1["probe_sec"],
+                "probe_4n": r4["probe_sec"],
                 "probe_ratio": round(probe_ratio, 2),
                 "same_window": probe_ratio <= PROBE_TOL,
             }
@@ -297,9 +313,14 @@ def main_procs() -> None:
         for lvl, rs in trials.items()
     }
     best = {lvl: max(r["urls_per_sec"] for r in rs) for lvl, rs in trials.items()}
-    valid = [p for p in pairs if p["same_window"]] or pairs
-    eff_paired = statistics.median(p["eff"] for p in valid)  # HEADLINE
+    # HEADLINE: median of per-pair efficiencies over ALL pairs — no window
+    # selection (ADVICE r2: the probe filter can exclude a clean pair while
+    # keeping one that degraded mid-leg; the median is already robust to
+    # throttle outliers, and every pair's probe + /proc/stat steal is
+    # published so degraded windows are visible rather than discarded).
     eff_paired_all = statistics.median(p["eff"] for p in pairs)
+    valid = [p for p in pairs if p["same_window"]] or pairs
+    eff_paired = statistics.median(p["eff"] for p in valid)  # supplementary
     eff_best = (best[4] / best[1]) / 4  # supplementary
     eff_med = (med[4] / med[1]) / 4
 
@@ -388,14 +409,21 @@ the same regime a 10^10-URL frontier is always in.
 
 ## Measurement protocol (paired same-window trials — ADVICE r2)
 
-{TRIALS} PAIRED trials; each trial runs the 1N leg then the 4N leg
+{len(pairs)} PAIRED trials (accumulated across harness runs on the same
+workload when SCALE_SEED_JSON carries prior raw rows forward); each trial
+runs the 1N leg then the 4N leg
 back-to-back (symmetric leg counts, adjacent in time). Every leg is preceded
 by a single-threaded fixed CPU probe (512² matmul ×30, BLAS pinned) — a
 host-condition fingerprint: hypervisor-throttle windows show as 2-4× slower
-probes. A pair is **same-window** when its two probes agree within
-{PROBE_TOL}× — the statistic the target is judged on is the MEDIAN of
-per-pair efficiencies over same-window pairs; best-of-N and unpaired medians
-are reported as supplementary only. JVM pools pinned per process
+probes. The statistic the target is judged on is the MEDIAN of per-pair
+efficiencies over ALL pairs — no window selection: the median is robust to
+throttle outliers, and each pair's probe ratio plus per-leg `/proc/stat`
+user/system/steal deltas are published alongside so degraded windows are
+visible rather than silently discarded (a pre-leg probe can pass while the
+hypervisor throttles mid-leg, and vice versa). Pairs whose probes agree
+within {PROBE_TOL}× are additionally marked **same-window**; that subset's
+median, best-of-N, and unpaired medians are supplementary. JVM pools pinned
+per process
 (`-XX:ActiveProcessorCount`); one BLAS thread per Python worker.
 
 **Start barrier.** Within a leg, every executor-process finishes JVM
@@ -433,8 +461,8 @@ row.
 
 ## Result
 
-**Wall scaling efficiency = {eff_paired:.3f}** — median of per-pair
-efficiencies over the {len(valid)}/{len(pairs)} same-window pairs
+**Wall scaling efficiency = {eff_paired_all:.3f}** — median of per-pair
+efficiencies over all {len(pairs)} paired trials, no window selection
 (target ≥ 0.8).
 
 **Work (engine-attributable) efficiency = {eff_work_med:.3f}** — median of
@@ -447,7 +475,8 @@ speed — any real cluster node — wall efficiency converges to work
 efficiency, because the engine's per-URL user-cycle cost is what it carries
 to the cluster.
 
-Supplementary statistics: median over ALL pairs {eff_paired_all:.3f};
+Supplementary statistics: median over the {len(valid)}/{len(pairs)}
+same-window pairs {eff_paired:.3f};
 best-of-N legs (thpt {best[4]:.0f} / {best[1]:.0f}) → {eff_best:.3f};
 median-of-legs (unpaired) {eff_med:.3f}. Per-level throughput:
 1N best {best[1]:.0f} / median {med[1]:.0f} URLs/s; 4N best {best[4]:.0f} /
@@ -507,9 +536,9 @@ Raw JSON (all executor-style trials):
 """
     (bench_dir / "BASELINE.md").write_text(md)
     print(
-        f"wall_eff={eff_paired:.3f} work_eff={eff_work_med:.3f} "
-        f"(median of {len(valid)} same-window pairs; all-pairs "
-        f"{eff_paired_all:.3f}, best {eff_best:.3f}; sys_frac "
+        f"wall_eff={eff_paired_all:.3f} work_eff={eff_work_med:.3f} "
+        f"(median of all {len(pairs)} pairs; same-window subset "
+        f"{eff_paired:.3f}, best {eff_best:.3f}; sys_frac "
         f"{sys1_med:.2f}->{sys4_med:.2f}) -> BENCH/BASELINE.md"
     )
 
