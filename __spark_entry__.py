@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
 from europarl_crawler_spark.operators import dedup, sampling, similarity, textstats
+from europarl_crawler_spark.operators import export as export_ops
 
 # ---------------------------------------------------------------------------
 # shared derived views — Spark side
@@ -1437,6 +1438,15 @@ def q_corpus_split(spark, sf_dir):
     ).select("doc_id", "lang", "split")
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic Bernoulli subsample (operators/sampling.py:sample):
+    keep u(doc_id) < 0.3 on an affine member independent of the split
+    member, so sampling composes with splitting without correlation. Pure
+    map-side filter — the predicate reaches the parquet scan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.sample(d, 0.3).select("doc_id", "lang", "n_chars")
+
+
 def q_corpus_sample_stratified(spark, sf_dir):
     """Per-language deterministic rebalancing sample
     (operators/sampling.py:stratified_sample): keep u(doc_id) <
@@ -1450,6 +1460,29 @@ def q_corpus_sample_stratified(spark, sf_dir):
     return sampling.stratified_sample(
         d, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
     ).select("doc_id", "lang", "n_chars")
+
+
+def q_corpus_export_manifest(spark, sf_dir):
+    """Training-shard export round trip (operators/export.py): hash-split +
+    hash-shard the documents table, write it as split/shard-partitioned
+    parquet (ONE shuffle, one file per directory), then read the shards BACK
+    and return the per-(split, shard) manifest — document count plus an
+    order-insensitive portable-hash membership checksum. The DuckDB oracle
+    computes the same manifest from the SOURCE table with the mirrored
+    arithmetic, so a lost, duplicated, or misfiled document anywhere in the
+    write→read round trip breaks the value hash."""
+    import tempfile
+
+    from europarl_crawler_spark.operators import export as exp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = tempfile.mkdtemp(prefix="export-query-") + "/corpus"
+    exp.export_training_shards(
+        d, root, {"train": 0.8, "val": 0.1, "test": 0.1}, n_shards=4
+    )
+    return exp.export_manifest(spark, root).select(
+        "split", "shard", "n_docs", "id_checksum"
+    )
 
 
 def q_store_incremental_read(spark, sf_dir):
@@ -1823,7 +1856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec": q_multimodal_avi_codec,
         "multimodal_mp4_codec": q_multimodal_mp4_codec,
         "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_export_manifest": q_corpus_export_manifest,
         "store_incremental_read": q_store_incremental_read,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
@@ -2836,11 +2871,21 @@ WHERE rank <= 10
             + sampling.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1})
             + " AS split FROM documents"
         ),
+        "corpus_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + sampling.sample_keep_sql(0.3)
+        ),
         "corpus_sample_stratified": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + sampling.stratified_keep_sql(
                 {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
             )
+        ),
+        # manifest of the WRITTEN training shards vs the same arithmetic on
+        # the source table: a round-trip defect anywhere (lost row, misfiled
+        # partition) breaks the count or the membership checksum
+        "corpus_export_manifest": export_ops.manifest_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}, 4
         ),
         # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
         # are engine-hash-dependent, but their precision/validity is not —
