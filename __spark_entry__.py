@@ -1462,6 +1462,20 @@ def q_corpus_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_corpus_mixture_repeat(spark, sf_dir):
+    """Deterministic mixture reweighting
+    (operators/sampling.py:repeat_factor_sample): repeat each document
+    floor(f)+Bernoulli(frac(f)) times by language factor — the
+    domain-reweighting op of a training-data mix. Plan: broadcast dim →
+    map-side explode(sequence()), no shuffle; the DuckDB oracle reproduces
+    every copy row via generate_series with the identical hash
+    arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.repeat_factor_sample(
+        d, {"en": 2.5, "de": 1.0, "fr": 0.4}, default_factor=0.25
+    ).select("doc_id", "lang", "copy")
+
+
 def q_corpus_export_manifest(spark, sf_dir):
     """Training-shard export round trip (operators/export.py): hash-split +
     hash-shard the documents table, write it as split/shard-partitioned
@@ -1858,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_mixture_repeat": q_corpus_mixture_repeat,
         "corpus_export_manifest": q_corpus_export_manifest,
         "store_incremental_read": q_store_incremental_read,
         "multimodal_webp_codec": q_multimodal_webp_codec,
@@ -2880,6 +2895,17 @@ WHERE rank <= 10
             + sampling.stratified_keep_sql(
                 {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
             )
+        ),
+        # mixture reweighting: every (doc, copy) row reproduced via
+        # generate_series over the mirrored copy-count arithmetic
+        "corpus_mixture_repeat": (
+            "SELECT doc_id, lang, "
+            "unnest(generate_series(0, n_copies - 1)) AS copy FROM ("
+            "SELECT doc_id, lang, "
+            + sampling.repeat_factor_n_sql(
+                {"en": 2.5, "de": 1.0, "fr": 0.4}, default_factor=0.25
+            )
+            + " AS n_copies FROM documents) WHERE n_copies > 0"
         ),
         # manifest of the WRITTEN training shards vs the same arithmetic on
         # the source table: a round-trip defect anywhere (lost row, misfiled

@@ -57,7 +57,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "store_incremental_read",
     "corpus_split",
+    "corpus_sample",
     "corpus_sample_stratified",
+    "corpus_mixture_repeat",
+    "corpus_export_manifest",
     "text_quality",
     "text_budget_pack",
     "text_language_id",

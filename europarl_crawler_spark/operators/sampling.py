@@ -20,6 +20,9 @@ trivially whole-stage-codegen'd:
                          of the split assignment.
 - ``stratified_sample``: per-stratum fractions (e.g. rebalance languages) via
                          a broadcast join against a tiny fractions dimension.
+- ``repeat_factor_sample``: mixture reweighting — each row repeated
+                         floor(f) + Bernoulli(frac(f)) times for its
+                         stratum's factor f, as a map-side explode.
 
 Exact-k-per-stratum sampling is deliberately absent: it needs a per-stratum
 rank (a window whose partition count = #strata — maximally skewed when
@@ -44,6 +47,7 @@ from ..functions import porthash
 SPLIT_MEMBER = 40
 SAMPLE_MEMBER = 41
 STRATA_MEMBER = 42
+REPEAT_MEMBER = 45
 
 
 def _id_unit(id_col: str, member: int) -> Column:
@@ -138,6 +142,67 @@ def stratified_sample(
         docs.join(F.broadcast(dim), strata_col, "left")
         .filter(u < F.coalesce(F.col("_frac"), F.lit(float(default_fraction))))
         .drop("_frac")
+    )
+
+
+def repeat_factor_sample(
+    docs: DataFrame,
+    factors: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_factor: float = 0.0,
+) -> DataFrame:
+    """Deterministic mixture reweighting (repeat-factor sampling): each row
+    appears ``floor(f) + Bernoulli(frac(f))`` times for its stratum's factor
+    ``f ≥ 0``, with a 0-based ``copy`` index — f = 2.5 means every doc twice
+    plus half the docs (chosen by id hash) a third time; f = 0.4 is plain
+    thinning. This is how training pipelines up-weight scarce/high-quality
+    domains and down-weight the rest while keeping the epoch a flat scan.
+
+    Plan shape: broadcast factors dim → map-side ``explode(sequence())`` —
+    the multiplication is narrow (no shuffle), so up-weighting a hot stratum
+    fans out in place instead of concentrating on one reducer."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(k, float(v)) for k, v in factors.items()],
+        f"{strata_col} string, _f double",
+    )
+    u = _id_unit(id_col, REPEAT_MEMBER)
+    f = F.coalesce(F.col("_f"), F.lit(float(default_factor)))
+    n = (
+        F.floor(f).cast("long")
+        + F.when(u < f - F.floor(f), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        docs.join(F.broadcast(dim), strata_col, "left")
+        .withColumn("_n", n)
+        .drop("_f")
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1))
+        )
+        .drop("_n")
+    )
+
+
+def repeat_factor_n_sql(
+    factors: dict[str, float],
+    strata_expr: str = "lang",
+    id_expr: str = "doc_id",
+    default_factor: float = 0.0,
+) -> str:
+    """DuckDB expression for the per-row copy count, mirroring
+    ``repeat_factor_sample`` exactly (same member, same float arithmetic).
+    Embed as: ``SELECT ..., unnest(generate_series(0, {n} - 1)) AS copy``."""
+    u = _id_unit_sql(id_expr, REPEAT_MEMBER)
+    case = ["CASE"]
+    for k, v in factors.items():
+        case.append(f"WHEN {strata_expr} = '{k}' THEN {float(v)!r}")
+    case.append(f"ELSE {float(default_factor)!r} END")
+    f = f"({' '.join(case)})"
+    return (
+        f"(CAST(floor({f}) AS BIGINT) + "
+        f"CASE WHEN {u} < {f} - floor({f}) THEN 1 ELSE 0 END)"
     )
 
 

@@ -123,3 +123,63 @@ def test_plan_is_shuffle_free(docs):
     )
     # the only exchange allowed is the tiny dimension's broadcast
     assert "ShuffleExchange" not in plan2 and "Exchange hashpartitioning" not in plan2
+
+
+def test_repeat_factor_counts_and_determinism(docs):
+    """f=2.5 ⇒ every doc twice + ≈half a third time; f=0.4 ⇒ thinning;
+    copy indices are dense 0..n-1 and identical across runs."""
+    factors = {"en": 2.5, "de": 1.0, "fr": 0.4}
+    got = sampling.repeat_factor_sample(docs, factors)
+    per_doc = {
+        (r.doc_id, r.lang): r.n
+        for r in got.groupBy("doc_id", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    en = [n for (_, lang), n in per_doc.items() if lang == "en"]
+    assert set(en) <= {2, 3}
+    assert abs(sum(en) / 667 - 2.5) < 0.1
+    assert all(n == 1 for (_, lang), n in per_doc.items() if lang == "de")
+    fr_docs = sum(1 for (_, lang) in per_doc if lang == "fr")
+    assert abs(fr_docs / 667 - 0.4) < 0.1
+    # dense copy range per doc
+    mx = {
+        r.doc_id: r.m
+        for r in got.filter(F.col("lang") == "en")
+        .groupBy("doc_id").agg(F.max("copy").alias("m")).collect()
+    }
+    for (doc, lang), n in per_doc.items():
+        if lang == "en":
+            assert mx[doc] == n - 1
+    again = sampling.repeat_factor_sample(docs.repartition(7), factors)
+    assert {(r.doc_id, r.copy) for r in got.filter(F.col("lang") == "en").collect()} == {
+        (r.doc_id, r.copy) for r in again.filter(F.col("lang") == "en").collect()
+    }
+
+
+def test_repeat_factor_parity_with_duckdb(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(2000)],
+    )
+    factors = {"en": 2.5, "de": 1.0, "fr": 0.4}
+    n_sql = sampling.repeat_factor_n_sql(factors, default_factor=0.0)
+    want = set(
+        con.execute(
+            "SELECT doc_id, unnest(generate_series(0, n_copies - 1)) FROM "
+            f"(SELECT doc_id, {n_sql} AS n_copies FROM t) WHERE n_copies > 0"
+        ).fetchall()
+    )
+    got = {
+        (r.doc_id, r.copy)
+        for r in sampling.repeat_factor_sample(docs, factors).select("doc_id", "copy").collect()
+    }
+    assert got == want
+
+
+def test_repeat_factor_is_map_side(docs):
+    plan = (
+        sampling.repeat_factor_sample(docs, {"en": 2.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
