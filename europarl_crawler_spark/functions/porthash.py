@@ -60,6 +60,29 @@ def poly_hash(c: Column) -> Column:
     )
 
 
+def char_codes(c: Column) -> Column:
+    """Code-point array of a string column — O(len) via split(''), where a
+    substr(i, 1) sweep would re-seek the UTF-8 offset per char (O(len²))."""
+    return F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+
+
+def ngram_poly_hashes(codes: Column, n: int) -> Column:
+    """Array holding ``poly_hash`` of every length-n gram of a string whose
+    ``char_codes`` array is the MATERIALIZED column ``codes`` — pass a
+    column reference, not an inline expression (an inline expression would
+    re-split the text once per element access). Each gram hash is n
+    element_at lookups + the Horner mod-P fold: no per-gram substring or
+    array allocation, values bit-identical to ``poly_hash`` of the slice."""
+
+    def h(p: Column) -> Column:
+        acc = F.element_at(codes, p)
+        for j in range(1, n):
+            acc = (acc * BASE + F.element_at(codes, p + j)) % P
+        return acc
+
+    return F.transform(F.sequence(F.lit(1), F.size(codes) - (n - 1)), h)
+
+
 def affine(h: Column, i: int) -> Column:
     """i-th member of the affine hash family applied to a long column."""
     return (F.lit(AFFINE_A[i]) * h + F.lit(AFFINE_B[i])) % P

@@ -225,14 +225,21 @@ def fingerprint(
     winnowing choice (MOSS uses a 32-bit rolling hash) AND cross-engine
     portable, so the fingerprint summary is value-checked by the DuckDB
     oracle; winnowing's coverage guarantee holds for any hash family."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
-        lambda i: F.col(text_col).substr(i, F.lit(n)),
-    )
+    # gram hashes computed from a per-doc char-code array (one split per
+    # doc, n element_at + Horner per gram) instead of per-gram substr +
+    # fold — same values, no per-gram allocation, O(L) not O(L^2)
     pos = (
-        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
-        .filter(F.length("gram") == n)
-        .select("doc_id", "pos", porthash.poly_hash(F.col("gram")).alias("gh"))
+        docs.filter(F.length(text_col) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            porthash.char_codes(F.col(text_col)).alias("_codes"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                porthash.ngram_poly_hashes(F.col("_codes"), n)
+            ).alias("pos", "gh"),
+        )
     )
     w = (
         Window.partitionBy("doc_id")
