@@ -1042,7 +1042,7 @@ def q_multimodal_png_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import imaging
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1078,7 +1078,7 @@ def q_multimodal_wav_codec(spark, sf_dir):
 
     from europarl_crawler_spark.operators import multimodal
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1118,7 +1118,7 @@ def q_multimodal_y4m_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import videokit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1165,7 +1165,7 @@ def q_multimodal_jpeg_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import imaging, jpegkit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1206,7 +1206,7 @@ def q_multimodal_gif_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import gifkit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1253,7 +1253,7 @@ def q_multimodal_adpcm_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import adpcmkit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
@@ -1308,7 +1308,7 @@ def q_multimodal_avi_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import avikit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         yy, xx = np.mgrid[0:16, 0:16]
@@ -1374,7 +1374,7 @@ def q_multimodal_mp4_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import mp4kit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         yy, xx = np.mgrid[0:16, 0:16]
@@ -1548,7 +1548,7 @@ def q_multimodal_webp_codec(spark, sf_dir):
 
     from europarl_crawler_spark.functions import webpkit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _codepoint_docs(spark, sf_dir)
 
     def batches(it):
         for pdf in it:
