@@ -107,10 +107,16 @@ def _combos(spark, sf_dir):
 
 
 def _emb_double(spark, sf_dir):
-    return _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        "label",
+    # repartition: the sf0.1 embeddings file is a single input split, which
+    # would serialize the Arrow-side exact-cosine verify stages downstream
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            "label",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -1599,7 +1605,11 @@ def q_multimodal_media_probe(spark, sf_dir):
         wav_encode,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     BITRATES = [64, 128, 192, 320]
     FPSS = [10, 20, 25, 40, 50]
 
