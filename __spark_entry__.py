@@ -344,6 +344,10 @@ def q_o1_o2_topk_drain(spark, sf_dir):
     batch = confirmed.orderBy(
         F.desc("dates"), F.asc("rulename")
     ).limit(50)
+    # the unpartitioned window is safe HERE: its input is the already-taken
+    # 50-row batch (orderBy+limit compiles to TakeOrdered, never a full
+    # sort), not the frontier — the engine's real drain sequences per host
+    # (plans/frontier.py salted windows)
     w = Window.orderBy(F.asc("dates"), F.asc("rulename"))
     return batch.select(
         F.row_number().over(w).cast("long").alias("seq"), "dates", "rulename", "url"
