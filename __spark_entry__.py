@@ -587,6 +587,37 @@ def q_dedup_exact(spark, sf_dir):
     return groups.select("keep_id", "n_dups")
 
 
+def q_dedup_exact_streaming(spark, sf_dir):
+    """The SAME exact-dedup groups computed ONLINE: content hashes are split
+    into 4 Parquet files, streamed back one file per micro-batch, and
+    grouped by the STATEFUL hash-membership operator
+    (streaming/textstream.py — applyInPandasWithState, the content-side twin
+    of the URL-seen set). The final summary per hash is batch-split-
+    invariant, so the lane shares a plain GROUP BY DuckDB oracle — a fully
+    value-checked stateful streaming operator. Content hash = portable
+    Rabin-Karp of (lang || source), the same content key as dedup_exact."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.textstream import drain_dup_groups
+
+    root = tempfile.mkdtemp(prefix="txtstream-")
+    hashed_dir = os.path.join(root, "hashed")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        porthash.poly_hash(
+            F.concat_ws("||", "lang", "source")
+        ).alias("content_hash"),
+    )
+    d.repartition(4).write.parquet(hashed_dir)
+    return drain_dup_groups(
+        spark,
+        hashed_dir,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="txtstream_" + os.path.basename(root).replace("-", "_"),
+    ).select("content_hash", "keep_id", "n_dups")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """5-gram Jaccard near-dup pairs, τ=0.4, stop-shingle df-cap 100
     (identical cap in the oracle — see operators/dedup.py on why the cap is
@@ -1848,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_events_hourly": q_t1_events_hourly,
         "f6_json_extract": q_f6_json_extract,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_streaming": q_dedup_exact_streaming,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2287,6 +2319,17 @@ WHERE rank <= 10
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM (SELECT doc_id, lang || '||' || source AS content FROM documents)
             GROUP BY content HAVING count(*) > 1
+        """,
+        # streaming lane: the final group summary per content hash is
+        # batch-split-invariant, so the oracle is the SAME aggregate — over
+        # the portable hash values the streaming operator keys its state by
+        "dedup_exact_streaming": f"""
+            SELECT h AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM (SELECT doc_id,
+                  {porthash.poly_hash_sql("lang || '||' || source")} AS h
+                  FROM documents)
+            GROUP BY h HAVING count(*) >= 2
         """,
         "dedup_ngram_jaccard": shingle_sql,
         "dedup_minhash_lsh": minhash_sql,
