@@ -1004,6 +1004,20 @@ def q_text_language_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents"))
 
 
+PII_CANARIES = ["CANARY-EVAL-DO-NOT-TRAIN"]
+
+
+def q_text_pii_scan(spark, sf_dir):
+    """PII / contamination scan (operators/textstats.py:pii_scan) — the
+    pre-release gate of a training corpus: per-doc counts of email / URL /
+    phone / long-digit-run patterns plus an eval-canary flag. One JVM-side
+    projection (regexp_count), zero shuffle; patterns are dialect-portable
+    so DuckDB reproduces every count."""
+    return textstats.pii_scan(
+        _t(spark, sf_dir, "documents"), canaries=PII_CANARIES
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Fused single-projection text profile (token count + quality +
     language-ID in one scan — operators/textstats.py:text_profile, the shape
@@ -1901,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_budget_pack": q_text_budget_pack,
         "text_language_id": q_text_language_id,
         "text_profile": q_text_profile,
+        "text_pii_scan": q_text_pii_scan,
         "text_fingerprint": q_text_fingerprint,
         "video_frame_ahash": q_video_frame_ahash,
         "dedup_video_pairs": q_dedup_video_pairs,
@@ -2435,6 +2450,7 @@ WHERE rank <= 10
             SELECT doc_id, n_tokens, quality_score, cum_tokens
             FROM c WHERE cum_tokens <= 10000
         """,
+        "text_pii_scan": textstats.pii_scan_sql(canaries=PII_CANARIES),
         "text_profile": f"""
             WITH t AS (
               SELECT doc_id,

@@ -62,6 +62,7 @@ HEADLINE = [
     "corpus_mixture_repeat",
     "corpus_export_manifest",
     "text_quality",
+    "text_pii_scan",
     "text_budget_pack",
     "text_language_id",
     "text_token_count",

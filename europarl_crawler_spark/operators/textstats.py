@@ -261,3 +261,61 @@ def fingerprint_summary(docs: DataFrame, **kw) -> DataFrame:
         F.min("fp_hash").alias("fp_min"),
         F.max("fp_hash").alias("fp_max"),
     )
+
+
+# --- PII / contamination scan -------------------------------------------
+
+# patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookaround
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_phones": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "n_digit_runs": r"[0-9]{4,}",
+}
+
+
+def pii_scan(
+    docs: DataFrame,
+    canaries: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document PII / contamination scan — the pre-release gate every
+    training corpus runs: counts of email-, URL-, phone- and long-digit-run
+    patterns plus a flag for verbatim eval-set canary strings. Pure column
+    expressions (regexp_count is JVM-side, one projection, zero shuffle);
+    the patterns are dialect-portable so the lane is value-checked against
+    DuckDB via ``pii_scan_sql``. Redaction policy belongs to the caller —
+    this lane only measures (filter / regexp_replace compose on top)."""
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(name))
+    canary = F.lit(False)
+    for c in canaries or []:
+        canary = canary | F.col(text_col).contains(c)
+    cols.append(canary.alias("has_canary"))
+    return docs.select(*cols)
+
+
+def pii_scan_sql(
+    canaries: list[str] | None = None,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``pii_scan`` (len(regexp_extract_all) ==
+    non-overlapping match count == regexp_count)."""
+    cols = [id_expr]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS {name}"
+        )
+    if canaries:
+        flag = " OR ".join(
+            f"position('{c}' IN {text_expr}) > 0" for c in canaries
+        )
+    else:
+        flag = "FALSE"
+    cols.append(f"({flag}) AS has_canary")
+    return f"SELECT {', '.join(cols)} FROM {table}"

@@ -125,3 +125,47 @@ def test_budget_pack_boundaries(spark):
     assert textstats.budget_pack(docs, first.cum_tokens).count() == 1
     # huge budget keeps everything
     assert textstats.budget_pack(docs, 10**9).count() == 3
+
+
+def test_pii_scan_counts_and_canary(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or x@y.io, see https://e.eu/p?q=1"),
+            (2, "call +49 (30) 1234-5678 now; ref 20240131 and 987654"),
+            (3, "clean text with no findings at all"),
+            (4, "leaked CANARY-EVAL-DO-NOT-TRAIN marker inside"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_emails, r.n_urls, r.n_phones, r.n_digit_runs, r.has_canary)
+        for r in textstats.pii_scan(docs, canaries=["CANARY-EVAL-DO-NOT-TRAIN"]).collect()
+    }
+    assert got[1] == (2, 1, 0, 0, False)
+    assert got[2][0] == 0 and got[2][2] >= 1 and got[2][3] >= 1 and not got[2][4]
+    assert got[3] == (0, 0, 0, 0, False)
+    assert got[4][4] is True
+
+
+def test_pii_scan_matches_duckdb(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a@b.co and c@d.org via http://u.eu/x"),
+            (2, "+1 212 555 0199 order 123456789"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in textstats.pii_scan(docs).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {tuple(r) for r in con.execute(textstats.pii_scan_sql()).fetchall()}
+    assert got == want
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = textstats.pii_scan(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
