@@ -1018,6 +1018,25 @@ def q_text_pii_scan(spark, sf_dir):
     )
 
 
+def q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 (operators/textstats.py:vocab_topk):
+    explode -> map-side-combined count -> TakeOrdered(50) with a
+    deterministic (n DESC, token ASC) cut; only 50 rows leave the
+    executors. DuckDB mirrors the identical tokenizer and total order."""
+    return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style copy-detection pairs (operators/textstats.py:winnow_pairs):
+    documents sharing >= 2 winnowing fingerprints after a df-cap of 100 —
+    the guarantee-backed complement of Jaccard near-dup (any shared run of
+    n+window-1 = 11 chars shares a fingerprint). Value-oracled by the SAME
+    fingerprint CTE as text_fingerprint."""
+    return textstats.winnow_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2, df_cap=100
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Fused single-projection text profile (token count + quality +
     language-ID in one scan — operators/textstats.py:text_profile, the shape
@@ -1916,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_profile": q_text_profile,
         "text_pii_scan": q_text_pii_scan,
+        "text_vocab_topk": q_text_vocab_topk,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "text_fingerprint": q_text_fingerprint,
         "video_frame_ahash": q_video_frame_ahash,
         "dedup_video_pairs": q_dedup_video_pairs,
@@ -2051,7 +2072,7 @@ SELECT id_a, id_b, hamming FROM (
   FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
 WHERE hamming <= 3
 """
-    fingerprint_sql = f"""
+    fp_cte = f"""
 WITH g AS (
   SELECT doc_id, i AS pos, substr(text, i, 8) AS gram
   FROM (SELECT doc_id, text,
@@ -2064,10 +2085,27 @@ w AS (
          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM h
-), d AS (SELECT DISTINCT doc_id, fp FROM w)
+), d AS (SELECT DISTINCT doc_id, fp FROM w)"""
+    fingerprint_sql = f"""{fp_cte}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
        min(fp) AS fp_min, max(fp) AS fp_max
 FROM d GROUP BY doc_id
+"""
+    # winnow copy-pairs share the SAME fingerprint CTE: df-cap 100 on the
+    # fingerprint, then pairs sharing >= 2 survivors
+    winnow_pairs_sql = f"""{fp_cte},
+r AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 100),
+dc AS (SELECT d.doc_id, d.fp FROM d JOIN r USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM dc a JOIN dc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    vocab_topk_sql = """
+SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9'']+')) AS tok
+  FROM documents
+) WHERE tok != '' GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50
 """
     # --- ANN lanes: bit-exact float mirrors of the Spark fold arithmetic ---
     # dot_expr/norm_expr are strict sequential folds (init 0.0, left-to-right
@@ -2350,6 +2388,8 @@ WHERE rank <= 10
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
+        "text_vocab_topk": vocab_topk_sql,
+        "dedup_winnow_pairs": winnow_pairs_sql,
         "ann_lsh_topk": ann_lsh_sql,
         "ann_ivf_topk": ann_ivf_sql,
         "dedup_groups": f"""

@@ -63,6 +63,8 @@ HEADLINE = [
     "corpus_export_manifest",
     "text_quality",
     "text_pii_scan",
+    "text_vocab_topk",
+    "dedup_winnow_pairs",
     "text_budget_pack",
     "text_language_id",
     "text_token_count",

@@ -319,3 +319,57 @@ def pii_scan_sql(
         flag = "FALSE"
     cols.append(f"({flag}) AS has_canary")
     return f"SELECT {', '.join(cols)} FROM {table}"
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary top-k: token → document-occurrence count, highest
+    first (ties broken by token, so the cut is deterministic). Plan:
+    explode → partial-aggregated groupBy → TakeOrdered(k) — the corpus never
+    sorts globally; only k rows reach the driver. The input vocabulary
+    pass every tokenizer build starts from."""
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style copy-detection pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints (Schleimer et al. SIGMOD'03 — the guarantee is
+    that any shared substring of length ≥ n + window - 1 shares ≥ 1
+    selected fingerprint, so real copies can't hide). ``df_cap`` drops
+    fingerprints present in more than df_cap documents (shared boilerplate
+    — the same Σdf² self-join bound as shingle dedup; at corpus scale
+    ALWAYS set it). Output: (id_a, id_b, n_shared), id_a < id_b."""
+    fp = fingerprint(docs, n=n, window=window, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        rare = (
+            fp.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("fp_hash")
+        )
+        fp = fp.join(rare, "fp_hash", "left_semi")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

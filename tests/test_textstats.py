@@ -169,3 +169,42 @@ def test_pii_scan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = textstats.pii_scan(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_topk_order_and_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana apple cherry banana apple")],
+        "doc_id long, text string",
+    )
+    got = [(r.tok, r.n) for r in textstats.vocab_topk(docs, k=2).collect()]
+    assert got == [("apple", 4), ("banana", 3)]
+
+
+def test_winnow_pairs_finds_copies_not_strangers(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "A start. " + shared + " End one."),
+            (2, "B opens. " + shared + " Closing two."),
+            (3, "totally different content with zero overlap whatsoever xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in textstats.winnow_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_df_cap_drops_boilerplate(spark):
+    boiler = "standard legal footer shared by every page in this corpus"
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i} :: " + boiler) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # cap 5 < df 10: the boilerplate fingerprints drop, and the unique
+    # bodies share nothing — no pairs survive
+    assert textstats.winnow_pairs(docs, min_shared=2, df_cap=5).count() == 0
+    # without the cap the boilerplate links every pair
+    assert textstats.winnow_pairs(docs, min_shared=2).count() == 45
