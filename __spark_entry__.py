@@ -1037,6 +1037,16 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_corpus_sequence_pack(spark, sf_dir):
+    """Sequence packing (operators/textstats.py:sequence_pack): every doc's
+    start offset, window id, and in-window offset when the corpus is laid
+    end-to-end in 2048-token training windows, in deterministic hash-shuffled
+    order. The prefix sum is the bucketed scale-safe plan (no global
+    window); DuckDB recomputes the identical layout with a window SUM over
+    the same (u, id) order and hash arithmetic."""
+    return textstats.sequence_pack(_t(spark, sf_dir, "documents"), window_tokens=2048)
+
+
 def q_text_profile(spark, sf_dir):
     """Fused single-projection text profile (token count + quality +
     language-ID in one scan — operators/textstats.py:text_profile, the shape
@@ -1937,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_vocab_topk": q_text_vocab_topk,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "corpus_sequence_pack": q_corpus_sequence_pack,
         "text_fingerprint": q_text_fingerprint,
         "video_frame_ahash": q_video_frame_ahash,
         "dedup_video_pairs": q_dedup_video_pairs,
@@ -2390,6 +2401,26 @@ WHERE rank <= 10
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,
         "dedup_winnow_pairs": winnow_pairs_sql,
+        "corpus_sequence_pack": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '[^a-zA-Z0-9'']+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         {sampling._id_unit_sql('doc_id', textstats.SEQPACK_MEMBER)} AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY u, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 2048) AS BIGINT) AS window_id,
+       start_offset % 2048 AS offset_in_window
+FROM c
+""",
+
         "ann_lsh_topk": ann_lsh_sql,
         "ann_ivf_topk": ann_ivf_sql,
         "dedup_groups": f"""

@@ -66,6 +66,7 @@ HEADLINE = [
     "text_vocab_topk",
     "dedup_winnow_pairs",
     "text_budget_pack",
+    "corpus_sequence_pack",
     "text_language_id",
     "text_token_count",
     "text_profile",

@@ -373,3 +373,69 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+SEQPACK_MEMBER = 46  # affine member for the deterministic packing shuffle
+
+
+def sequence_pack(
+    docs: DataFrame,
+    window_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every document its position in the stream of fixed-size
+    training windows ("sequence packing"): documents are laid end-to-end in
+    a DETERMINISTIC shuffled order (the portable hash of the id — stable
+    under re-runs and partitioning, unlike a seeded shuffle), and each gets
+    its global token start offset, the window it starts in, and the offset
+    within that window. Documents crossing a boundary simply span windows —
+    the standard packing a data loader consumes.
+
+    The global prefix sum uses the same scale-safe 3-step plan as
+    ``budget_pack`` — value-range buckets (here: ranges of the uniform hash
+    u, so bucket order == global shuffle order by construction), a
+    driver-side prefix over the B bucket subtotals, and a within-bucket
+    window — no global single-partition window at any size."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    u = porthash.affine(
+        F.pmod(F.col(id_col).cast("long"), F.lit(porthash.P)), SEQPACK_MEMBER
+    ) / F.lit(float(porthash.P))
+    with_b = toks.withColumn("_u", u).withColumn(
+        "_b",
+        F.least(F.floor(F.col("_u") * n_buckets), F.lit(n_buckets - 1))
+        .cast("int"),
+    )
+    totals = {
+        r._b: r._t
+        for r in with_b.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    }  # ≤ n_buckets rows — bounded by the constant, not the data
+    offsets, run = [], 0
+    for i in range(n_buckets):
+        offsets.append((i, run))
+        run += int(totals.get(i, 0))
+    spark = docs.sparkSession
+    off = F.broadcast(spark.createDataFrame(offsets, "_b int, _offset long"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) + F.col("_offset") - F.col("n_tokens"))
+    return (
+        with_b.join(off, "_b")
+        .withColumn("start_offset", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / window_tokens)
+            .cast("long")
+            .alias("window_id"),
+            (F.col("start_offset") % window_tokens).alias("offset_in_window"),
+        )
+    )

@@ -208,3 +208,28 @@ def test_winnow_df_cap_drops_boilerplate(spark):
     assert textstats.winnow_pairs(docs, min_shared=2, df_cap=5).count() == 0
     # without the cap the boilerplate links every pair
     assert textstats.winnow_pairs(docs, min_shared=2).count() == 45
+
+
+def test_sequence_pack_is_gapless_and_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, ("word " * (5 + i % 17)).strip()) for i in range(300)],
+        "doc_id long, text string",
+    )
+    got = textstats.sequence_pack(docs, window_tokens=64).collect()
+    rows = sorted(got, key=lambda r: r.start_offset)
+    # gapless end-to-end layout: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.window_id == pos // 64
+        assert r.offset_in_window == pos % 64
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
+    # deterministic under repartitioning
+    again = textstats.sequence_pack(docs.repartition(7), window_tokens=64).collect()
+    assert {(r.doc_id, r.start_offset) for r in got} == {
+        (r.doc_id, r.start_offset) for r in again
+    }
+    # the layout order is the hash shuffle, not doc_id order
+    by_id = [r.start_offset for r in sorted(got, key=lambda r: r.doc_id)]
+    assert by_id != sorted(by_id)
