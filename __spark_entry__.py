@@ -1018,6 +1018,14 @@ def q_text_pii_scan(spark, sf_dir):
     )
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """Redaction lane (operators/textstats.py:pii_redact): emails / URLs /
+    phones replaced by typed placeholders in a fixed order, with before /
+    after lengths. One JVM-side projection; the DuckDB oracle replays the
+    identical regexp_replace sequence, so every redacted byte is checked."""
+    return textstats.pii_redact(_t(spark, sf_dir, "documents"))
+
+
 def q_text_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-50 (operators/textstats.py:vocab_topk):
     explode -> map-side-combined count -> TakeOrdered(50) with a
@@ -1945,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_profile": q_text_profile,
         "text_pii_scan": q_text_pii_scan,
+        "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "corpus_sequence_pack": q_corpus_sequence_pack,
@@ -2522,6 +2531,7 @@ FROM c
             FROM c WHERE cum_tokens <= 10000
         """,
         "text_pii_scan": textstats.pii_scan_sql(canaries=PII_CANARIES),
+        "text_pii_redact": textstats.pii_redact_sql(),
         "text_profile": f"""
             WITH t AS (
               SELECT doc_id,

@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_export_manifest",
     "text_quality",
     "text_pii_scan",
+    "text_pii_redact",
     "text_vocab_topk",
     "dedup_winnow_pairs",
     "text_budget_pack",

@@ -439,3 +439,46 @@ def sequence_pack(
             (F.col("start_offset") % window_tokens).alias("offset_in_window"),
         )
     )
+
+
+PII_REPLACEMENTS = {
+    "n_emails": "[EMAIL]",
+    "n_urls": "[URL]",
+    "n_phones": "[PHONE]",
+}
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redaction counterpart of ``pii_scan``: replace every email / URL /
+    phone match with a typed placeholder, applied in a FIXED pattern order
+    (order matters for overlapping matches — e.g. an email-shaped userinfo
+    inside a URL — so the mirror must replay the identical sequence, which
+    ``pii_redact_sql`` does). Long-digit runs are measured but NOT
+    redacted: they are usually legitimate content (years, ids) — callers
+    with stricter policy compose another regexp_replace. Pure JVM-side
+    projection; DuckDB mirrors each rewrite with regexp_replace(..., 'g')."""
+    out = F.col(text_col)
+    for key in PII_REPLACEMENTS:
+        out = F.regexp_replace(out, PII_PATTERNS[key], PII_REPLACEMENTS[key])
+    return docs.select(
+        F.col(id_col),
+        out.alias("text_redacted"),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(out).cast("long").alias("n_chars_after"),
+    )
+
+
+def pii_redact_sql(
+    table: str = "documents", text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB mirror of ``pii_redact`` (same patterns, same order)."""
+    out = text_expr
+    for key, repl in PII_REPLACEMENTS.items():
+        out = f"regexp_replace({out}, '{PII_PATTERNS[key]}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_expr}, {out} AS text_redacted, "
+        f"CAST(length({text_expr}) AS BIGINT) AS n_chars_before, "
+        f"CAST(length({out}) AS BIGINT) AS n_chars_after FROM {table}"
+    )

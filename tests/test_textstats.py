@@ -233,3 +233,24 @@ def test_sequence_pack_is_gapless_and_stable(spark):
     # the layout order is the hash shuffle, not doc_id order
     by_id = [r.start_offset for r in sorted(got, key=lambda r: r.doc_id)]
     assert by_id != sorted(by_id)
+
+
+def test_pii_redact_values_and_duckdb_parity(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write a@b.co or visit https://u:p@h.example/x now"),
+            (2, "call +1 (212) 555-0199 today"),
+            (3, "nothing sensitive"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text_redacted for r in textstats.pii_redact(docs).collect()}
+    assert got[1] == "write [EMAIL] or visit [URL] now"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "nothing sensitive"
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {r[0]: r[1] for r in con.execute(textstats.pii_redact_sql()).fetchall()}
+    assert got == want
