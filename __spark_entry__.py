@@ -618,6 +618,23 @@ def q_dedup_exact_streaming(spark, sf_dir):
     ).select("content_hash", "keep_id", "n_dups")
 
 
+def q_decontaminate_ngram(spark, sf_dir):
+    """Training-vs-eval n-gram decontamination
+    (operators/dedup.py:ngram_decontaminate): a deterministic 4% hash sample
+    of documents stands in as the held-out eval set; every (train, eval)
+    pair sharing a verbatim 13-gram is reported with its overlap count — the
+    release gate a training corpus runs against its benchmarks. The eval
+    shingle set broadcasts; the training corpus never shuffles. DuckDB
+    mirrors the sample predicate, the 13-gram hashes, and the join."""
+    from europarl_crawler_spark.operators.sampling import SAMPLE_MEMBER, _id_unit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    keep = _id_unit("doc_id", SAMPLE_MEMBER) < F.lit(0.04)
+    return dedup.ngram_decontaminate(
+        d.filter(~keep), d.filter(keep), n=13
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """5-gram Jaccard near-dup pairs, τ=0.4, stop-shingle df-cap 100
     (identical cap in the oracle — see operators/dedup.py on why the cap is
@@ -1956,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "decontaminate_ngram": q_decontaminate_ngram,
         "corpus_sequence_pack": q_corpus_sequence_pack,
         "text_fingerprint": q_text_fingerprint,
         "video_frame_ahash": q_video_frame_ahash,
@@ -2410,6 +2428,21 @@ WHERE rank <= 10
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,
         "dedup_winnow_pairs": winnow_pairs_sql,
+        "decontaminate_ngram": f"""
+WITH g13 AS (
+  SELECT doc_id, substr(text, i, 13) AS s
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text)-12, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, i, 13)) = 13
+), hsh AS (SELECT DISTINCT doc_id, {porthash.poly_hash_sql('s')} AS sh FROM g13),
+ev AS (SELECT * FROM hsh WHERE {sampling.sample_keep_sql(0.04)}),
+tr AS (SELECT * FROM hsh WHERE NOT ({sampling.sample_keep_sql(0.04)}))
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (sh) GROUP BY 1, 2
+""",
+
         "corpus_sequence_pack": f"""
 WITH t AS (
   SELECT doc_id,

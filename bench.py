@@ -66,6 +66,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_vocab_topk",
     "dedup_winnow_pairs",
+    "decontaminate_ngram",
     "text_budget_pack",
     "corpus_sequence_pack",
     "text_language_id",

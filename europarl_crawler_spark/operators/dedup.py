@@ -422,3 +422,36 @@ def keep_one_per_group(docs: DataFrame, group_col: str, id_col: str = "doc_id") 
     """Canonical dedup materialization: keep the min-id row per group."""
     w = Window.partitionBy(group_col).orderBy(F.asc(id_col))
     return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-vs-eval n-gram decontamination: which training documents
+    share ≥ ``min_shared`` verbatim n-grams with any eval/benchmark
+    document (the GPT-3-style 13-gram overlap check a corpus must pass
+    before release). Output: (train_id, eval_id, n_shared), one row per
+    contaminated pair.
+
+    Scale shape: both sides reduce to DISTINCT (doc, gram-hash) sets via
+    the shared portable shingle pass (char-code Horner — no per-gram
+    allocation); the eval side is benchmark-sized, so its hash set
+    BROADCASTS and the training corpus never shuffles — the join is a
+    map-side hash probe per training gram, then a (train, eval) pair
+    aggregation over only the hits."""
+    sh_t = shingle_hashes(train, n, text_col, id_col, portable=True)
+    sh_e = shingle_hashes(eval_docs, n, text_col, id_col, portable=True)
+    return (
+        sh_t.join(
+            F.broadcast(sh_e.select(F.col("doc_id").alias("eval_id"), "sh")),
+            "sh",
+        )
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -132,3 +132,38 @@ def test_near_dup_groups_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="no convergence"):
         dedup.near_dup_groups(pairs, max_iter=2)
+
+
+def test_ngram_decontaminate_finds_verbatim_leaks(spark):
+    from europarl_crawler_spark.operators import dedup as dd
+
+    leak = "the exact thirteen character run that leaked into training data"
+    train = spark.createDataFrame(
+        [
+            (1, "clean original prose with nothing copied anywhere at all"),
+            (2, "prefix text ... " + leak + " ... suffix text"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark question: " + leak)],
+        "doc_id long, text string",
+    )
+    got = {(r.train_id, r.eval_id): r.n_shared
+           for r in dd.ngram_decontaminate(train, ev, n=13).collect()}
+    assert (2, 100) in got and got[(2, 100)] >= len(leak) - 12
+    assert not any(t == 1 for t, _ in got)
+
+
+def test_ngram_decontaminate_clean_corpus_is_empty(spark):
+    from europarl_crawler_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    assert dd.ngram_decontaminate(train, ev, n=13).count() == 0
