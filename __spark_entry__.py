@@ -933,6 +933,119 @@ def q_dedup_image_pairs_blocked(spark, sf_dir):
     )
 
 
+def _image_caption_pairs(spark, sf_dir):
+    """(image_id, bytes, w, h, fmt, caption) — the north-star input table
+    (BASELINE.json input_hint) synthesized deterministically: the image is
+    the doc's codepoint pixels PNG-encoded; the caption is the SAME doc's
+    text for even doc_ids (a matched pair) and the even partner's text for
+    odd doc_ids (a deterministically WRONG caption), so the alignment lane
+    exercises both verdict branches with many boundary rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    caps = (
+        docs.select(
+            "doc_id", (F.col("doc_id") - F.col("doc_id") % 2).alias("cap_src")
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("cap_src"), F.col("text").alias("caption")
+            ),
+            "cap_src",
+        )
+        .select(F.col("doc_id").cast("string").alias("image_id"), "caption")
+    )
+    return _codepoint_png_images(spark, sf_dir).join(caps, "image_id")
+
+
+def q_image_caption_align(spark, sf_dir):
+    """IMAGE↔CAPTION alignment filter (operators/caption.py:caption_alignment)
+    — the CLIP-score plan shape over the north-star pairs table: PNG decode →
+    64-bin hashed-bigram histogram (Arrow, integer counts only), caption
+    histogram as pure Catalyst algebra riding THROUGH the Arrow stage, cosine
+    + verdict JVM-side. Matched pairs (even doc_ids) score ≥ 0.991 and
+    mismatched ≤ 0.971 on this corpus, so the 0.98 threshold classifies every
+    pair correctly AND the oracle recomputes dot, norms, IEEE cosine, and the
+    verdict bit-exactly from the codepoints."""
+    from europarl_crawler_spark.operators import caption
+
+    return caption.caption_alignment(
+        _image_caption_pairs(spark, sf_dir), threshold=0.98
+    )
+
+
+def q_caption_boilerplate(spark, sf_dir):
+    """CAPTION template-frequency boilerplate filter
+    (operators/caption.py:boilerplate_captions): normalize each caption to
+    its first-3-words template, flag templates shared by ≥ 2 pairs — the
+    'stock photo of'-style curation drop. min_df=2 splits this corpus
+    ~53/447 at sf0.01, so both branches carry many value rows."""
+    from europarl_crawler_spark.operators import caption
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    return caption.boilerplate_captions(docs, key_words=3, min_df=2)
+
+
+def q_image_ar_bucket(spark, sf_dir):
+    """ASPECT-RATIO bucketing (operators/multimodal.py:ar_bucket_assign) —
+    the trainer-side batch-composition step: every image goes to its nearest
+    of the five NaViT/SDXL canvas ratios. Sizes are synthesized
+    deterministically (w = 128 + 7·id mod 512, h = 128 + 13·id mod 512) so
+    all five buckets are populated; the nearest-ratio argmin is EXACT integer
+    arithmetic (quantized ratio quotient, fused tie-break), so the oracle
+    recomputes every assignment with the same ints."""
+    from europarl_crawler_spark.operators import multimodal
+
+    imgs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        (F.lit(128) + (F.col("doc_id") * 7) % 512).cast("int").alias("w"),
+        (F.lit(128) + (F.col("doc_id") * 13) % 512).cast("int").alias("h"),
+    )
+    return multimodal.ar_bucket_assign(imgs)
+
+
+def q_p11_robots_gate(spark, sf_dir):
+    """ROBOTS.TXT gate (plans/robots.py:apply_robots_gate), value-checked
+    end-to-end: frontier URLs synthesized from documents (host = source,
+    path = /lang/dN), robots.txt TEXT for every even-numbered source parsed
+    by the real parser, then the gate's longest-prefix-wins /
+    Allow-beats-Disallow-at-equal-length decision applied. The oracle
+    replays the PARSED rule table (inline VALUES — they are specification)
+    and the same precedence relationally, so parser, prefix join, window
+    precedence, and tie rule are all value-checked. Branches covered:
+    rule-less hosts pass, /en blocked, /en/d1 re-allowed BY PREFIX (d1,
+    d10–d19), /fr/d2 equal-length tie → Allow wins, /zh/d3 plain block."""
+    from europarl_crawler_spark.plans import robots as rb
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/d"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.xxhash64(F.lower(host)).alias("host_hash"),
+    )
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /en\n"
+        "Allow: /en/d1\n"
+        "Disallow: /fr/d2\n"
+        "Allow: /fr/d2\n"  # equal-length tie: Allow wins
+        "Disallow: /zh/d3\n"
+    )
+    robots = rb.robots_df(
+        spark, {f"src{i}.example": txt for i in range(0, 20, 2)}
+    )
+    return rb.apply_robots_gate(urls, robots).select("url_id", "url")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, cosine ≥ 0.35 (double-precision in
     both engines; rounded to 4)."""
@@ -1960,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation": q_image_curation,
         "image_resize_hash": q_image_resize_hash,
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
+        "image_caption_align": q_image_caption_align,
+        "caption_boilerplate": q_caption_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2817,6 +2932,75 @@ FROM c
               JOIN cls cb ON cb.doc_id = b.doc_id AND ca.c = cb.c
               GROUP BY 1, 2)
             WHERE hamming <= 16
+        """,
+        # caption alignment: the image-side bigram histogram is recomputed
+        # from the tiled codepoints (the decoded PNG pixel stream), the
+        # caption side from the matched/mismatched partner text, and the
+        # cosine re-derived with the same exact-integer dot/norms and IEEE
+        # double sqrt/divide — codec, Arrow pass-through, histogram hashing,
+        # and the 0.98 verdict all value-checked
+        "image_caption_align": """
+            WITH cp AS (
+              SELECT doc_id, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 767)) AS i FROM documents)
+            ), ig AS (
+              SELECT a.doc_id, ((a.v * 31) + b.v) % 64 AS g
+              FROM cp a JOIN cp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ), ih AS (
+              SELECT doc_id, g, count(*) AS n FROM ig GROUP BY 1, 2
+            ), cap AS (
+              SELECT d.doc_id, s.text
+              FROM documents d
+              JOIN documents s ON s.doc_id = d.doc_id - (d.doc_id % 2)
+            ), cc AS (
+              SELECT doc_id, i, unicode(substr(text, i, 1)) % 256 AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text))) AS i FROM cap)
+            ), cg AS (
+              SELECT a.doc_id, ((a.v * 31) + b.v) % 64 AS g
+              FROM cc a JOIN cc b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ), ch AS (
+              SELECT doc_id, g, count(*) AS n FROM cg GROUP BY 1, 2
+            ), dotv AS (
+              SELECT ih.doc_id, CAST(sum(ih.n * ch.n) AS BIGINT) AS dot
+              FROM ih JOIN ch ON ch.doc_id = ih.doc_id AND ch.g = ih.g
+              GROUP BY 1
+            ), na AS (
+              SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS na2 FROM ih GROUP BY 1
+            ), nb AS (
+              SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS nb2 FROM ch GROUP BY 1
+            )
+            SELECT CAST(na.doc_id AS VARCHAR) AS image_id,
+                   coalesce(dot, 0) AS dot,
+                   round(CAST(coalesce(dot, 0) AS DOUBLE)
+                         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4)
+                     AS score,
+                   CAST(coalesce(dot, 0) AS DOUBLE)
+                     / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.98
+                     AS aligned
+            FROM na JOIN nb ON nb.doc_id = na.doc_id
+            LEFT JOIN dotv ON dotv.doc_id = na.doc_id
+        """,
+        # caption boilerplate: template key + document frequency recomputed
+        # relationally; concat_ws skips missing words on both engines
+        "caption_boilerplate": """
+            WITH k AS (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     lower(concat_ws(' ', parts[1], parts[2], parts[3]))
+                       AS caption_key
+              FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                    FROM documents)
+            ), d AS (
+              SELECT caption_key, CAST(count(*) AS BIGINT) AS caption_df
+              FROM k GROUP BY 1
+            )
+            SELECT k.image_id, k.caption_key, d.caption_df,
+                   d.caption_df >= 2 AS is_boilerplate
+            FROM k JOIN d USING (caption_key)
         """,
         # video frame signatures: the Y4M container stores the integer
         # BT.601 luma plane exactly, so every per-frame hash bit is

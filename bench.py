@@ -51,6 +51,8 @@ HEADLINE = [
     "dedup_image_pairs",
     "dedup_image_groups",
     "image_quality",
+    "image_caption_align",
+    "caption_boilerplate",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

@@ -1,0 +1,197 @@
+"""Caption-side curation for image+caption pairs — the lanes a 100 TB
+multimodal training-data pipeline runs BETWEEN the crawl and the trainer:
+
+* ``caption_alignment`` — a per-pair image↔caption agreement score, the
+  plan-shape stand-in for CLIP-similarity filtering (LAION-style): an
+  image-side feature vector comes out of the Arrow decode stage, a
+  caption-side feature vector is pure Catalyst column algebra, and the score
+  is a cosine computed JVM-side. With a learned encoder the Arrow stage
+  swaps a model forward pass for the histogram; every other part of the
+  plan — the zero-shuffle pass-through, the verdict algebra, the null lanes
+  for undecodable downloads — is exactly what ships at scale.
+
+  The deterministic feature here is a 64-bin histogram of hashed character
+  BIGRAMS ((c_i*31 + c_{i+1}) mod 64): the synthetic corpus draws documents
+  from one small vocabulary, so unigram histograms of two DIFFERENT texts
+  are near-parallel (cosine > 0.997 at sf0.1) while bigrams capture word
+  structure and separate matched from mismatched pairs by a 0.02-wide gap.
+  Integer bin counts cross the Arrow boundary — no float leaves Python —
+  so the DuckDB oracle recomputes dot product, norms, IEEE-double cosine,
+  and the verdict bit-exactly.
+
+* ``boilerplate_captions`` — template-frequency caption filtering: captions
+  sharing a normalized prefix with ≥ ``min_df`` other pairs are flagged as
+  boilerplate ("stock photo of …" in web corpora). One map-side-combinable
+  hash aggregate plus a co-partitioned join back; AQE reuses the exchange.
+
+Reference analog: the rule-based postprocessors that score and drop
+documents after fetch (/root/reference/europarl/rules/extraction.py:27-52) —
+re-expressed as declarative curation over the image+caption table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import porthash
+from . import multimodal
+
+BINS = 64
+BIGRAM_BASE = 31
+
+
+def bigram_histogram(text_col: Column, bins: int = BINS) -> Column:
+    """64-bin histogram of hashed character bigrams of a string column as an
+    ``array<bigint>`` — one O(len) pass building the gram array (codes are
+    materialized once via ``porthash.char_codes``, so no per-gram substring),
+    then one aggregate pass folding grams into the bin array. Pure Catalyst:
+    stays inside whole-stage codegen, no Python."""
+    codes = F.filter(porthash.char_codes(text_col), lambda x: x > 0)
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short strings
+    grams = F.when(
+        F.size(codes) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(codes) - 1),
+            lambda i: (
+                (F.element_at(codes, i) % 256) * BIGRAM_BASE
+                + F.element_at(codes, i + 1) % 256
+            )
+            % bins,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bins)
+    return F.aggregate(
+        grams,
+        zeros,
+        lambda acc, g: F.transform(
+            acc, lambda v, i: v + F.when(g == i, F.lit(1)).otherwise(F.lit(0))
+        ),
+    )
+
+
+_ALIGN_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("img_hist", T.ArrayType(T.LongType())),
+        T.StructField("cap_hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def caption_alignment(
+    pairs: DataFrame, threshold: float = 0.98, bins: int = BINS
+) -> DataFrame:
+    """Image↔caption alignment score over a pairs frame with columns
+    (image_id, bytes, w, h, fmt, caption).
+
+    Plan shape (the part that survives a model swap): the caption histogram
+    is computed BEFORE the Arrow stage and rides through it as a pass-through
+    column, so the whole operator is a single zero-shuffle projection chain —
+    scan → Catalyst caption-feature → Arrow decode+image-feature → Catalyst
+    cosine + verdict. No join, no exchange; parallelism comes from the
+    upstream ``repartition`` (see single-split note in BENCH/R3_NOTES.md).
+
+    Output: (image_id, dot, score, aligned). ``dot`` and both norms are
+    exact integer sums; ``score`` is the IEEE-double cosine rounded to 4 for
+    the value hash, ``aligned`` compares the UNROUNDED score to
+    ``threshold``. Undecodable payloads keep their row with null score and
+    aligned=false — same contract as ``multimodal.image_quality``."""
+    pre = pairs.select(
+        "image_id",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        bigram_histogram(F.col("caption"), bins).alias("cap_hist"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, body, w, h, fmt, ch in zip(
+                pdf["image_id"],
+                pdf["bytes"],
+                pdf["w"],
+                pdf["h"],
+                pdf["fmt"],
+                pdf["cap_hist"],
+            ):
+                try:
+                    px = multimodal.decode_pixels(bytes(body), int(w), int(h), fmt)
+                except (NotImplementedError, ValueError, AssertionError):
+                    rows.append((iid, None, list(ch)))
+                    continue
+                v = px.reshape(-1).astype(np.int64)  # channel scan order = the
+                # tiled codepoint stream the oracle's cp CTE regenerates
+                g = (v[:-1] * BIGRAM_BASE + v[1:]) % bins
+                hist = np.bincount(g, minlength=bins)
+                rows.append((iid, [int(x) for x in hist], list(ch)))
+            yield pd.DataFrame(rows, columns=["image_id", "img_hist", "cap_hist"])
+
+    raw = pre.mapInPandas(batches, schema=_ALIGN_RAW_SCHEMA)
+
+    dot = F.aggregate(
+        F.zip_with(F.col("img_hist"), F.col("cap_hist"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731 — local expression builder
+        F.transform(F.col(c), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = raw.select(
+        "image_id",
+        dot.alias("dot"),
+        sq("img_hist").alias("na2"),
+        sq("cap_hist").alias("nb2"),
+    )
+    score = F.col("dot") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    valid = (F.col("na2") > 0) & (F.col("nb2") > 0)
+    return scored.select(
+        "image_id",
+        "dot",
+        F.round(F.when(valid, score), 4).alias("score"),
+        F.coalesce(F.when(valid, score >= F.lit(threshold)), F.lit(False)).alias(
+            "aligned"
+        ),
+    )
+
+
+def boilerplate_captions(
+    pairs: DataFrame,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    key_words: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Template-frequency boilerplate filter: normalize each caption to its
+    first ``key_words`` lowercased words, count pairs per template, flag
+    templates with document frequency ≥ ``min_df``.
+
+    Scale shape: the count is a map-side-combinable hash aggregate on the
+    template key; the join back is co-partitioned on the same key, so AQE
+    reuses the aggregate's exchange — one effective shuffle. At 10⁹ pairs
+    the flagged-template set alone is broadcast-comfortable, but the exact
+    per-pair df in the output requires the full aggregate either way.
+
+    Output: (image_id, caption_key, caption_df, is_boilerplate)."""
+    key = F.lower(
+        F.array_join(F.slice(F.split(F.col(caption_col), " "), 1, key_words), " ")
+    )
+    keyed = pairs.select(F.col(id_col).alias("image_id"), key.alias("caption_key"))
+    dfreq = keyed.groupBy("caption_key").agg(F.count("*").alias("caption_df"))
+    return keyed.join(dfreq, "caption_key").select(
+        "image_id",
+        "caption_key",
+        "caption_df",
+        (F.col("caption_df") >= F.lit(min_df)).alias("is_boilerplate"),
+    )
