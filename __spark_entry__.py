@@ -1046,6 +1046,58 @@ def q_p11_robots_gate(spark, sf_dir):
     return rb.apply_robots_gate(urls, robots).select("url_id", "url")
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL CANONICALIZATION (functions/urlkit.py) — the function that keys
+    the seen set and the frontier (north_rule: 'canonicalized+hashed URLs'),
+    value-checked over deterministically messy URLs: mixed-case schemes and
+    hosts, default ports to strip (:80 on http, :443 on https), NON-default
+    ports to keep (:8080 anywhere, :443 on http), fragments to drop, empty
+    paths -> '/', bare trailing '?' stripped but real queries kept, and
+    whitespace padding trimmed. Independent modulus cycles (4/2/4/5) cross
+    the branches so most combinations occur."""
+    from europarl_crawler_spark.functions import urlkit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    i = F.col("doc_id")
+    scheme = (
+        F.when(i % 4 == 0, F.lit("http"))
+        .when(i % 4 == 1, F.lit("HTTP"))
+        .when(i % 4 == 2, F.lit("https"))
+        .otherwise(F.lit("HtTpS"))
+    )
+    hostcase = F.concat(
+        F.when(i % 2 == 0, F.col("source")).otherwise(F.upper(F.col("source"))),
+        F.lit(".Example"),
+    )
+    port = (
+        F.when(i % 4 == 0, F.lit(""))
+        .when(i % 4 == 1, F.lit(":80"))
+        .when(i % 4 == 2, F.lit(":443"))
+        .otherwise(F.lit(":8080"))
+    )
+    path = (
+        F.when(i % 3 == 0, F.lit(""))
+        .when(i % 3 == 1, F.concat(F.lit("/"), F.col("lang"), F.lit("/Page")))
+        .otherwise(F.lit("/x"))
+    )
+    suffix = (
+        F.when(i % 5 == 0, F.lit(""))
+        .when(i % 5 == 1, F.lit("#sec2"))
+        .when(i % 5 == 2, F.lit("?q=1&r=2"))
+        .when(i % 5 == 3, F.lit("?"))
+        .otherwise(F.lit("?q=1#frag"))
+    )
+    raw = F.concat(
+        F.lit(" "), scheme, F.lit("://"), hostcase, port, path, suffix, F.lit(" ")
+    )
+    return d.select(
+        F.col("doc_id").alias("url_id"),
+        raw.alias("url"),
+        urlkit.canonicalize_expr(raw).alias("canon"),
+        urlkit.host_expr(F.trim(raw)).alias("host"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, cosine ≥ 0.35 (double-precision in
     both engines; rounded to 4)."""
@@ -2075,6 +2127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "image_caption_align": q_image_caption_align,
         "caption_boilerplate": q_caption_boilerplate,
+        "image_ar_bucket": q_image_ar_bucket,
+        "p11_robots_gate": q_p11_robots_gate,
+        "url_canonicalize": q_url_canonicalize,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2984,6 +3039,117 @@ FROM c
                      AS aligned
             FROM na JOIN nb ON nb.doc_id = na.doc_id
             LEFT JOIN dotv ON dotv.doc_id = na.doc_id
+        """,
+        # aspect-ratio bucketing: the synthesized sizes and the exact-integer
+        # nearest-ratio argmin (quantized quotient, fused tie-break) replayed
+        # relationally — no floats on either side
+        "image_ar_bucket": """
+            WITH imgs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                     CAST(128 + (doc_id * 7) % 512 AS INTEGER) AS w,
+                     CAST(128 + (doc_id * 13) % 512 AS INTEGER) AS h
+              FROM documents
+            ), b AS (
+              SELECT * FROM (VALUES (0, 1, 1), (1, 4, 3), (2, 3, 4),
+                                    (3, 16, 9), (4, 9, 16)) AS t(bidx, ba, bb)
+            ), s AS (
+              SELECT image_id, w, h,
+                     (greatest(w * bb, h * ba) * 1000000)
+                       // least(w * bb, h * ba) * 100 + bidx AS c
+              FROM imgs CROSS JOIN b
+            ), m AS (
+              SELECT image_id, w, h, min(c) AS mc FROM s GROUP BY 1, 2, 3
+            )
+            SELECT image_id, w, h, CAST(mc % 100 AS INTEGER) AS bucket_idx,
+                   CASE CAST(mc % 100 AS INTEGER)
+                     WHEN 0 THEN '1:1' WHEN 1 THEN '4:3' WHEN 2 THEN '3:4'
+                     WHEN 3 THEN '16:9' WHEN 4 THEN '9:16' END AS bucket_ar
+            FROM m
+        """,
+        # robots gate: the parsed rule table is replayed as inline VALUES
+        # (the rules are specification, like the TERMS table) and the
+        # longest-prefix / Allow-wins-ties precedence re-derived with a
+        # window — parser, prefix join, and tie rule all value-checked
+        "p11_robots_gate": """
+            WITH rules AS (
+              SELECT 'src' || CAST(s AS VARCHAR) || '.example' AS host,
+                     path_prefix, allow
+              FROM (SELECT unnest(generate_series(0, 19, 2)) AS s)
+              CROSS JOIN (VALUES ('/en', false), ('/en/d1', true),
+                                 ('/fr/d2', false), ('/fr/d2', true),
+                                 ('/zh/d3', false)) AS r(path_prefix, allow)
+            ), urls AS (
+              SELECT doc_id AS url_id,
+                     source || '.example' AS host,
+                     '/' || lang || '/d' || CAST(doc_id % 50 AS VARCHAR) AS path,
+                     'https://' || source || '.example/' || lang || '/d'
+                       || CAST(doc_id % 50 AS VARCHAR) AS url
+              FROM documents
+            ), m AS (
+              SELECT u.url_id, u.url, r.path_prefix, r.allow
+              FROM urls u LEFT JOIN rules r
+                ON r.host = u.host AND starts_with(u.path, r.path_prefix)
+            ), ranked AS (
+              SELECT url_id, url, allow,
+                     row_number() OVER (
+                       PARTITION BY url_id
+                       ORDER BY length(path_prefix) DESC, allow DESC) AS rn
+              FROM m
+            )
+            SELECT url_id, url FROM ranked
+            WHERE rn = 1 AND (allow IS NULL OR allow)
+        """,
+        # url canonicalization: the messy-URL synthesis and the full regex
+        # algebra (scheme/host lowering, scheme-conditional default-port
+        # strip, fragment drop, empty path -> '/', bare-? strip) replayed in
+        # DuckDB's RE2 — same patterns, same group semantics
+        "url_canonicalize": r"""
+            WITH raw AS (
+              SELECT doc_id AS url_id,
+                     ' ' ||
+                     CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+                                     WHEN 2 THEN 'https' ELSE 'HtTpS' END ||
+                     '://' ||
+                     CASE WHEN doc_id % 2 = 0 THEN source ELSE upper(source) END ||
+                     '.Example' ||
+                     CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN ':80'
+                                     WHEN 2 THEN ':443' ELSE ':8080' END ||
+                     CASE doc_id % 3 WHEN 0 THEN ''
+                                     WHEN 1 THEN '/' || lang || '/Page'
+                                     ELSE '/x' END ||
+                     CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '#sec2'
+                                     WHEN 2 THEN '?q=1&r=2' WHEN 3 THEN '?'
+                                     ELSE '?q=1#frag' END ||
+                     ' ' AS url
+              FROM documents
+            ), p AS (
+              SELECT url_id, url, trim(url) AS u FROM raw
+            ), parts AS (
+              SELECT url_id, url,
+                     lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                       AS scheme,
+                     lower(regexp_extract(u,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+                     regexp_extract(u,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+              FROM p
+            ), hp AS (
+              SELECT url_id, url, scheme,
+                     CASE WHEN scheme = 'http'
+                            THEN regexp_replace(rawhost, ':80$', '')
+                          WHEN scheme = 'https'
+                            THEN regexp_replace(rawhost, ':443$', '')
+                          ELSE rawhost END AS host,
+                     regexp_extract(rest, '^([^?]*)', 0) AS path,
+                     regexp_extract(rest, '\?(.*)$', 1) AS query
+              FROM parts
+            )
+            SELECT url_id, url,
+                   scheme || '://' || host ||
+                   CASE WHEN path = '' THEN '/' ELSE path END ||
+                   CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon,
+                   host
+            FROM hp
         """,
         # caption boilerplate: template key + document frequency recomputed
         # relationally; concat_ws skips missing words on both engines

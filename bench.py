@@ -53,6 +53,9 @@ HEADLINE = [
     "image_quality",
     "image_caption_align",
     "caption_boilerplate",
+    "image_ar_bucket",
+    "p11_robots_gate",
+    "url_canonicalize",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

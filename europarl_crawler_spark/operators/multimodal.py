@@ -476,3 +476,55 @@ def media_probe(media: DataFrame) -> DataFrame:
     return media.select("media_id", "bytes", "fmt").mapInPandas(
         batches, schema=PROBE_SCHEMA
     )
+
+
+# (bucket_idx, ar_w, ar_h) — the NaViT/SDXL-style training shapes; a trainer
+# groups batches by bucket so every sample in a batch shares one canvas
+AR_BUCKETS: list[tuple[int, int, int]] = [
+    (0, 1, 1),
+    (1, 4, 3),
+    (2, 3, 4),
+    (3, 16, 9),
+    (4, 9, 16),
+]
+
+
+def ar_bucket_assign(
+    images: DataFrame, buckets: list[tuple[int, int, int]] = AR_BUCKETS
+) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal training — assign every image
+    (image_id, w, h) to its nearest aspect-ratio bucket, the batch-composition
+    step image trainers run so a batch shares one canvas shape.
+
+    Nearest is by ratio QUOTIENT (max/min of w·b vs h·a — the scale-free
+    measure whose ordering equals |log(w/h) − log(a/b)|), quantized to 1e-6
+    in EXACT integer arithmetic: q = (max·10⁶) div min. Ties take the lowest
+    bucket index via one fused min over q·100+idx. No floats anywhere, so the
+    assignment is bit-identical across engines and re-runs.
+
+    Plan: broadcast cross join against the |buckets|-row dimension, one
+    map-side-combinable min aggregate keyed by image — at 10⁹ images this is
+    a single shuffle of (image_id, long) pairs. Output: (image_id, w, h,
+    bucket_idx, bucket_ar)."""
+    spark = images.sparkSession
+    bdf = spark.createDataFrame(buckets, "bidx int, ba int, bb int")
+    q = F.expr("(greatest(w * cast(bb as bigint), h * cast(ba as bigint)) * 1000000L) "
+               "div least(w * cast(bb as bigint), h * cast(ba as bigint))")
+    combined = (q * 100 + F.col("bidx")).alias("_c")
+    best = (
+        images.select("image_id", "w", "h")
+        .crossJoin(F.broadcast(bdf))
+        .select("image_id", "w", "h", combined)
+        .groupBy("image_id", "w", "h")
+        .agg(F.min("_c").alias("_m"))
+        .select(
+            "image_id",
+            "w",
+            "h",
+            (F.col("_m") % 100).cast("int").alias("bucket_idx"),
+        )
+    )
+    label = F.create_map(
+        *[x for i, a, b in buckets for x in (F.lit(i), F.lit(f"{a}:{b}"))]
+    )
+    return best.withColumn("bucket_ar", label[F.col("bucket_idx")])

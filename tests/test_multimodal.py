@@ -223,3 +223,43 @@ def test_stub_raises_for_videos(spark):
     with pytest.raises(Exception):
         # surfaces as a PythonException wrapping the NotImplementedError
         multimodal.frame_sample_stub(videos).collect()
+
+
+# --- aspect-ratio bucketing (ar_bucket_assign) ------------------------------
+
+
+def test_ar_bucket_known_assignments(spark):
+    from europarl_crawler_spark.operators.multimodal import ar_bucket_assign
+
+    rows = [
+        ("sq", 100, 100, "1:1"),
+        ("l43", 400, 300, "4:3"),
+        ("p34", 300, 400, "3:4"),
+        ("w169", 1600, 900, "16:9"),
+        ("t916", 90, 160, "9:16"),
+        ("near", 700, 500, "4:3"),  # 1.4 — nearer 4/3 than 1 or 16/9
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, w, h, _ in rows], "image_id string, w int, h int"
+    )
+    got = {r["image_id"]: r["bucket_ar"] for r in ar_bucket_assign(df).collect()}
+    for i, _, _, want in rows:
+        assert got[i] == want, (i, got[i])
+
+
+def test_ar_bucket_tie_takes_lowest_index(spark):
+    from europarl_crawler_spark.operators.multimodal import ar_bucket_assign
+
+    # 4:3 image vs buckets {1:1, 16:9}: quotient to both is exactly 4/3 —
+    # the fused min must break the tie toward the lower bucket index
+    df = spark.createDataFrame([("t", 4, 3)], "image_id string, w int, h int")
+    row = ar_bucket_assign(df, buckets=[(0, 1, 1), (1, 16, 9)]).collect()[0]
+    assert row["bucket_idx"] == 0 and row["bucket_ar"] == "1:1"
+
+
+def test_ar_bucket_all_buckets_populated_on_synthetic_sizes(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_image_ar_bucket(spark, "/root/testdata/sf0.001")
+    idxs = {r["bucket_idx"] for r in out.select("bucket_idx").distinct().collect()}
+    assert idxs == {0, 1, 2, 3, 4}

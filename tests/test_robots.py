@@ -69,3 +69,31 @@ def test_equal_length_tie_allow_wins(spark, frontier):
     kept = {r.url for r in apply_robots_gate(frontier, robots).collect()}
     assert "https://site.example.org/private/a" in kept
     assert "https://site.example.org/private/ok/a" in kept
+
+
+def test_p11_query_branches(spark):
+    """Query-level branches of the oracle-checked p11_robots_gate: rule-less
+    odd hosts pass, /en blocked on even hosts, /en/d1* re-allowed by prefix,
+    /fr/d2* equal-length tie -> Allow wins, /zh/d3* blocked."""
+    import __spark_entry__ as entry
+
+    kept = {r["url"] for r in entry.q_p11_robots_gate(spark, "/root/testdata/sf0.001").collect()}
+    src_all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = {
+        (r["source"], r["lang"], r["doc_id"] % 50): (
+            f"https://{r['source']}.example/{r['lang']}/d{r['doc_id'] % 50}"
+        )
+        for r in src_all.collect()
+    }
+    for (src, lang, d), u in urls.items():
+        even = int(src[3:]) % 2 == 0 and int(src[3:]) < 20
+        if not even:
+            assert u in kept, u  # no robots -> allowed
+        elif lang == "en":
+            assert (u in kept) == (str(d).startswith("1")), u
+        elif lang == "fr" and str(d).startswith("2"):
+            assert u in kept, u  # tie -> Allow wins
+        elif lang == "zh" and str(d).startswith("3"):
+            assert u not in kept, u
+        else:
+            assert u in kept, u
