@@ -888,6 +888,38 @@ def q_image_curation(spark, sf_dir):
     )
 
 
+def q_image_curation_full(spark, sf_dir):
+    """FULL multimodal curation verdict — the composition a 100 TB
+    image+caption pipeline actually ships per pair: keep iff it passes the
+    pixel-quality filter AND is not a visual-duplicate group loser AND its
+    caption aligns with the image AND its caption is not boilerplate. Four
+    oracle-checked lanes joined on image_id; the oracle composes the same
+    three SQL bodies, so the end-to-end verdict is value-checked through
+    every stage."""
+    cur = q_image_curation(spark, sf_dir).select(
+        "image_id", "quality_keep", "is_dup_loser"
+    )
+    al = q_image_caption_align(spark, sf_dir).select("image_id", "aligned")
+    bp = q_caption_boilerplate(spark, sf_dir).select("image_id", "is_boilerplate")
+    return (
+        cur.join(al, "image_id")
+        .join(bp, "image_id")
+        .select(
+            "image_id",
+            "quality_keep",
+            "is_dup_loser",
+            "aligned",
+            "is_boilerplate",
+            (
+                F.col("quality_keep")
+                & ~F.col("is_dup_loser")
+                & F.col("aligned")
+                & ~F.col("is_boilerplate")
+            ).alias("keep_final"),
+        )
+    )
+
+
 def q_image_resize_hash(spark, sf_dir):
     """Thumbnail lane, oracle-checked end-to-end: PNG decode → the REAL
     nearest-neighbour resize operator (16×16 → 8×8, raw re-encode:
@@ -2130,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ar_bucket": q_image_ar_bucket,
         "p11_robots_gate": q_p11_robots_gate,
         "url_canonicalize": q_url_canonicalize,
+        "image_curation_full": q_image_curation_full,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2418,7 +2451,7 @@ WHERE rank <= 10
         )
         + "]"
     )
-    return {
+    o = {
         "f1_get_term": (
             f"SELECT dates, {_term_case_sql('dates')} AS term FROM {_DAYS_SQL} AS d"
         ),
@@ -3466,6 +3499,19 @@ FROM c
             "CAST(NULL AS BIGINT) AS neighbor_id WHERE FALSE"
         ),
     }
+    # the full curation verdict composes three already-oracled bodies, so a
+    # defect anywhere in codec, hash, CC closure, quality algebra, alignment
+    # cosine, or template df breaks this row set too
+    o["image_curation_full"] = f"""
+        SELECT c.image_id, c.quality_keep, c.is_dup_loser, a.aligned,
+               b.is_boilerplate,
+               (c.quality_keep AND NOT c.is_dup_loser AND a.aligned
+                AND NOT b.is_boilerplate) AS keep_final
+        FROM ({o["image_curation"]}) c
+        JOIN ({o["image_caption_align"]}) a ON a.image_id = c.image_id
+        JOIN ({o["caption_boilerplate"]}) b ON b.image_id = c.image_id
+    """
+    return o
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_image_groups",
     "image_quality",
     "image_caption_align",
+    "image_curation_full",
     "caption_boilerplate",
     "image_ar_bucket",
     "p11_robots_gate",

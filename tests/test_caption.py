@@ -118,3 +118,22 @@ def test_bigram_histogram_bin_count(spark, bins):
     df = spark.createDataFrame([("hello world",)], "t string")
     h = df.select(caption.bigram_histogram(F.col("t"), bins).alias("h")).first()["h"]
     assert len(h) == bins and sum(h) == len("hello world") - 1
+
+
+def test_full_curation_verdict_branches(spark):
+    """image_curation_full must exercise every input flag at sf0.001 and its
+    keep_final must equal the conjunction recomputed from the flags."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_image_curation_full(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert any(r["aligned"] for r in rows) and any(not r["aligned"] for r in rows)
+    assert any(r["is_boilerplate"] for r in rows)
+    assert any(r["keep_final"] for r in rows) and any(not r["keep_final"] for r in rows)
+    for r in rows:
+        assert r["keep_final"] == (
+            r["quality_keep"]
+            and not r["is_dup_loser"]
+            and r["aligned"]
+            and not r["is_boilerplate"]
+        )
