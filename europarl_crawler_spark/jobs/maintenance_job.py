@@ -10,6 +10,8 @@ twin of the reference's ``eurocli`` maintenance commands
     eurocli indexing reindex                 → reindex
     (caption text lane)                      → text-features
     (crawler shutdown cleanup, D4)           → shutdown-compact
+    (Iceberg rewrite_data_files analog)      → compact-table
+    (Iceberg expire_snapshots analog)        → expire
 
 Usage:
 
@@ -67,6 +69,21 @@ def main(argv=None) -> dict:
         "shutdown-compact",
         help="drop never-requested frontier rows and compact (D4)",
     )
+    ct = sub.add_parser(
+        "compact-table",
+        help="fold one table's base+deltas into a fresh base snapshot "
+        "(Iceberg rewrite_data_files: bounds read amplification AND, with "
+        "--target-partitions, the small-file count)",
+    )
+    ct.add_argument("--table", required=True)
+    ct.add_argument("--target-partitions", type=int, default=None)
+    ex = sub.add_parser(
+        "expire",
+        help="drop epochs superseded by the newest base snapshot (Iceberg "
+        "expire_snapshots: bounds the store footprint; expired time travel "
+        "and pre-watermark incremental reads raise afterwards)",
+    )
+    ex.add_argument("--table", required=True)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -109,6 +126,13 @@ def main(argv=None) -> dict:
         eng = CrawlEngine(spark, store, spark.createDataFrame([], S.WEB))
         eng.shutdown_compact()
         out = {"compacted": True}
+    elif args.cmd == "compact-table":
+        nxt = (store.latest(args.table) or 0) + 1
+        out = store.compact(
+            args.table, spark, nxt, target_partitions=args.target_partitions
+        )
+    elif args.cmd == "expire":
+        out = store.expire(args.table)
     out = {"cmd": args.cmd, **out}
     print(json.dumps(out, default=str), flush=True)
     return out

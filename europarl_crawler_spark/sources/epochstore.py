@@ -21,7 +21,10 @@ about 10^10-row scale:
   europarl/db/url.py:139-156, SURVEY D4).
 - ``compact(table, epoch)`` collapses base+deltas into a new base snapshot so
   read amplification stays bounded (run every K epochs, like Iceberg
-  rewrite_data_files).
+  rewrite_data_files); ``target_partitions`` bounds the small-file count.
+- ``expire(table)`` physically drops epochs superseded by the newest base
+  (Iceberg expire_snapshots) so the store footprint is bounded at 10^10-row
+  scale; expired time travel / pre-watermark incremental reads raise.
 - a data dir without its manifest is an aborted write: ignored on read,
   clobbered on retry. Resume = read manifests, continue from max committed
   epoch. Equivalent to the reference's "only fully-processed work commits"
@@ -126,11 +129,64 @@ class EpochStore:
         """Full base snapshot (initial load / compaction output)."""
         return self._commit(table, df, epoch, "base", keys)
 
-    def compact(self, table: str, spark: SparkSession, epoch: int) -> dict:
-        """Fold base+deltas into a fresh base so read cost stays O(1) deltas."""
+    def compact(
+        self,
+        table: str,
+        spark: SparkSession,
+        epoch: int,
+        target_partitions: int | None = None,
+    ) -> dict:
+        """Fold base+deltas into a fresh base so read cost stays O(1) deltas.
+
+        ``target_partitions`` also fixes the SMALL-FILE problem compaction
+        exists for (Iceberg rewrite_data_files' target-file-size): per-epoch
+        deltas write one file per task, so after K epochs a reader opens
+        O(K·tasks) footers; the rewrite coalesces to a bounded file count."""
         resolved = self.read(table, spark)
         keys = self._keys(table)
-        return self.overwrite(table, resolved.drop("_epoch", "_deleted"), epoch, keys)
+        out = resolved.drop("_epoch", "_deleted")
+        if target_partitions:
+            out = out.repartition(target_partitions, *keys) if keys else (
+                out.repartition(target_partitions)
+            )
+        return self.overwrite(table, out, epoch, keys)
+
+    def expire(self, table: str) -> dict:
+        """Iceberg ``expire_snapshots`` analog: physically drop every epoch
+        STRICTLY OLDER than the newest base snapshot — they are superseded
+        for latest reads (``read`` starts at the newest base), so at
+        10^10-row scale this is what bounds the store's footprint.
+
+        The trade is the same one Iceberg makes: time travel to an expired
+        snapshot and incremental reads from before the expiry watermark are
+        gone — both now RAISE (watermark recorded in ``_expired.json``)
+        instead of silently answering from missing data."""
+        ms = self.manifests(table)
+        bases = [m for m in ms if m["kind"] == "base"]
+        if not bases:
+            return {"table": table, "expired": [], "watermark": None}
+        wm = bases[-1]["epoch"]
+        expired = []
+        for m in ms:
+            if m["epoch"] < wm:
+                (self._mdir(table) / f"{m['epoch']:08d}.json").unlink()
+                shutil.rmtree(
+                    self.root / table / f"epoch={m['epoch']}", ignore_errors=True
+                )
+                expired.append(m["epoch"])
+        wpath = self.root / table / "_expired.json"
+        tmp = wpath.with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"watermark": wm}, f)
+        os.replace(tmp, wpath)
+        return {"table": table, "expired": expired, "watermark": wm}
+
+    def _expiry_watermark(self, table: str) -> int | None:
+        wpath = self.root / table / "_expired.json"
+        if not wpath.is_file():
+            return None
+        with open(wpath) as f:
+            return json.load(f)["watermark"]
 
     # -- read path ------------------------------------------------------------
 
@@ -152,6 +208,11 @@ class EpochStore:
         Time travel = replay manifests up to as_of, exactly like reading an
         older Iceberg snapshot.
         """
+        wm = self._expiry_watermark(table)
+        if as_of is not None and wm is not None and as_of < wm:
+            raise ValueError(
+                f"snapshot {as_of} of {table} was expired (watermark {wm})"
+            )
         ms = [m for m in self.manifests(table) if as_of is None or m["epoch"] <= as_of]
         if not ms:
             if schema is None:
@@ -197,6 +258,12 @@ class EpochStore:
         longer answerable from data files — the same rule Iceberg's
         incremental read enforces for overwrite snapshots).
         """
+        wm = self._expiry_watermark(table)
+        if wm is not None and since < wm:
+            raise ValueError(
+                f"incremental read of {table} since epoch {since} crosses the "
+                f"expiry watermark {wm}: the change history was expired"
+            )
         ms = [
             m for m in self.manifests(table)
             if m["epoch"] > since and (until is None or m["epoch"] <= until)

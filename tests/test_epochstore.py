@@ -110,3 +110,62 @@ def test_read_changes_refuses_crossing_compaction(spark, store):
     got = {(r.k, r._change)
            for r in store.read_changes("t", spark, since=3).collect()}
     assert got == {(3, "upsert")}
+
+
+def test_expire_drops_superseded_epochs_and_guards_reads(spark, store):
+    store.merge("t", _df(spark, [(1, "a"), (2, "b")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B")]), 2, keys=["k"])
+    store.compact("t", spark, 3)
+    store.merge("t", _df(spark, [(4, "d")]), 4, keys=["k"])
+    before = {(r.k, r.v) for r in store.read("t", spark).collect()}
+
+    out = store.expire("t")
+    assert out["expired"] == [1, 2] and out["watermark"] == 3
+    # latest read unchanged
+    assert {(r.k, r.v) for r in store.read("t", spark).collect()} == before
+    # data dirs + manifests physically gone
+    assert not (store.root / "t" / "epoch=1").exists()
+    assert not (store.root / "t" / "_manifests" / "00000001.json").exists()
+    # expired time travel raises instead of answering wrongly
+    with pytest.raises(ValueError, match="expired"):
+        store.read("t", spark, as_of=2)
+    # post-watermark time travel and incremental read still work
+    assert {(r.k, r.v) for r in store.read("t", spark, as_of=3).collect()} == {
+        (1, "a"), (2, "B"),
+    }
+    got = {(r.k, r.v) for r in store.read_changes("t", spark, since=3).collect()}
+    assert got == {(4, "d")}
+    # pre-watermark incremental read raises
+    with pytest.raises(ValueError, match="watermark"):
+        store.read_changes("t", spark, since=1)
+    # expire is idempotent: nothing older than the base remains
+    assert store.expire("t")["expired"] == []
+
+
+def test_compact_target_partitions_bounds_files(spark, store):
+    for e in range(1, 5):
+        store.merge(
+            "t", _df(spark, [(i, f"v{e}") for i in range(e * 10, e * 10 + 8)]),
+            e, keys=["k"],
+        )
+    m = store.compact("t", spark, 5, target_partitions=2)
+    assert m["kind"] == "base" and m["files"] == 2
+    assert store.read("t", spark).count() == 32
+
+
+def test_maintenance_job_compact_and_expire(spark, store, tmp_path, monkeypatch):
+    from europarl_crawler_spark.jobs import maintenance_job
+
+    store.merge("t", _df(spark, [(1, "a")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "b")]), 2, keys=["k"])
+    root = str(store.root)
+    out = maintenance_job.main(
+        ["--store", root, "compact-table", "--table", "t",
+         "--target-partitions", "1"]
+    )
+    assert out["kind"] == "base" and out["files"] == 1
+    out = maintenance_job.main(["--store", root, "expire", "--table", "t"])
+    assert out["expired"] == [1, 2] and out["watermark"] == 3
+    assert {(r.k, r.v) for r in store.read("t", spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
