@@ -97,3 +97,33 @@ def test_p11_query_branches(spark):
             assert u not in kept, u
         else:
             assert u in kept, u
+
+
+def test_parse_robots_edge_cases():
+    """Pure-parser branches: comments stripped, unknown directives ignored,
+    only the '*' agent group applies, empty Disallow (allow-all idiom)
+    produces no rule, directives before any User-agent line are ignored."""
+    from europarl_crawler_spark.plans.robots import parse_robots
+
+    txt = (
+        "Disallow: /orphan\n"           # before any User-agent: ignored
+        "User-agent: googlebot\n"
+        "Disallow: /google-only\n"       # non-* group: ignored
+        "User-agent: *\n"
+        "# comment line\n"
+        "Crawl-delay: 10\n"              # unknown directive: ignored
+        "Disallow: /a # trailing comment\n"
+        "Disallow:\n"                    # empty value: allow-all idiom, no rule
+        "Allow: /a/b\n"
+        "User-agent: bingbot\n"
+        "Disallow: /bing-only\n"         # later non-* group: ignored
+    )
+    assert parse_robots(txt) == [("/a", False), ("/a/b", True)]
+
+
+def test_parse_robots_case_and_whitespace():
+    from europarl_crawler_spark.plans.robots import parse_robots
+
+    txt = "USER-AGENT: *\n  DISALLOW :  /x  \nallow: /x/y\n"
+    # keys are case-insensitive and whitespace-tolerant; values keep case
+    assert parse_robots(txt) == [("/x", False), ("/x/y", True)]
