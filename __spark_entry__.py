@@ -3064,13 +3064,18 @@ FROM c
             )
             SELECT CAST(na.doc_id AS VARCHAR) AS image_id,
                    coalesce(dot, 0) AS dot,
-                   round(CAST(coalesce(dot, 0) AS DOUBLE)
-                         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4)
-                     AS score,
-                   CAST(coalesce(dot, 0) AS DOUBLE)
-                     / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.98
-                     AS aligned
-            FROM na JOIN nb ON nb.doc_id = na.doc_id
+                   CASE WHEN na2 > 0 AND coalesce(nb2, 0) > 0 THEN
+                     round(CAST(coalesce(dot, 0) AS DOUBLE)
+                           / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4)
+                   END AS score,
+                   coalesce(CASE WHEN na2 > 0 AND coalesce(nb2, 0) > 0 THEN
+                     CAST(coalesce(dot, 0) AS DOUBLE)
+                       / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.98
+                   END, false) AS aligned
+            -- LEFT JOIN nb (not inner): a caption shorter than one bigram has
+            -- no ch rows; the Spark lane keeps that pair with dot=0, null
+            -- score, aligned=false — the oracle must reproduce that contract
+            FROM na LEFT JOIN nb ON nb.doc_id = na.doc_id
             LEFT JOIN dotv ON dotv.doc_id = na.doc_id
         """,
         # aspect-ratio bucketing: the synthesized sizes and the exact-integer
