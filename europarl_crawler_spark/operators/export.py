@@ -40,22 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import porthash
 from . import sampling
 
 SHARD_MEMBER = 43  # affine member for shard assignment
 CHECKSUM_MEMBER = 44  # affine member for the manifest membership checksum
 
 
-def _id_hash(id_col: str, member: int):
-    c = F.col(id_col)
-    return porthash.affine(F.pmod(c.cast("long"), F.lit(porthash.P)), member)
-
-
-def _id_hash_sql(id_expr: str, member: int) -> str:
-    return porthash.affine_sql(
-        f"((({id_expr}) % {porthash.P}) + {porthash.P}) % {porthash.P}", member
-    )
+# shard/checksum hashing shares sampling's id_hash: integral ids hash from
+# their value, URL/UUID-style string ids via poly_hash — a bare cast('long')
+# would NULL out non-numeric ids and misfile every such row (r3 ADVICE trap)
+_id_hash = sampling.id_hash
+_id_hash_sql = sampling.id_hash_sql
 
 
 def shard_assign(

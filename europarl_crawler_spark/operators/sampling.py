@@ -50,20 +50,53 @@ STRATA_MEMBER = 42
 REPEAT_MEMBER = 45
 
 
+# ids that are signed decimal integers short enough to always fit an int64
+# take the numeric path on BOTH engines; everything else (URL/UUID-style
+# keys, ≥19-digit strings that would overflow a cast) is poly-hashed
+_INTEGRAL_ID = "^-?[0-9]{1,18}$"
+
+
+def id_hash(id_col: str, member: int) -> Column:
+    """id column (integral OR string — URL/UUID keys included) → portable
+    affine hash in [0, P). An integral id hashes from its VALUE (so long and
+    string renderings of the same number agree); any other string hashes via
+    ``porthash.poly_hash`` of its characters. Without the string branch a
+    ``cast('long')`` on a non-numeric id yields NULL and every downstream
+    when/filter silently drops or misfiles the row — the r3 ADVICE trap."""
+    s = F.col(id_col).cast("string")
+    raw = (
+        F.when(s.rlike(_INTEGRAL_ID), s.cast("long"))
+        .when(F.length(s) == 0, F.lit(0).cast("long"))
+        .otherwise(porthash.poly_hash(s))
+    )
+    return porthash.affine(F.pmod(raw, F.lit(porthash.P)), member)
+
+
+def id_hash_sql(id_expr: str, member: int) -> str:
+    """DuckDB mirror of ``id_hash`` (same regex gate, same constants)."""
+    s = f"CAST({id_expr} AS VARCHAR)"
+    raw = (
+        f"CASE WHEN regexp_matches({s}, '{_INTEGRAL_ID}') "
+        f"THEN CAST({s} AS BIGINT) "
+        f"WHEN length({s}) = 0 THEN 0 "
+        f"ELSE {porthash.poly_hash_sql(s)} END"
+    )
+    return porthash.affine_sql(
+        f"((({raw}) % {porthash.P}) + {porthash.P}) % {porthash.P}", member
+    )
+
+
 def _id_unit(id_col: str, member: int) -> Column:
-    """id column (long or string) → u ∈ [0, 1): portable affine hash of the
-    id reduced mod P, as exact-int64 arithmetic divided by P at the end."""
-    c = F.col(id_col)
-    h = porthash.affine(F.pmod(c.cast("long"), F.lit(porthash.P)), member)
-    return h / F.lit(float(porthash.P))
+    """id column (long or string) → u ∈ [0, 1): ``id_hash`` divided by P.
+    A genuinely NULL id keeps a NULL u (split_assign sends it to the
+    last-named split; sample/stratified_sample drop it) — callers with
+    nullable keys should filter or coalesce upstream."""
+    return id_hash(id_col, member) / F.lit(float(porthash.P))
 
 
 def _id_unit_sql(id_expr: str, member: int) -> str:
     """DuckDB mirror of ``_id_unit`` (same constants, same arithmetic)."""
-    h = porthash.affine_sql(
-        f"((({id_expr}) % {porthash.P}) + {porthash.P}) % {porthash.P}", member
-    )
-    return f"(CAST({h} AS DOUBLE) / {porthash.P})"
+    return f"(CAST({id_hash_sql(id_expr, member)} AS DOUBLE) / {porthash.P})"
 
 
 def split_assign(

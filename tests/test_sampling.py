@@ -183,3 +183,101 @@ def test_repeat_factor_is_map_side(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+# ---- string (URL/UUID-style) ids: the r3 ADVICE trap ----
+
+
+@pytest.fixture(scope="module")
+def url_docs(spark):
+    rows = [
+        (f"https://src{i % 7}.example/en/d{i}", ["en", "de", "fr"][i % 3])
+        for i in range(800)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, lang string")
+
+
+def test_string_ids_split_covers_all_and_spreads(url_docs):
+    """Non-numeric ids must hash (not NULL out): every row gets a split and
+    the distribution tracks the weights instead of collapsing into the
+    last-named split."""
+    got = sampling.split_assign(url_docs, WEIGHTS)
+    counts = {
+        r["split"]: r["n"]
+        for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 800
+    assert abs(counts["train"] / 800 - 0.8) < 0.08
+    assert counts.get("test", 0) > 0 and counts.get("val", 0) > 0
+
+
+def test_string_ids_sample_keeps_rows(url_docs):
+    """sample() on URL ids must keep ≈fraction of rows — the pre-fix code
+    silently dropped ALL rows (u was NULL)."""
+    kept = sampling.sample(url_docs, 0.5).count()
+    assert abs(kept / 800 - 0.5) < 0.08
+
+
+def test_string_ids_parity_with_duckdb(url_docs, spark):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id VARCHAR, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [
+            (f"https://src{i % 7}.example/en/d{i}", ["en", "de", "fr"][i % 3])
+            for i in range(800)
+        ],
+    )
+    got = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(url_docs, WEIGHTS)
+        .select("doc_id", "split")
+        .collect()
+    }
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {sampling.split_assign_sql(WEIGHTS)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    got_s = {r.doc_id for r in sampling.sample(url_docs, 0.3).collect()}
+    want_s = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM t WHERE {sampling.sample_keep_sql(0.3)}"
+        ).fetchall()
+    }
+    assert got_s == want_s
+
+
+def test_id_hash_edge_ids_parity(spark):
+    """Numeric strings hash like their value; empty, 19-digit (would
+    overflow a cast), and negative-integral ids agree across engines."""
+    ids = ["123", "", "9999999999999999999", "-42", "René-éß", "a b\tc"]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", sampling.id_hash("doc_id", sampling.SPLIT_MEMBER).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = dict(
+        con.execute(
+            "SELECT doc_id, "
+            + sampling.id_hash_sql("doc_id", sampling.SPLIT_MEMBER)
+            + " FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    # integral string == its long value's hash
+    dfl = spark.createDataFrame([(123,), (-42,)], "doc_id long")
+    got_l = {
+        r["doc_id"]: r["h"]
+        for r in dfl.select(
+            "doc_id", sampling.id_hash("doc_id", sampling.SPLIT_MEMBER).alias("h")
+        ).collect()
+    }
+    assert got_l[123] == got["123"] and got_l[-42] == got["-42"]
