@@ -324,8 +324,11 @@ def pii_scan_sql(
 def vocab_topk(
     docs: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Corpus vocabulary top-k: token → document-occurrence count, highest
-    first (ties broken by token, so the cut is deterministic). Plan:
+    """Corpus vocabulary top-k: token → TOTAL occurrence count across the
+    corpus (every occurrence counts, not per-document distinct — a tokenizer
+    build weights by frequency mass; callers needing document frequency add
+    a per-doc ``distinct()`` before the groupBy), highest first (ties broken
+    by token, so the cut is deterministic). Plan:
     explode → partial-aggregated groupBy → TakeOrdered(k) — the corpus never
     sorts globally; only k rows reach the driver. The input vocabulary
     pass every tokenizer build starts from."""

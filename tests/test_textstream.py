@@ -68,12 +68,8 @@ def test_replayed_rows_are_idempotent(spark, hashed, tmp_path):
     assert got == want
 
 
-def test_group_cap_keeps_count_and_keeper_exact(spark, tmp_path):
-    # one hash group of 10 members, cap 3: retained ids bounded, but the
-    # summary (keeper = min, n = 10) stays exact
-    rows = [(50 - i, 7) for i in range(10)]  # ids 41..50 arriving high→low
-    df = spark.createDataFrame(rows, "doc_id long, content_hash long")
-    d = str(tmp_path / "capped")
+def _drain_capped(spark, df, tmp_path, tag, cap=3):
+    d = str(tmp_path / f"capped{tag}")
     df.repartition(2).write.parquet(d)
     from europarl_crawler_spark.streaming.stream import run_available_now
 
@@ -82,14 +78,48 @@ def test_group_cap_keeps_count_and_keeper_exact(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    groups = streaming_exact_dup_groups(sdf, group_cap=3)
-    run_available_now(groups, "txts_cap", str(tmp_path / "ckptcap"), output_mode="update")
-    final = (
-        spark.table("txts_cap")
+    groups = streaming_exact_dup_groups(sdf, group_cap=cap)
+    run_available_now(
+        groups, f"txts_cap{tag}", str(tmp_path / f"ckptcap{tag}"), output_mode="update"
+    )
+    return (
+        spark.table(f"txts_cap{tag}")
         .groupBy("content_hash")
-        .agg(F.max_by("keep_id", "n_dups").alias("keep_id"), F.max("n_dups").alias("n"))
+        .agg(
+            F.max_by("keep_id", "n_dups").alias("keep_id"),
+            F.max("n_dups").alias("n"),
+            F.max("capped").alias("capped"),
+        )
         .collect()
     )
+
+
+def test_group_cap_keeps_count_and_keeper_exact(spark, tmp_path):
+    # one hash group of 10 members, cap 3: retained ids bounded, but the
+    # summary (keeper = min, n = 10) stays exact — and the group is flagged
+    rows = [(50 - i, 7) for i in range(10)]  # ids 41..50 arriving high→low
+    df = spark.createDataFrame(rows, "doc_id long, content_hash long")
+    final = _drain_capped(spark, df, tmp_path, "a")
     assert len(final) == 1
     assert final[0].keep_id == 41
     assert final[0].n == 10
+    assert final[0].capped is True
+
+
+def test_group_cap_replay_of_evicted_member_not_recounted(spark, tmp_path):
+    """The r3 ADVICE trap: a replayed (source-retried) row for a member
+    beyond the cap must be recognized by the membership sketch, keeping
+    n_dups exact — not incremented again."""
+    rows = [(50 - i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, content_hash long")
+    doubled = df.unionByName(df)  # every row replayed once
+    final = _drain_capped(spark, doubled, tmp_path, "replay")
+    assert len(final) == 1
+    assert final[0].keep_id == 41
+    assert final[0].n == 10  # replays suppressed for retained AND evicted ids
+    assert final[0].capped is True
+
+
+def test_uncapped_groups_not_flagged(spark, hashed, tmp_path):
+    final = _drain_capped(spark, hashed, tmp_path, "nocap", cap=100)
+    assert final and all(r.capped is False for r in final)
