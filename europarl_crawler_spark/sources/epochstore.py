@@ -46,6 +46,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: another writer advanced the table's
+    manifest chain (or committed this exact epoch) between this commit's
+    snapshot read and its commit point. The loser's data directory is left
+    manifest-less — invisible to readers, clobbered on retry — exactly like
+    a losing Iceberg commit's orphaned data files."""
+
+
 class EpochStore:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
@@ -80,10 +88,26 @@ class EpochStore:
     # -- write paths ---------------------------------------------------------
 
     def _commit(self, table: str, df: DataFrame, epoch: int, kind: str, keys) -> dict:
+        """Write a delta/base/append epoch with OPTIMISTIC CONCURRENCY
+        (Iceberg-style parent-CAS): the parent snapshot is captured before
+        the data write, re-validated at the commit point, and the manifest
+        is published with an EXCLUSIVE create (hard link — atomic AND
+        fails-if-exists), so two concurrent writers can never silently fork
+        the chain or last-writer-win the same epoch: the stale one raises
+        ``CommitConflictError`` and its data dir stays manifest-less
+        (ignored by readers, clobbered on retry)."""
+        epoch = int(epoch)
+        expected_parent = self.latest(table)
+        if expected_parent is not None and epoch <= expected_parent:
+            raise CommitConflictError(
+                f"{table}: epoch {epoch} does not advance the chain "
+                f"(latest committed is {expected_parent})"
+            )
+        mpath = self._mdir(table) / f"{epoch:08d}.json"
         ddir = self.root / table / f"epoch={epoch}"
-        if ddir.exists():  # aborted earlier attempt — clobber before retry
+        if ddir.exists():  # manifest-less ⇒ aborted earlier attempt — clobber
             shutil.rmtree(ddir)
-        out = df.withColumn("_epoch", F.lit(int(epoch)))
+        out = df.withColumn("_epoch", F.lit(epoch))
         if "_deleted" not in out.columns:
             out = out.withColumn("_deleted", F.lit(False))
         out.write.mode("overwrite").parquet(str(ddir))
@@ -95,19 +119,35 @@ class EpochStore:
         )
         manifest = {
             "table": table,
-            "epoch": int(epoch),
-            "parent": self.latest(table),
+            "epoch": epoch,
+            "parent": expected_parent,
             "kind": kind,
             "keys": list(keys) if keys else None,
             "rows": rows,
             "files": len(list(ddir.glob("*.parquet"))),
         }
         self._mdir(table).mkdir(parents=True, exist_ok=True)
-        mpath = self._mdir(table) / f"{epoch:08d}.json"
-        tmp = mpath.with_suffix(".json.tmp")
+        # commit point: CAS on the parent...
+        if self.latest(table) != expected_parent:
+            raise CommitConflictError(
+                f"{table}: concurrent commit detected — parent moved from "
+                f"{expected_parent} to {self.latest(table)} during epoch "
+                f"{epoch}'s write; retry against the new snapshot"
+            )
+        # ...then publish atomically AND exclusively: link(2) fails with
+        # EEXIST if another writer won the race to this epoch number, and
+        # the fully-written tmp file means readers never see a torn manifest
+        tmp = mpath.with_suffix(f".json.tmp{os.getpid()}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)  # atomic commit point
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{table}: epoch {epoch} was committed by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return manifest
 
     def merge(self, table: str, df: DataFrame, epoch: int, keys: list[str]) -> dict:

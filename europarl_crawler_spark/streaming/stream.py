@@ -141,13 +141,21 @@ def run_available_now(sdf: DataFrame, name: str, checkpoint: str, output_mode: s
 def batch_merge_sink(store, table: str, keys: list[str]):
     """foreachBatch sink: epoch = base + batch_id + 1 with ``base`` captured
     once at query start. If the sink commits but the checkpoint doesn't
-    advance (the crash window), the redelivered batch recommits the SAME
-    epoch and ``EpochStore._commit`` clobbers the old data dir first — a true
-    overwrite, independent of the merge keys' values."""
+    advance (the crash window), the redelivered batch's epoch is ALREADY on
+    the manifest chain and the sink skips it — the Iceberg foreachBatch
+    exactly-once pattern (check the last committed batch id, no-op the
+    replay). A crash BEFORE the manifest landed leaves a manifest-less data
+    dir; the replay then re-commits the epoch and clobbers the orphan.
+    Committed epochs are immutable (``EpochStore._commit`` parent-CAS), so
+    a replay can never fork or rewrite the chain."""
     base = store.latest(table) or 0
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        store.merge(table, batch_df, base + int(batch_id) + 1, keys=keys)
+        epoch = base + int(batch_id) + 1
+        latest = store.latest(table)
+        if latest is not None and epoch <= latest:
+            return  # batch already durably committed — replay is a no-op
+        store.merge(table, batch_df, epoch, keys=keys)
 
     return _sink
 
@@ -155,10 +163,10 @@ def batch_merge_sink(store, table: str, keys: list[str]):
 def foreach_batch_merge(sdf: DataFrame, store, table: str, keys: list[str], checkpoint: str):
     """Stream → EpochStore MERGE per micro-batch; the store epoch is derived
     from the streaming batch id (``base + batch_id + 1`` with base captured at
-    query start), so a replayed micro-batch re-commits INTO THE SAME epoch —
-    ``EpochStore._commit`` clobbers the epoch's data dir before rewriting,
-    making the replay a true overwrite (idempotent sink, T8 / the
-    Iceberg-foreachBatch exactly-once pattern)."""
+    query start), so a replayed micro-batch maps to an epoch that is either
+    already committed (skip — the no-op replay of the Iceberg-foreachBatch
+    exactly-once pattern) or aborted mid-write (re-commit clobbers the
+    manifest-less orphan). Idempotent sink, T8."""
     return (
         sdf.writeStream.foreachBatch(batch_merge_sink(store, table, keys))
         .option("checkpointLocation", checkpoint)

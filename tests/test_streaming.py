@@ -71,8 +71,10 @@ def test_stateful_politeness(spark, requests_dir):
 
 def test_foreach_batch_merge_replay_idempotent(spark, requests_dir, tmp_path):
     """A redelivered micro-batch (same batch id, the sink-committed-but-
-    checkpoint-didn't-advance crash window) must land in the SAME store epoch
-    and overwrite itself — not open a new epoch (ADVICE r1)."""
+    checkpoint-didn't-advance crash window) must leave the store unchanged —
+    its epoch is already on the chain, so the replay is a no-op skip (the
+    Iceberg foreachBatch pattern; ADVICE r1) — and must not open a new
+    epoch. Committed epochs are immutable under the parent-CAS commit."""
     from europarl_crawler_spark.sources.epochstore import EpochStore
 
     path, _ = requests_dir
