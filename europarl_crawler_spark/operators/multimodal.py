@@ -150,6 +150,20 @@ def image_quality(
     raw = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         batches, schema=QUALITY_RAW_SCHEMA
     )
+    return quality_verdict(raw, dark_max, bright_min, flat_max)
+
+
+def quality_verdict(
+    raw: DataFrame,
+    dark_max: int = 40,
+    bright_min: int = 215,
+    flat_max: int = 16,
+) -> DataFrame:
+    """The Catalyst half of ``image_quality`` — verdict algebra over a raw
+    integer-sums frame (image_id, n_px, sum_y, min_y, max_y). Factored out so
+    a fused curation lane can compute the sums in a SHARED Arrow stage
+    (alongside perceptual hashes and alignment histograms) and still reuse
+    the exact oracle-checked decision logic."""
     mean_luma = (F.col("sum_y") / F.col("n_px")).cast("long")  # floor: all >= 0
     contrast = F.col("max_y") - F.col("min_y")
     is_dark = mean_luma < dark_max
