@@ -273,6 +273,43 @@ def _signatures_from_hashes(sh: DataFrame, k: int, portable: bool = False) -> Da
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_lsh_candidates(
+    sh: DataFrame, k: int = 64, bands: int = 16, portable: bool = False,
+) -> DataFrame:
+    """The band-bucket candidate-pair stage of ``minhash_lsh_pairs`` over a
+    shingle-hash frame (doc_id, sh) — exposed separately so the candidate
+    fraction is loggable and CI-testable (``operators/diagnostics.py``): a
+    banding/width change that silently degrades the LSH join toward
+    all-pairs must fail a test, not surface as a bench surprise. Output:
+    (id_a, id_b), distinct, id_a < id_b."""
+    r = k // bands
+    sig = _signatures_from_hashes(sh, k, portable)
+    if portable:
+        band_cols = [
+            porthash.fold_bucket(
+                [F.col(f"mh_{b * r + j}") for j in range(r)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 64, bands: int = 16, n: int = 5,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
@@ -296,33 +333,8 @@ def minhash_lsh_pairs(
     broadcast once candidates fit; either way the join is keyed by doc_id —
     uniform).
     """
-    r = k // bands
     sh = shingle_hashes(docs, n, text_col, id_col, df_cap, portable)
-    sig = _signatures_from_hashes(sh, k, portable)
-    if portable:
-        band_cols = [
-            porthash.fold_bucket(
-                [F.col(f"mh_{b * r + j}") for j in range(r)]
-            ).alias(f"b{b}")
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"b{b}")
-            for b in range(bands)
-        ]
-    buckets = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
-    )
-    cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = minhash_lsh_candidates(sh, k=k, bands=bands, portable=portable)
     arrs = sh.groupBy("doc_id").agg(
         F.collect_list("sh").alias("shs"), F.count("*").alias("sz")
     )

@@ -48,6 +48,45 @@ from pyspark.sql import functions as F
 from ..functions import imaging
 
 
+def hamming_candidates(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "hash64",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """The banded-bucket candidate-pair stage of ``hamming_near_pairs`` —
+    exposed separately so the candidate-pair FRACTION is loggable and
+    CI-testable (``operators/diagnostics.py``): a band-width or blocking
+    change that silently degrades this join toward all-pairs must fail a
+    test, not surface as a bench surprise. Output: (id_a, id_b, h_a, h_b),
+    distinct, id_a < id_b."""
+    blocks = list(block_cols or [])
+    nb = max_hamming + 1
+    width = 64 // nb
+    spark = sig.sparkSession
+    s = sig.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *blocks
+    )
+    bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    keyed = s.crossJoin(F.broadcast(bands)).withColumn(
+        "piece",
+        F.expr(f"shiftrightunsigned(_h, band * {width}) & {(1 << width) - 1}"),
+    )
+    return (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "piece", *blocks])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+
+
 def hamming_near_pairs(
     sig: DataFrame,
     max_hamming: int = 3,
@@ -65,30 +104,7 @@ def hamming_near_pairs(
     random band collisions from dominating the candidate set. Pairs are only
     sought WITHIN a block (cross-block rows are not near-dup candidates by
     definition of the chosen key)."""
-    blocks = list(block_cols or [])
-    nb = max_hamming + 1
-    width = 64 // nb
-    spark = sig.sparkSession
-    s = sig.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *blocks
-    )
-    bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
-    keyed = s.crossJoin(F.broadcast(bands)).withColumn(
-        "piece",
-        F.expr(f"shiftrightunsigned(_h, band * {width}) & {(1 << width) - 1}"),
-    )
-    cand = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), ["band", "piece", *blocks])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._h").alias("h_a"),
-            F.col("b._h").alias("h_b"),
-        )
-        .distinct()
-    )
+    cand = hamming_candidates(sig, max_hamming, id_col, hash_col, block_cols)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
