@@ -51,19 +51,32 @@ def fingerprint64(samples: np.ndarray) -> int:
 
 
 def audio_fingerprints(audios: DataFrame, id_col: str = "audio_id") -> DataFrame:
-    """(id, bytes, fmt) → (id, hash64): one Arrow pass decoding the REAL
-    PCM WAV container (operators/multimodal.py:wav_decode) and emitting the
-    delta-sign fingerprint. Non-wav rows drop (compressed codecs are stubbed
-    per sandbox). The id column's type is preserved."""
+    """(id, bytes, fmt) → (id, hash64): one Arrow pass decoding the real
+    codec per format — PCM WAV (operators/multimodal.py:wav_decode), IMA
+    ADPCM (functions/adpcmkit.py), MPEG-1 Layer III (operators/multimodal.py:
+    mp3_pcm_decode, r4) — and emitting the delta-sign fingerprint over the
+    decoded samples. Unknown formats drop. The id column's type is
+    preserved."""
     id_type = audios.schema[id_col].dataType.simpleString()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import adpcmkit
+        from .multimodal import mp3_pcm_decode
+
+        decoders = {
+            "wav": wav_decode,
+            "adpcm": adpcmkit.adpcm_wav_decode,
+            "mp3": mp3_pcm_decode,
+        }
         for pdf in it:
             ids, hs = [], []
             for aid, body, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                if fmt != "wav":
+                if fmt not in decoders:
                     continue
-                samples, _fr = wav_decode(bytes(body))
+                try:
+                    samples, _fr = decoders[fmt](bytes(body))
+                except (NotImplementedError, ValueError):
+                    continue  # a curation pass skips what it cannot read
                 ids.append(aid)
                 hs.append(fingerprint64(samples))
             yield pd.DataFrame({id_col: ids, "hash64": hs})

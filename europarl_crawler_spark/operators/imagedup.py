@@ -69,9 +69,12 @@ def hamming_candidates(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *blocks
     )
     bands = spark.range(nb).select(F.col("id").cast("int").alias("band"))
+    # width = 64 (max_hamming = 0, exact-hash join): the mask literal 2⁶⁴-1
+    # overflows LongType — the full hash IS the piece
+    mask = (1 << width) - 1 if width < 64 else -1
     keyed = s.crossJoin(F.broadcast(bands)).withColumn(
         "piece",
-        F.expr(f"shiftrightunsigned(_h, band * {width}) & {(1 << width) - 1}"),
+        F.expr(f"shiftrightunsigned(_h, band * {width}) & {mask}L"),
     )
     return (
         keyed.alias("a")

@@ -19,9 +19,12 @@ Images additionally decode webp (real VP8L lossless, RFC 9649 —
 functions/webpkit.py). Container-level metadata for mp3 and mp4 is REAL
 (``media_probe`` — MPEG frame-header walk in functions/mp3kit.py, ISO
 BMFF box walk in functions/mp4kit.py: dims, frame counts, fps,
-samplerate, bitrate, duration); only their SAMPLE decoders (Layer III
-filterbank, H.264) remain NotImplementedError stubs, each with the exact
-Arrow-stage shape in place so wiring a codec is a one-function change.
+samplerate, bitrate, duration). mp3 SAMPLE decode is real as of r4
+(functions/mp3codec.py — Layer III side info/Huffman/requantization/
+alias reduction/IMDCT/polyphase, with a declared synthesis-window
+boundary); only entropy-coded video (H.264/H.265) remains a
+NotImplementedError stub, with the exact Arrow-stage shape in place so
+wiring a codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -38,12 +41,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import adpcmkit, avikit, imaging, mp3kit, mp4kit, videokit
+from ..functions import adpcmkit, avikit, imaging, mp3codec, mp3kit, mp4kit, videokit
 
-# mp3 audio decode stays stubbed (Layer III entropy + IMDCT, no codec lib);
+# mp3 AUDIO decode is real as of r4 (functions/mp3codec.py — Layer III
+# side info, Huffman, requantization, alias reduction, IMDCT, polyphase;
+# see its module docstring for the declared synthesis-window boundary);
 # mp4 VIDEO decode is real for mjpg samples (mp4kit.mp4_decode via the
-# frame_sample lane) — these two are not pixel formats, so the image-decode
-# dispatch below routes them to the honest NotImplementedError instead.
+# frame_sample lane). Neither is a PIXEL format, so the image-decode
+# dispatch below still routes both to the honest NotImplementedError.
 STUB_FORMATS = frozenset({"mp3", "mp4"})
 
 META_SCHEMA = T.StructType(
@@ -61,8 +66,9 @@ META_SCHEMA = T.StructType(
 def decode_pixels(body: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in STUB_FORMATS:
         raise NotImplementedError(
-            f"codec for {fmt!r} requires an image/audio library not present "
-            "in this environment; plug a decoder into operators/multimodal.py"
+            f"{fmt!r} is not a pixel format: mp3 decodes via mp3_pcm_decode "
+            "(audio), mp4 MJPEG samples via mp4kit.mp4_decode (video); "
+            "entropy-coded video (h264/h265) stays a declared stub"
         )
     return imaging.decode(body, w, h, fmt)
 
@@ -251,6 +257,17 @@ def wav_decode(body: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"wav: malformed stream ({e})") from e
 
 
+def mp3_pcm_decode(body: bytes) -> tuple[np.ndarray, int]:
+    """mp3 bytes → (mono int16 samples, framerate) via the real Layer III
+    decoder (functions/mp3codec.py). The filterbank's float output is scaled
+    to the int16 lane the wav/adpcm decoders share (×8192, round-half-even —
+    deterministic), so every downstream audio operator (features,
+    fingerprints, dedup) runs unchanged on decoded mp3."""
+    dec = mp3codec.mp3_decode(body)
+    s = np.clip(np.rint(dec["samples"] * 8192.0), -32768, 32767).astype(np.int16)
+    return s, int(dec["samplerate"])
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("audio_id", T.StringType(), False),
@@ -267,21 +284,29 @@ AUDIO_SCHEMA = T.StructType(
 
 def audio_features(audios: DataFrame) -> DataFrame:
     """Audio feature extraction over (audio_id, bytes, fmt): real decode for
-    wav (PCM, lossless) and adpcm (IMA ADPCM, 4:1 lossy — adpcmkit), nulls
-    for stubbed compressed formats (mp3). One Arrow pass; the per-element
-    numpy work is sample math, not Python row logic — the same stage shape
-    as ``image_features``."""
+    wav (PCM, lossless), adpcm (IMA ADPCM, 4:1 lossy — adpcmkit), and mp3
+    (Layer III — mp3codec); nulls for unknown formats. One Arrow pass; the
+    per-element numpy work is sample math, not Python row logic — the same
+    stage shape as ``image_features``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for aid, body, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
                 body = bytes(body)
-                if fmt == "wav":
-                    s, fr = wav_decode(body)
-                elif fmt == "adpcm":
-                    s, fr = adpcmkit.adpcm_wav_decode(body)
-                else:
+                decoder = {
+                    "wav": wav_decode,
+                    "adpcm": adpcmkit.adpcm_wav_decode,
+                    "mp3": mp3_pcm_decode,
+                }.get(fmt)
+                try:
+                    if decoder is None:
+                        raise ValueError(f"unknown audio format {fmt!r}")
+                    s, fr = decoder(body)
+                except (NotImplementedError, ValueError):
+                    # same contract as image_quality: a truncated/alien
+                    # download keeps its row with null features, never
+                    # kills the stage and never silently passes curation
                     rows.append((aid, len(body), None, None, None, None, None, None))
                     continue
                 x = s.astype(np.float64)
