@@ -300,6 +300,36 @@ def q_j2_anti_seen(spark, sf_dir):
     )
 
 
+def q_j2_anti_seen_cuckoo(spark, sf_dir):
+    """J2 via the deletable cuckoo seen-sketch backend (functions/cuckoo.py,
+    north_rule "bloom/cuckoo URL-seen"): candidates and seen set are keyed on
+    the portable Rabin-Karp hash of (dates, rule_id); a sharded cuckoo filter
+    built distributed (build_cuckoo) pre-filters the exact anti-join
+    (seen.anti_join_seen). The sketch can only create false POSITIVES, which
+    the exact recheck absorbs, so the result is bit-identical to the plain
+    hash-keyed anti-join — which is exactly what the oracle recomputes."""
+    from europarl_crawler_spark.functions.cuckoo import build_cuckoo
+    from europarl_crawler_spark.functions.seen import anti_join_seen
+
+    combos = _combos(spark, sf_dir).withColumn(
+        "key_hash",
+        porthash.poly_hash(
+            F.concat(
+                F.col("dates").cast("string"),
+                F.lit("|"),
+                F.col("rule_id").cast("string"),
+            )
+        ),
+    )
+    seen = combos.filter(
+        (F.col("rule_id") % 2 == 0) & (F.dayofmonth("dates") % 2 == 0)
+    ).select("key_hash")
+    sketch = build_cuckoo(seen, "key_hash", n_shards=4)
+    return anti_join_seen(combos, seen, sketch, hash_col="key_hash").select(
+        "dates", "rule_id", "rulename"
+    )
+
+
 def q_j3_semi_confirmed(spark, sf_dir):
     """J3/J4: combos semi-joined to 200-probed days (db/url.py:118-125)."""
     combos = _combos(spark, sf_dir)
@@ -2340,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation_full": q_image_curation_full,
         "image_curation": q_image_curation,
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
+        "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,  # new in r4
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -2651,6 +2682,22 @@ WHERE rank <= 10
             SELECT c.dates, c.rule_id, c.rulename FROM combos c
             WHERE NOT EXISTS (SELECT 1 FROM seen s
                               WHERE s.dates = c.dates AND s.rule_id = c.rule_id)
+        """,
+        "j2_anti_seen_cuckoo": f"""
+            -- the cuckoo sketch is a pre-filter over the exact anti-join, so
+            -- the oracle is the plain anti-join keyed on the same portable
+            -- Rabin-Karp hash both engines compute
+            WITH combos AS (
+              SELECT dates, rule_id, rulename,
+                     {porthash.poly_hash_sql(
+                         "CAST(dates AS VARCHAR) || '|' || CAST(rule_id AS VARCHAR)"
+                     )} AS key_hash
+              FROM {_combos_sql()} AS c),
+            seen AS (SELECT key_hash FROM combos
+                     WHERE rule_id % 2 = 0 AND date_part('day', dates) % 2 = 0)
+            SELECT c.dates, c.rule_id, c.rulename FROM combos c
+            WHERE NOT EXISTS (SELECT 1 FROM seen s
+                              WHERE s.key_hash = c.key_hash)
         """,
         "j3_semi_confirmed": f"""
             SELECT dates, rulename, url FROM {_combos_sql()} AS c

@@ -34,6 +34,15 @@ class EngineConfig:
     n_salts: int = 16
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    # seen-set pre-filter backend (north_rule "bloom/cuckoo URL-seen"):
+    # "bloom"  — rebuilt from the frontier every epoch (O(frontier)/epoch,
+    #            OR-merged per partition; insert-only)
+    # "cuckoo" — built once, then maintained INCREMENTALLY: O(delta)/epoch
+    #            adds, in-place deletes at shutdown_compact (D4) — the
+    #            deletable sketch the reference's row-delete semantics map to
+    # use_bloom=False disables the pre-filter entirely (exact anti-join only)
+    seen_sketch: str = "bloom"
+    cuckoo_shards: int = 16
     # drop the F.broadcast hints on the hot-path dimension joins (budgets,
     # ok-url keys, crawl metadata) when their estimated row count exceeds
     # this — AQE then picks the join strategy, so a 10^8-host deployment
@@ -67,6 +76,8 @@ class EngineConfig:
             n_salts=get("Engine", "Salts", 16),
             bloom_fpp=get("Engine", "BloomFpp", 0.01),
             use_bloom=get("Engine", "UseBloom", True),
+            seen_sketch=get("Engine", "SeenSketch", "bloom"),
+            cuckoo_shards=get("Engine", "CuckooShards", 16),
             broadcast_threshold_rows=get(
                 "Engine", "BroadcastThresholdRows", 4_000_000
             ),

@@ -93,26 +93,28 @@ def build_bloom(seen: DataFrame, hash_col: str = "url_hash", expected: int | Non
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: BloomFilter | None = None,
+    sketch: "BloomFilter | object | None" = None,
     hash_col: str = "url_hash",
 ) -> DataFrame:
-    """candidates not in seen — exact; bloom only short-circuits the shuffle.
+    """candidates not in seen — exact; the sketch only short-circuits the shuffle.
 
-    With a bloom: provably-new rows (might_contain == false) bypass the
-    anti-join entirely; only the maybe-seen slice shuffles. At a 10^10-row
-    seen set with mostly-fresh candidates this cuts the anti-join input by
-    ~(1 - fpp) and keeps the big shuffle proportional to the *revisit* rate,
-    not the candidate rate.
+    ``sketch`` is anything with a vectorized ``might_contain(np.int64[]) ->
+    bool[]`` — a :class:`BloomFilter` (insert-only, OR-mergeable) or a
+    :class:`~europarl_crawler_spark.functions.cuckoo.ShardedCuckoo`
+    (deletable, so recrawl evictions don't force a rebuild). Provably-new
+    rows (might_contain == false) bypass the anti-join entirely; only the
+    maybe-seen slice shuffles. At a 10^10-row seen set with mostly-fresh
+    candidates this cuts the anti-join input by ~(1 - fpp) and keeps the big
+    shuffle proportional to the *revisit* rate, not the candidate rate.
     """
-    if bloom is None:
+    if sketch is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
 
-    bits, n_bits, k = bloom.bits, bloom.n_bits, bloom.k
+    obj = sketch  # captured whole (numpy-backed, pickles cheaply per shard)
 
     @pandas_udf("boolean")
     def maybe_seen(h: pd.Series) -> pd.Series:
-        bf = BloomFilter(n_bits, k, bits)
-        return pd.Series(bf.might_contain(h.to_numpy(dtype=np.int64)))
+        return pd.Series(obj.might_contain(h.to_numpy(dtype=np.int64)))
 
     tagged = candidates.withColumn("_maybe", maybe_seen(F.col(hash_col)))
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")

@@ -24,6 +24,9 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import numpy as np
+
+from ..functions.cuckoo import build_cuckoo
 from ..functions.rules import rules_df
 from ..functions.seen import anti_join_seen, build_bloom
 from ..sources import schema as S
@@ -80,6 +83,9 @@ class CrawlEngine:
         self.epoch_secs = epoch_secs if epoch_secs is not None else cfg.epoch_secs
         self.use_bloom = use_bloom if use_bloom is not None else cfg.use_bloom
         self.rules = rules_df(spark)
+        # incremental cuckoo seen-sketch (config seen_sketch="cuckoo"):
+        # lives across epochs, rebuilt lazily after overflow/restart
+        self._cuckoo = None
 
     # -- state ----------------------------------------------------------------
 
@@ -118,6 +124,16 @@ class CrawlEngine:
             F.max("has_ok").alias("has_ok"),
             F.max("last_ok_at").alias("last_ok_at"),
             F.max("last_ok_epoch").alias("last_ok_epoch"),
+        )
+
+    def _build_cuckoo(self, frontier: DataFrame):
+        """(Re)build the incremental seen sketch (seen_sketch="cuckoo") from
+        the frontier source of truth. Sized at load 0.21 (~4.7× headroom over
+        the current frontier) so per-epoch increments fit for many epochs
+        between rebuilds; a restart simply rebuilds, so the sketch needs no
+        persistence of its own."""
+        return build_cuckoo(
+            frontier, "url_id", n_shards=self.config.cuckoo_shards, load=0.21
         )
 
     def bootstrap(self, days: DataFrame) -> None:
@@ -169,13 +185,37 @@ class CrawlEngine:
         # 2. URL-seen gate on the hashed key: exact anti-join, bloom
         #    pre-filtered (north_rule). Seen key = url_id (= rule_id × url,
         #    the reference's UNIQUE constraint, db/url.py:45).
-        bloom = None
-        if self.use_bloom and self.store.latest("frontier") is not None:
+        sketch = None
+        mode = self.config.seen_sketch if self.use_bloom else "none"
+        if mode == "cuckoo":
+            sketch = self._cuckoo
+        elif mode == "bloom" and self.store.latest("frontier") is not None:
             expected = sum(m["rows"] for m in self.store.manifests("frontier")) or 1
-            bloom = build_bloom(frontier, "url_id", expected=expected)
-        fresh = anti_join_seen(new_urls, frontier, bloom, hash_col="url_id")
+            sketch = build_bloom(frontier, "url_id", expected=expected)
+        fresh = anti_join_seen(new_urls, frontier, sketch, hash_col="url_id")
+        if self._cuckoo is not None:
+            fresh = fresh.persist()
         m = self.store.merge("frontier", fresh, e, keys=["url_id"])
+        if self._cuckoo is not None:
+            # incremental sketch maintenance: only THIS epoch's genuinely-new
+            # url_ids (post exact anti-join) cross to the driver — O(delta),
+            # bounded by the prefetch limits, vs the bloom path's O(frontier)
+            # rebuild per epoch. Overflow (headroom exhausted) drops the
+            # sketch; it is rebuilt below from the merged frontier.
+            ids = np.unique(
+                np.fromiter(
+                    (r.url_id for r in fresh.select("url_id").collect()),
+                    dtype=np.int64,
+                )
+            )
+            try:
+                self._cuckoo.add_many(ids)
+            except RuntimeError:
+                self._cuckoo = None
+            fresh.unpersist()
         frontier = self._read("frontier", S.FRONTIER)
+        if mode == "cuckoo" and self._cuckoo is None and m["rows"]:
+            self._cuckoo = self._build_cuckoo(frontier)
 
         # 3. pending = frontier rows without a terminal outcome — covers both
         #    never-fetched and dead-letter retries (T6: 408/460/429/5xx stay
@@ -340,5 +380,20 @@ class CrawlEngine:
         frontier = self._read("frontier", S.FRONTIER)
         fetched_ids = self._url_state().select("url_id")
         uncrawled = frontier.join(fetched_ids, "url_id", "left_anti")
+        if self._cuckoo is not None:
+            # the deletable-sketch payoff (reference deletes seen rows,
+            # db/url.py:139-156): evict the dropped urls from the cuckoo
+            # in place instead of rebuilding. Collected BEFORE the delete/
+            # compact rewrite the underlying files. A huge drop set would
+            # make rebuild cheaper than delete — past the broadcast
+            # threshold just discard the sketch; the next epoch rebuilds.
+            ids = np.fromiter(
+                (r.url_id for r in uncrawled.select("url_id").collect()),
+                dtype=np.int64,
+            )
+            if len(ids) <= self.config.broadcast_threshold_rows:
+                self._cuckoo.delete_many(np.unique(ids))
+            else:
+                self._cuckoo = None
         self.store.delete("frontier", uncrawled, e, keys=["url_id"])
         self.store.compact("frontier", self.spark, e + 1)

@@ -1,0 +1,145 @@
+"""Cuckoo filter: no false negatives, bounded FPR, exact delete, sharded
+build parity, and the anti-join pre-filter contract under eviction.
+
+The deletion property is the reason the module exists: the reference evicts a
+seen URL by deleting its row (reference: europarl/db/url.py:117-129); a Bloom
+filter would need a rebuild, a cuckoo filter removes the fingerprint in place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from europarl_crawler_spark.functions.cuckoo import (
+    BUCKET_SLOTS,
+    CuckooFilter,
+    ShardedCuckoo,
+    build_cuckoo,
+)
+
+
+def _keys(n, seed):
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return np.unique(rng.integers(-(2**62), 2**62, size=n, dtype=np.int64))
+
+
+def test_no_false_negatives():
+    keys = _keys(20000, 11)
+    cf = CuckooFilter.sized(len(keys))
+    cf.add_many(keys)
+    assert cf.might_contain(keys).all()
+    assert cf.size == len(keys)
+
+
+def test_false_positive_rate_bounded():
+    keys = _keys(20000, 12)
+    probe = _keys(200000, 13)
+    cf = CuckooFilter.sized(len(keys))
+    cf.add_many(keys)
+    # theoretical bound ~2b/2^f = 8/65536 ≈ 1.2e-4; allow slack for the
+    # probe set's sampling noise
+    assert cf.might_contain(probe).mean() < 1e-3
+
+
+def test_delete_removes_only_the_deleted():
+    keys = _keys(5000, 14)
+    cf = CuckooFilter.sized(len(keys))
+    cf.add_many(keys)
+    gone, kept = keys[:1000], keys[1000:]
+    assert cf.delete_many(gone).all()
+    # deleted keys can only remain "present" via a fingerprint collision
+    # with a kept key — must be rare, never systematic
+    assert cf.might_contain(gone).mean() < 1e-2
+    # no false negatives introduced on the keys still present
+    assert cf.might_contain(kept).all()
+    assert cf.size == len(kept)
+
+
+def test_duplicate_inserts_need_matching_deletes():
+    cf = CuckooFilter.sized(64)
+    k = np.array([42, 42], dtype=np.int64)
+    cf.add_many(k)
+    assert cf.delete_many(np.array([42], dtype=np.int64)).all()
+    assert cf.might_contain(np.array([42], dtype=np.int64)).all()  # one copy left
+    assert cf.delete_many(np.array([42], dtype=np.int64)).all()
+    assert not cf.might_contain(np.array([42], dtype=np.int64)).any()
+
+
+def test_bulk_add_after_delete_keeps_rows_packed():
+    """delete_many must not leave holes mid-row: the vectorized bulk insert
+    scatters at slot occ+rank, so a fragmented row would get a live
+    fingerprint overwritten — a false negative."""
+    keys = _keys(8000, 22)
+    cf = CuckooFilter.sized(12000)
+    cf.add_many(keys[:4000])
+    assert cf.delete_many(keys[:2000]).all()
+    cf.add_many(keys[4000:])  # bulk insert into rows that saw deletions
+    survivors = np.concatenate([keys[2000:4000], keys[4000:]])
+    assert cf.might_contain(survivors).all()
+    # every row is prefix-packed: no zero before a non-zero
+    occ = cf.table != 0
+    assert not (np.diff(occ.astype(np.int8), axis=1) > 0).any()
+
+
+def test_fills_to_high_load_without_raising():
+    cf = CuckooFilter(1 << 10)  # 4096 slots
+    keys = _keys(int((1 << 10) * BUCKET_SLOTS * 0.9), 15)
+    cf.add_many(keys)  # 90% load must succeed for b=4
+    assert cf.might_contain(keys).all()
+
+
+def test_overflow_raises_not_corrupts():
+    cf = CuckooFilter(8)  # 32 slots
+    with pytest.raises(RuntimeError, match="full"):
+        cf.add_many(_keys(200, 16))
+
+
+def test_sharded_routing_matches_flat_semantics():
+    keys = _keys(30000, 17)
+    sc = ShardedCuckoo(16, {})
+    sc.add_many(keys)
+    assert sc.might_contain(keys).all()
+    probe = _keys(100000, 18)
+    assert sc.might_contain(probe).mean() < 1e-3
+    assert sc.delete_many(keys[:500]).all()
+    assert sc.might_contain(keys[500:]).all()
+
+
+def test_build_cuckoo_distributed(spark):
+    keys = _keys(20000, 19)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    sc = build_cuckoo(df, n_shards=8)
+    assert sc.might_contain(keys).all()
+    assert sc.size == len(keys)
+    assert len(sc.shards) == 8
+    fresh = _keys(50000, 20)
+    mask = np.isin(fresh, keys, invert=True)
+    assert sc.might_contain(fresh[mask]).mean() < 1e-3
+
+
+def test_anti_join_seen_accepts_cuckoo_and_respects_eviction(spark):
+    from europarl_crawler_spark.functions.seen import anti_join_seen
+
+    keys = _keys(2000, 21)
+    seen_keys, evicted = keys[:1500], keys[1200:1500]
+    cand = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    sc = build_cuckoo(
+        spark.createDataFrame([(int(k),) for k in seen_keys], "url_hash long"),
+        n_shards=4,
+    )
+    fresh = {r.url_hash for r in anti_join_seen(
+        cand,
+        spark.createDataFrame([(int(k),) for k in seen_keys], "url_hash long"),
+        sc,
+    ).collect()}
+    assert fresh == set(keys[1500:].tolist())
+
+    # evict 300 urls for recrawl: delete from BOTH the exact table and the
+    # sketch — no rebuild — and they come back out of the anti-join
+    assert sc.delete_many(evicted).all()
+    remaining = spark.createDataFrame(
+        [(int(k),) for k in seen_keys[:1200]], "url_hash long"
+    )
+    fresh2 = {r.url_hash for r in anti_join_seen(cand, remaining, sc).collect()}
+    assert fresh2 == set(keys[1200:].tolist())
