@@ -2,7 +2,12 @@
 Spark and its oracle_sql() on DuckDB at sf0.01, compare row count + column
 names + order-insensitive values. Usage:
 
-    python tools/check_oracle.py [query ...]
+    python tools/check_oracle.py [--json OUT.json] [query ...]
+
+--json writes the per-query verdict map (plus totals) as one JSON object —
+the committable full-catalog correctness artifact; the external driver's
+CORRECTNESS gate only records the first 50 queries() entries, this covers
+every entry.
 """
 
 from __future__ import annotations
@@ -57,7 +62,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -98,6 +109,22 @@ def main():
 
     bad = {k: v for k, v in results.items() if not (v.startswith("OK") or v.startswith("rows-only"))}
     print(f"\n{len(results) - len(bad)}/{len(results)} ok; {len(bad)} failing: {list(bad)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "checked": len(results),
+                    "ok": len(results) - len(bad),
+                    "failing": sorted(bad),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     sys.exit(1 if bad else 0)
 
 
