@@ -1389,6 +1389,15 @@ def q_text_vocab_topk(spark, sf_dir):
     return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition filters (operators/textstats.py:repetition_profile,
+    Rae et al. 2021 A1.1): duplicate-line fraction (count + char mass) and
+    top-bigram occurrence fraction with the paper's reject thresholds. Two
+    doc-keyed explode→groupBy aggs — map-side combinable, no Catalyst
+    array-fold (the r3 caption-lane trap)."""
+    return textstats.repetition_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_winnow_pairs(spark, sf_dir):
     """MOSS-style copy-detection pairs (operators/textstats.py:winnow_pairs):
     documents sharing >= 2 winnowing fingerprints after a df-cap of 100 —
@@ -2362,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": q_text_pii_scan,
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
+        "text_repetition": q_text_repetition,  # new in r4
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
         "text_fingerprint": q_text_fingerprint,
@@ -2384,11 +2394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_boilerplate": q_caption_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        # ---- end of the driver's 50-lane window ---------------------------
+        # everything below holds a green row in CORRECTNESS_r03.json
+        # (and ALL lanes hold one in BENCH/ORACLE_FULL_r04.json)
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_image_pairs": q_dedup_image_pairs,
-        # ---- end of the driver's 50-lane window ---------------------------
-        # everything below holds a green row in CORRECTNESS_r03.json
         "f1_get_term": q_f1_get_term,
         "f2_url_build": q_f2_url_build,
         "j2_anti_seen": q_j2_anti_seen,
@@ -2863,6 +2874,46 @@ WHERE rank <= 10
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,
+        "text_repetition": """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) != ''
+), lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_lines,
+         sum(length(line) * c) AS line_chars,
+         sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS dup_line_chars
+  FROM lc GROUP BY 1
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9'']+'),
+                     x -> x != '') AS arr
+  FROM documents
+), bg AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM (SELECT doc_id, arr,
+        unnest(generate_series(1, greatest(len(arr) - 1, 0))) AS i FROM tk)
+), bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM bc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+  round(coalesce(ls.n_dup_lines, 0) / greatest(coalesce(ls.n_lines, 0), 1), 6)
+    AS dup_line_frac,
+  round(coalesce(ls.dup_line_chars, 0) / greatest(coalesce(ls.line_chars, 0), 1), 6)
+    AS dup_line_char_frac,
+  CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(coalesce(bs.top_bigram_n, 0) / greatest(coalesce(bs.n_bigrams, 0), 1), 6)
+    AS top_bigram_frac,
+  (round(coalesce(ls.n_dup_lines, 0) / greatest(coalesce(ls.n_lines, 0), 1), 6) > 0.30
+   OR round(coalesce(ls.dup_line_chars, 0) / greatest(coalesce(ls.line_chars, 0), 1), 6) > 0.20
+   OR round(coalesce(bs.top_bigram_n, 0) / greatest(coalesce(bs.n_bigrams, 0), 1), 6) > 0.18)
+    AS flagged
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+""",
         "dedup_winnow_pairs": winnow_pairs_sql,
         "decontaminate_ngram": f"""
 WITH g13 AS (

@@ -149,6 +149,99 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_line_frac_max: float = 0.30,
+    dup_line_char_frac_max: float = 0.20,
+    top_bigram_frac_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 "Scaling Language
+    Models", appendix A1.1 heuristics — public paper): per-document
+    duplicate-line fraction (by line count and by character mass) and the
+    occurrence fraction of the most frequent word bigram, with the paper's
+    reject thresholds (0.30 / 0.20 / 0.18) as the default ``flagged`` rule.
+    Boilerplate-heavy crawl text (nav menus, cookie banners, SEO keyword
+    stuffing) scores high on all three.
+
+    Plan shape: two explode→groupBy aggregations, both keyed by doc_id —
+    map-side combinable, no cross-document state, the final joins are thin
+    per-doc summaries co-partitioned on the id. Deliberately NOT a Catalyst
+    array-fold: a per-row mode over an array accumulator is the O(len·|acc|)
+    interpreted trap r3's caption lane hit; explode+groupBy keeps the count
+    in whole-stage codegen and scales linearly at 100 TB."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col), lines.alias("lines"), toks.alias("toks"))
+
+    line_stats = (
+        base.select(id_col, F.explode("lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_lines"),
+            F.sum(F.length("line") * F.col("c")).alias("line_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.length("line") * F.col("c")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+    )
+    bigram = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigram_stats = (
+        base.select(id_col, F.explode(bigram).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+
+    n_lines = F.coalesce("n_lines", F.lit(0))
+    dup_line_frac = F.round(
+        F.coalesce("n_dup_lines", F.lit(0)) / F.greatest(n_lines, F.lit(1)), 6
+    )
+    dup_line_char_frac = F.round(
+        F.coalesce("dup_line_chars", F.lit(0))
+        / F.greatest(F.coalesce("line_chars", F.lit(0)), F.lit(1)),
+        6,
+    )
+    n_bigrams = F.coalesce("n_bigrams", F.lit(0))
+    top_bigram_frac = F.round(
+        F.coalesce("top_bigram_n", F.lit(0)) / F.greatest(n_bigrams, F.lit(1)), 6
+    )
+    return (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_lines.cast("long").alias("n_lines"),
+            dup_line_frac.alias("dup_line_frac"),
+            dup_line_char_frac.alias("dup_line_char_frac"),
+            n_bigrams.cast("long").alias("n_bigrams"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (dup_line_frac > dup_line_frac_max)
+                | (dup_line_char_frac > dup_line_char_frac_max)
+                | (top_bigram_frac > top_bigram_frac_max)
+            ).alias("flagged"),
+        )
+    )
+
+
 def budget_pack(
     docs: DataFrame,
     token_budget: int,

@@ -254,3 +254,32 @@ def test_pii_redact_values_and_duckdb_parity(spark):
     con.register("documents", docs.toPandas())
     want = {r[0]: r[1] for r in con.execute(textstats.pii_redact_sql()).fetchall()}
     assert got == want
+
+
+def test_repetition_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "buy now" twice -> dup_line_frac = 2/4 = 0.5 (flag >0.3)
+            (1, "buy now\nunique line one\nbuy now\nunique line two"),
+            # clean prose: no repeated lines, no dominant bigram
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            # SEO stuffing: "cheap flights" bigram dominates
+            (3, "cheap flights cheap flights cheap flights to paris"),
+            # single line, single token: no bigrams, nothing flagged
+            (4, "hello"),
+            # blank/whitespace lines are dropped before counting
+            (5, "a line\n\n   \na line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.repetition_profile(docs).collect()}
+    assert got[1].n_lines == 4 and got[1].dup_line_frac == 0.5 and got[1].flagged
+    assert not got[2].flagged and got[2].dup_line_frac == 0.0
+    # doc 3: tokens = [cheap, flights]*3 + [to, paris]; bigram "cheap flights"
+    # occurs 3 of 7 bigrams -> 0.428571 > 0.18
+    assert got[3].n_bigrams == 7
+    assert got[3].top_bigram_frac == pytest.approx(3 / 7, abs=1e-6)
+    assert got[3].flagged
+    assert got[4].n_lines == 1 and got[4].n_bigrams == 0 and not got[4].flagged
+    # doc 5: blank lines dropped -> 2 lines, both "a line" -> dup frac 1.0
+    assert got[5].n_lines == 2 and got[5].dup_line_frac == 1.0 and got[5].flagged
