@@ -214,7 +214,13 @@ class CrawlEngine:
                 self._cuckoo = None
             fresh.unpersist()
         frontier = self._read("frontier", S.FRONTIER)
-        if mode == "cuckoo" and self._cuckoo is None and m["rows"]:
+        if (
+            mode == "cuckoo"
+            and self._cuckoo is None
+            and self.store.latest("frontier") is not None
+        ):
+            # covers first build (epoch 1), rebuild-after-overflow, AND
+            # restart into a steady-state epoch that merged zero new urls
             self._cuckoo = self._build_cuckoo(frontier)
 
         # 3. pending = frontier rows without a terminal outcome — covers both

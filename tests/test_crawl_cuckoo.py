@@ -10,6 +10,7 @@ incremental adds across epochs and in-place eviction at shutdown_compact (D4).
 from __future__ import annotations
 
 from datetime import date, datetime, timezone
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -78,6 +79,31 @@ def test_cuckoo_sketch_tracks_frontier_incrementally(runs):
         dtype=np.int64,
     )
     assert eng._cuckoo.might_contain(ids).all()
+
+
+def test_restart_rebuilds_sketch_even_without_new_urls(runs):
+    """A restarted engine (fresh _cuckoo=None) must rebuild the sketch from
+    the frontier even if its first epoch merges zero new urls — otherwise a
+    steady-state crawl restarts with the pre-filter silently off."""
+    import shutil
+
+    old_eng, store = runs["cuckoo"]
+    copy_root = Path(str(store.root) + "-restart")
+    shutil.copytree(store.root, copy_root)
+    cfg = EngineConfig(seen_sketch="cuckoo", cuckoo_shards=4)
+    eng2 = CrawlEngine(
+        old_eng.spark, EpochStore(copy_root), old_eng.web,
+        prefetch_limit=0, epoch_secs=600.0, config=cfg,
+    )
+    assert eng2._cuckoo is None
+    stats = eng2.run(1, start=START)
+    assert stats[0]["new_urls"] == 0  # the steady-state restart case
+    assert eng2._cuckoo is not None
+    ids = np.array(
+        [r.url_id for r in store.read("frontier", eng2.spark).select("url_id").collect()],
+        dtype=np.int64,
+    )
+    assert eng2._cuckoo.might_contain(ids).all()
 
 
 def test_shutdown_evicts_from_cuckoo_in_place(runs):
