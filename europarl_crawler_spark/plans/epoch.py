@@ -70,6 +70,7 @@ class CrawlEngine:
         epoch_secs: float | None = None,
         use_bloom: bool | None = None,
         config=None,
+        crawl_delays: DataFrame | None = None,
     ):
         from ..config import EngineConfig
 
@@ -78,6 +79,9 @@ class CrawlEngine:
         self.store = store
         self.web = web
         self.robots = robots
+        # robots Crawl-delay dimension (plans/robots.crawl_delays_df):
+        # floors the per-host request interval in host_budgets
+        self.crawl_delays = crawl_delays
         self.config = cfg
         self.prefetch_limit = prefetch_limit if prefetch_limit is not None else cfg.prefetch_limit
         self.epoch_secs = epoch_secs if epoch_secs is not None else cfg.epoch_secs
@@ -245,6 +249,7 @@ class CrawlEngine:
             politeness,
             self.epoch_secs,
             self.config.min_interval_secs,
+            crawl_delays=self.crawl_delays,
         )
         # broadcast hints are config-gated (VERDICT r2 #1): the host-count
         # estimate comes from the politeness table's manifest row count —

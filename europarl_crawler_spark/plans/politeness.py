@@ -115,11 +115,23 @@ def budget_expr(interval_col, epoch_secs: float):
 
 
 def host_budgets(pending_hosts, politeness, epoch_secs: float,
-                 min_interval_secs: float = MIN_INTERVAL_SECS):
+                 min_interval_secs: float = MIN_INTERVAL_SECS,
+                 crawl_delays=None):
     """(host_hash, budget>0) for the epoch: pending hosts left-join the
     politeness state table; unknown hosts get the default interval. The
     output is politeness-bounded (≤ n_hosts rows of 12 bytes) — small enough
-    to broadcast into the drain."""
+    to broadcast into the drain.
+
+    ``crawl_delays`` (optional, (host_hash, crawl_delay) from
+    robots.crawl_delays_df): a robots Crawl-delay FLOORS the effective
+    interval — the adaptive token-bucket interval may back off above it on
+    errors, but polite crawling never requests faster than the host asked.
+    Another broadcast-class dimension join; no new shuffle of anything big.
+    A delay ≥ epoch_secs accrues under one token per epoch and yields
+    budget 0 (host skipped) — same as an error-backed-off interval; the
+    epoch cadence is the scheduling quantum, so size epoch_secs at or above
+    the largest delay you intend to honor.
+    """
     from pyspark.sql import functions as F
 
     joined = pending_hosts.join(
@@ -128,6 +140,15 @@ def host_budgets(pending_hosts, politeness, epoch_secs: float,
         "host_hash",
         F.coalesce("interval_secs", F.lit(float(min_interval_secs))).alias("_iv"),
     )
+    if crawl_delays is not None:
+        joined = joined.join(
+            F.broadcast(crawl_delays.select("host_hash", "crawl_delay")),
+            "host_hash",
+            "left",
+        ).select(
+            "host_hash",
+            F.greatest("_iv", F.coalesce("crawl_delay", F.lit(0.0))).alias("_iv"),
+        )
     return (
         joined.select("host_hash", budget_expr(F.col("_iv"), epoch_secs).alias("budget"))
         .filter(F.col("budget") > 0)

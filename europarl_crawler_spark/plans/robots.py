@@ -44,6 +44,52 @@ def parse_robots(text: str) -> list[tuple[str, bool]]:
     return rules
 
 
+def parse_crawl_delay(text: str) -> float | None:
+    """``Crawl-delay`` (seconds) for the ``*`` group — the de-facto
+    robots.txt extension (not in RFC 9309, honored by Bing/Yandex).
+    Invalid or negative values are ignored; the last valid value in the
+    ``*`` group wins (directives later in a group override earlier ones
+    under the common longest-read convention)."""
+    delay: float | None = None
+    applies = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif applies and key == "crawl-delay":
+            try:
+                v = float(val)
+            except ValueError:
+                continue
+            if v >= 0:
+                delay = v
+    return delay
+
+
+DELAY_SCHEMA = T.StructType(
+    [
+        T.StructField("host_hash", T.LongType(), False),
+        T.StructField("crawl_delay", T.DoubleType(), False),
+    ]
+)
+
+
+def crawl_delays_df(spark: SparkSession, robots_by_host: dict[str, str]) -> DataFrame:
+    """Per-host Crawl-delay dimension (hosts without a valid delay omitted).
+    Joined into host_budgets as a broadcast — it is ≤ n_hosts rows of
+    16 bytes, the same class as the politeness state table."""
+    rows = []
+    for host, text in sorted(robots_by_host.items()):
+        d = parse_crawl_delay(text)
+        if d is not None:
+            rows.append((_host_hash_py(spark, host), float(d)))
+    return spark.createDataFrame(rows, DELAY_SCHEMA)
+
+
 def robots_df(spark: SparkSession, robots_by_host: dict[str, str]) -> DataFrame:
     """Build the robots dimension from {host: robots.txt text}."""
     rows = []

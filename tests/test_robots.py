@@ -127,3 +127,91 @@ def test_parse_robots_case_and_whitespace():
     txt = "USER-AGENT: *\n  DISALLOW :  /x  \nallow: /x/y\n"
     # keys are case-insensitive and whitespace-tolerant; values keep case
     assert parse_robots(txt) == [("/x", False), ("/x/y", True)]
+
+
+def test_parse_crawl_delay():
+    from europarl_crawler_spark.plans.robots import parse_crawl_delay
+
+    txt = (
+        "User-agent: googlebot\n"
+        "Crawl-delay: 99\n"             # non-* group: ignored
+        "User-agent: *\n"
+        "Crawl-delay: nonsense\n"       # invalid: ignored
+        "Crawl-delay: -5\n"             # negative: ignored
+        "Crawl-delay: 2.5\n"            # last valid in-group value wins
+        "User-agent: bingbot\n"
+        "Crawl-delay: 42\n"             # later non-* group: ignored
+    )
+    assert parse_crawl_delay(txt) == 2.5
+    assert parse_crawl_delay("User-agent: *\nDisallow: /a\n") is None
+    assert parse_crawl_delay("CRAWL-DELAY: 7\n") is None  # before any group
+
+
+def test_crawl_delay_floors_budget(spark):
+    from europarl_crawler_spark.plans.politeness import host_budgets
+    from europarl_crawler_spark.plans.robots import DELAY_SCHEMA
+
+    hosts = spark.createDataFrame([(1,), (2,), (3,)], "host_hash long")
+    politeness = spark.createDataFrame(
+        [], "host_hash long, interval_secs double, last_check double, next_check double"
+    )
+    delays = spark.createDataFrame([(1, 60.0), (2, 1.0), (3, 1200.0)], DELAY_SCHEMA)
+    got = {
+        r.host_hash: r.budget
+        for r in host_budgets(
+            hosts, politeness, epoch_secs=600.0, min_interval_secs=3.0,
+            crawl_delays=delays,
+        ).collect()
+    }
+    # host 1: delay 60 floors the default 3s interval -> 600/60 = 10
+    assert got[1] == 10
+    # host 2: delay 1 < min interval 3 -> politeness interval rules, 600/3
+    # capped at bucket capacity 100
+    assert got[2] == 100
+    # host 3: delay 1200 > epoch -> budget 0 -> dropped this epoch
+    assert 3 not in got
+    # without the dimension nothing changes
+    base = {
+        r.host_hash: r.budget
+        for r in host_budgets(hosts, politeness, 600.0, 3.0).collect()
+    }
+    assert base == {1: 100, 2: 100, 3: 100}
+
+
+def test_engine_honors_crawl_delay(spark, tmp_path):
+    """End-to-end: a robots Crawl-delay of 30s on a 600s epoch caps every
+    host at 20 requests/epoch (vs the default-interval cap of 100)."""
+    from datetime import date, datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from europarl_crawler_spark.plans.epoch import CrawlEngine
+    from europarl_crawler_spark.plans.robots import DELAY_SCHEMA
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+    from europarl_crawler_spark.sources.synthetic import session_days_df, simulated_web
+
+    days = session_days_df(spark, start=date(2019, 7, 2), n_days=12)
+    web = simulated_web(spark, days)
+    web.write.parquet(str(tmp_path / "web"))
+    web = spark.read.parquet(str(tmp_path / "web"))
+    from europarl_crawler_spark.functions.urlkit import host_hash_expr
+
+    delays = (
+        web.select(host_hash_expr("url").alias("host_hash"))
+        .distinct()
+        .withColumn("crawl_delay", F.lit(30.0))
+    )
+    delays = spark.createDataFrame(delays.collect(), DELAY_SCHEMA)
+    eng = CrawlEngine(
+        spark, EpochStore(tmp_path / "store"), web,
+        prefetch_limit=50, epoch_secs=600.0, crawl_delays=delays,
+    )
+    eng.bootstrap(days)
+    eng.run(3, start=datetime(2021, 1, 1, tzinfo=timezone.utc))
+    per = (
+        eng.store.read("requests", spark)
+        .groupBy("epoch", "host_hash")
+        .count()
+        .collect()
+    )
+    assert per and all(r["count"] <= 20 for r in per)
