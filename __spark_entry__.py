@@ -1523,6 +1523,45 @@ def q_multimodal_png_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_png_meta(spark, sf_dir):
+    """PNG text-metadata lane (functions/imaging.py:png_text_chunks): embed
+    each document's leading text as a Comment chunk — tEXt when Latin-1,
+    iTXt/UTF-8 otherwise — plus a constant Software tag, then re-parse the
+    chunks back OUT of the encoded bytes. The crawl-side use is mining
+    captions/credits from image ancillary chunks; DuckDB predicts the
+    extracted values straight from the source text, so any chunk-layout,
+    CRC, or charset defect breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "caption_out": [], "software_out": [], "n_chunks": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                cap = txt[:120]
+                payload = imaging._png_encode(
+                    px, text={"Comment": cap, "Software": "europarl-crawler-spark"}
+                )
+                chunks = imaging.png_text_chunks(payload)
+                out["doc_id"].append(did)
+                out["caption_out"].append(chunks.get("Comment"))
+                out["software_out"].append(chunks.get("Software"))
+                out["n_chunks"].append(len(chunks))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, caption_out string, software_out string, n_chunks long",
+    )
+
+
 def q_multimodal_wav_codec(spark, sf_dir):
     """The REAL audio (PCM WAV) lane, oracle-checked end-to-end: 64 int16
     samples derived from each document's text codepoints round-trip through
@@ -2346,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_valid": q_ann_lsh_valid,
         "ann_ivf_valid": q_ann_ivf_valid,
         "multimodal_png_codec": q_multimodal_png_codec,
+        "multimodal_png_meta": q_multimodal_png_meta,  # new in r4
         "multimodal_jpeg_codec": q_multimodal_jpeg_codec,
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_webp_codec": q_multimodal_webp_codec,
@@ -2393,10 +2433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "caption_boilerplate": q_caption_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
         # ---- end of the driver's 50-lane window ---------------------------
         # everything below holds a green row in CORRECTNESS_r03.json
         # (and ALL lanes hold one in BENCH/ORACLE_FULL_r04.json)
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_image_pairs": q_dedup_image_pairs,
@@ -3133,6 +3173,17 @@ FROM c
                    round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
                    round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
             FROM px GROUP BY doc_id
+        """,
+        # the Comment/Software chunks written into the PNG are re-parsed out
+        # of the actual bitstream Spark-side (tEXt/iTXt chosen by charset);
+        # DuckDB predicts them straight from the source text, so any chunk
+        # layout / CRC / Latin-1-vs-UTF-8 defect breaks the hash match
+        "multimodal_png_meta": """
+            SELECT doc_id,
+                   substr(text, 1, 120) AS caption_out,
+                   'europarl-crawler-spark' AS software_out,
+                   CAST(2 AS BIGINT) AS n_chunks
+            FROM documents
         """,
         # WAV is lossless PCM ⇒ the decoded samples equal the deterministic
         # codepoint-derived int16s; n_samples/rms/peak are SQL-predictable

@@ -167,12 +167,19 @@ def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
     )
 
 
-def _png_encode(px: np.ndarray, level: int = 6) -> bytes:
+def _png_encode(
+    px: np.ndarray, level: int = 6, text: dict[str, str] | None = None
+) -> bytes:
     """Encode (h, w, 3) uint8 → PNG bytes. Per-row filter ∈ {None, Sub, Up}
     chosen by the standard minimum-sum-of-absolute-residuals heuristic
     (Paeth/Average are decoded but not emitted: their sequential
     reconstruction is the slow path and the heuristic rarely prefers them on
-    photographic noise)."""
+    photographic noise).
+
+    ``text`` (optional) embeds keyword→value metadata between IHDR and IDAT:
+    a ``tEXt`` chunk when the value is pure Latin-1 (RFC 2083 §4.4.3), else
+    an uncompressed ``iTXt`` chunk (PNG 1.2 / ISO 15948 §11.3.4.4, UTF-8).
+    Omitted (the default) the output is byte-identical to before."""
     h, w, c = px.shape
     assert c == 3, "RGB only"
     raw = px.astype(np.int16)
@@ -192,9 +199,23 @@ def _png_encode(px: np.ndarray, level: int = 6) -> bytes:
         out += best_res.tobytes()
         prior = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    meta = b""
+    for kw, val in (text or {}).items():
+        kb = kw.encode("latin-1")
+        if not (1 <= len(kb) <= 79) or b"\x00" in kb:
+            raise ValueError(f"png: invalid text keyword {kw!r}")
+        try:
+            meta += _png_chunk(b"tEXt", kb + b"\x00" + val.encode("latin-1"))
+        except UnicodeEncodeError:
+            # iTXt: keyword NUL compflag(0) compmethod(0) lang NUL
+            # translated-kw NUL utf8-text
+            meta += _png_chunk(
+                b"iTXt", kb + b"\x00\x00\x00" + b"\x00" + b"\x00" + val.encode("utf-8")
+            )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + meta
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
         + _png_chunk(b"IEND", b"")
     )
@@ -278,6 +299,51 @@ def _png_decode(payload: bytes, w: int, h: int) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {f}")
         prior = rec
         out[y] = rec.astype(np.uint8)
+    return out
+
+
+def png_text_chunks(payload: bytes) -> dict[str, str]:
+    """Extract keyword→value text metadata from a PNG stream: ``tEXt``
+    (Latin-1, RFC 2083 §4.4.3), ``iTXt`` (UTF-8, optionally deflate-
+    compressed, ISO 15948 §11.3.4.4) and ``zTXt`` (deflate Latin-1,
+    §11.3.4.3) — the ancillary chunks real-world crawlers mine for
+    captions/credits/software tags. CRC-checked like the pixel decoder;
+    malformed text chunks raise (kitguard wraps them per-row upstream)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos = 8
+    out: dict[str, str] = {}
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {typ!r} chunk")
+        if typ == b"tEXt":
+            kw, _, txt = data.partition(b"\x00")
+            out[kw.decode("latin-1")] = txt.decode("latin-1")
+        elif typ == b"zTXt":
+            kw, _, rest = data.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ValueError("png: zTXt unknown compression method")
+            out[kw.decode("latin-1")] = zlib.decompress(rest[1:]).decode("latin-1")
+        elif typ == b"iTXt":
+            kw, _, rest = data.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("png: iTXt truncated header")
+            compressed, method = rest[0], rest[1]
+            body = rest[2:]
+            _lang, _, body = body.partition(b"\x00")
+            _trans, _, txt = body.partition(b"\x00")
+            if compressed:
+                if method != 0:
+                    raise ValueError("png: iTXt unknown compression method")
+                txt = zlib.decompress(txt)
+            out[kw.decode("latin-1")] = txt.decode("utf-8")
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
     return out
 
 

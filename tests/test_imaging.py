@@ -184,3 +184,67 @@ def test_phash_properties():
     other = _img(4, 64, 64)
     assert imaging.hamming64(h1, imaging.phash64(perturbed)) <= 16
     assert imaging.hamming64(h1, imaging.phash64(other)) >= 10
+
+
+def test_png_text_chunks_roundtrip():
+    """tEXt for Latin-1 values, iTXt for UTF-8; absent text -> {}; pixel
+    decode is undisturbed and the no-text output is byte-identical."""
+    import numpy as np
+
+    from europarl_crawler_spark.functions import imaging
+
+    rng = np.random.Generator(np.random.Philox(key=5))
+    px = rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+    plain = imaging._png_encode(px, text={"Comment": "plain", "Software": "x"})
+    uni = imaging._png_encode(px, text={"Comment": "café 日本語"})
+    bare = imaging._png_encode(px)
+    assert imaging.png_text_chunks(plain) == {"Comment": "plain", "Software": "x"}
+    assert imaging.png_text_chunks(uni) == {"Comment": "café 日本語"}
+    assert imaging.png_text_chunks(bare) == {}
+    assert b"tEXt" in plain and b"iTXt" in uni
+    assert (imaging._png_decode(plain, 20, 16) == px).all()
+    assert (imaging._png_decode(uni, 20, 16) == px).all()
+    assert imaging._png_encode(px) == bare
+
+
+def test_png_text_chunks_external_forms():
+    """zTXt and compressed iTXt as an external writer would emit them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from europarl_crawler_spark.functions import imaging
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    base = imaging._png_encode(px)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    zt = base[:8] + chunk(b"zTXt", b"Title\x00\x00" + zlib.compress(b"deep title")) + base[8:]
+    assert imaging.png_text_chunks(zt)["Title"] == "deep title"
+    it = base[:8] + chunk(
+        b"iTXt", b"Note\x00\x01\x00en\x00\x00" + zlib.compress("ünïcode".encode())
+    ) + base[8:]
+    assert imaging.png_text_chunks(it)["Note"] == "ünïcode"
+
+
+def test_png_text_chunks_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from europarl_crawler_spark.functions import imaging
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    b = bytearray(imaging._png_encode(px, text={"Comment": "v"}))
+    i = bytes(b).index(b"tEXt") + 6
+    b[i] ^= 0xFF  # flip a byte inside the chunk data -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        imaging.png_text_chunks(bytes(b))
+    with _pytest.raises(ValueError, match="signature"):
+        imaging.png_text_chunks(b"nope")
+    with _pytest.raises(ValueError, match="keyword"):
+        imaging._png_encode(px, text={"": "empty keyword"})
