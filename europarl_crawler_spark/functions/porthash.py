@@ -47,6 +47,16 @@ def _lcg_constants(k: int = 64) -> tuple[list[int], list[int]]:
 AFFINE_A, AFFINE_B = _lcg_constants(64)
 
 
+def poly_hash_py(s: str) -> int:
+    """Plain-Python mirror of poly_hash / poly_hash_sql (``ord`` matches
+    DuckDB ``unicode`` per character) — for Arrow-stage writers that must
+    emit checksums an SQL oracle can recompute (operators/export.py)."""
+    h = 0
+    for ch in s:
+        h = (h * BASE + ord(ch)) % P
+    return h
+
+
 def poly_hash(c: Column) -> Column:
     """Rabin-Karp hash of a string column as a long in [0, P)."""
     codes = F.transform(

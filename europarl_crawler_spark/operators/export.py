@@ -133,3 +133,164 @@ def manifest_sql(
         f"COUNT(*) AS n_docs, SUM({chk}) AS id_checksum "
         f"FROM {table} GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards — the de-facto multimodal training layout
+# ---------------------------------------------------------------------------
+
+WDS_CHECK_COLS = "shard int, n_samples long, key_checksum long, caption_checksum long"
+
+
+def export_webdataset(
+    pairs: DataFrame,
+    root: str,
+    n_shards: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    ext_col: str = "fmt",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Write image+caption pairs as WebDataset tar shards
+    (``root/shard-%05d.tar``; each sample = adjacent members ``<key>.<ext>``
+    + ``<key>.txt`` — the layout streaming data loaders consume shard-
+    independently). Sharding is the same portable affine hash mod
+    ``n_shards`` as the parquet export, so membership is a pure function of
+    the id. ONE ``repartition`` moves each pair exactly once; rows are
+    sorted by key within partitions so every tar is byte-deterministic
+    (zeroed mtime/uid/uname) and members stream out one at a time — a shard
+    never buffers in memory. ``root`` must be storage every executor can
+    write (shared fs / fuse mount on a real cluster).
+
+    Returns one receipt row per shard: sample count, tar byte size, and
+    order-insensitive key/caption checksums (sum of the portable Rabin-Karp
+    hash mod P) that a DuckDB oracle recomputes from the source table."""
+    import io
+    import tarfile
+    from pathlib import Path
+
+    import pandas as pd
+
+    from ..functions.porthash import P, poly_hash_py
+
+    Path(root).mkdir(parents=True, exist_ok=True)
+    assigned = shard_assign(pairs, n_shards, id_col=id_col)
+    parts = assigned.repartition(n_shards, "shard").sortWithinPartitions(id_col)
+    icol, bcol, ecol, ccol = id_col, bytes_col, ext_col, caption_col
+
+    def write(it):
+        state: dict[int, dict] = {}
+        for pdf in it:
+            for sh, key, data, ext, cap in zip(
+                pdf["shard"], pdf[icol], pdf[bcol], pdf[ecol], pdf[ccol]
+            ):
+                st = state.get(int(sh))
+                if st is None:
+                    path = Path(root) / f"shard-{int(sh):05d}.tar"
+                    fh = open(path, "wb")
+                    st = state[int(sh)] = {
+                        "tar": tarfile.open(fileobj=fh, mode="w"),
+                        "fh": fh, "path": path, "n": 0, "kc": 0, "cc": 0,
+                    }
+                k, cap = str(key), str(cap)
+                for name, payload in (
+                    (f"{k}.{ext}", bytes(data)),
+                    (f"{k}.txt", cap.encode("utf-8")),
+                ):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    st["tar"].addfile(ti, io.BytesIO(payload))
+                st["n"] += 1
+                st["kc"] = (st["kc"] + poly_hash_py(k)) % P
+                st["cc"] = (st["cc"] + poly_hash_py(cap)) % P
+        rows = []
+        for sh, st in sorted(state.items()):
+            st["tar"].close()
+            st["fh"].close()
+            rows.append(
+                (sh, st["n"], st["path"].stat().st_size, st["kc"], st["cc"])
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["shard", "n_samples", "tar_bytes", "key_checksum", "caption_checksum"],
+            )
+
+    return parts.mapInPandas(
+        write,
+        schema="shard int, n_samples long, tar_bytes long, "
+        "key_checksum long, caption_checksum long",
+    )
+
+
+def read_webdataset_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Re-read the WRITTEN tars and recompute the receipt from the files —
+    the round-trip verifier (same stance as export_manifest): member
+    pairing (<key>.<ext> ↔ <key>.txt) is asserted per shard, counts and
+    key/caption checksums come from the extracted members, so a lost,
+    mangled, or mispaired sample anywhere in pack→unpack changes the row.
+    One task per tar — reading scales with the shard count."""
+    import re
+    import tarfile
+    from pathlib import Path
+
+    import pandas as pd
+
+    from ..functions.porthash import P, poly_hash_py
+
+    paths = sorted(str(p) for p in Path(root).glob("shard-*.tar"))
+    pdf_paths = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def readback(it):
+        for pdf in it:
+            rows = []
+            for p in pdf["path"]:
+                shard = int(re.search(r"shard-(\d+)\.tar$", p).group(1))
+                caps: dict[str, str] = {}
+                imgs: set[str] = set()
+                with tarfile.open(p) as tf:
+                    for m in tf.getmembers():
+                        base, _, ext = m.name.rpartition(".")
+                        if ext == "txt":
+                            caps[base] = tf.extractfile(m).read().decode("utf-8")
+                        else:
+                            imgs.add(base)
+                if set(caps) != imgs:
+                    raise ValueError(f"webdataset: unpaired members in {p}")
+                n = kc = cc = 0
+                for k in caps:
+                    n += 1
+                    kc = (kc + poly_hash_py(k)) % P
+                    cc = (cc + poly_hash_py(caps[k])) % P
+                rows.append((shard, n, kc, cc))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["shard", "n_samples", "key_checksum", "caption_checksum"]
+                )
+
+    return pdf_paths.repartition(max(len(paths), 1)).mapInPandas(
+        readback, schema=WDS_CHECK_COLS
+    )
+
+
+def webdataset_manifest_sql(
+    n_shards: int, table: str = "documents", id_expr: str = "doc_id",
+    caption_expr: str = "substr(text, 1, 80)",
+) -> str:
+    """DuckDB mirror of the webdataset receipt, computed from the SOURCE:
+    shard arithmetic via shard_assign_sql, key/caption checksums via the
+    portable Rabin-Karp hash of the stringified id / caption text."""
+    from ..functions.porthash import P, poly_hash_sql
+
+    kh = poly_hash_sql(f"CAST({id_expr} AS VARCHAR)")
+    ch = poly_hash_sql(caption_expr)
+    return (
+        f"SELECT {shard_assign_sql(n_shards, id_expr)} AS shard, "
+        f"COUNT(*) AS n_samples, "
+        f"SUM({kh}) % {P} AS key_checksum, "
+        f"SUM({ch}) % {P} AS caption_checksum "
+        f"FROM {table} GROUP BY 1"
+    )

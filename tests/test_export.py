@@ -97,3 +97,96 @@ def test_manifest_matches_duckdb_mirror(spark, docs, root):
     }
     assert man == want
     assert sum(n for n, _ in man.values()) == 2000
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        (i, f"img-bytes-{i}".encode(), "png", f"caption {i} café")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id long, bytes binary, fmt string, caption string"
+    )
+
+
+@pytest.fixture(scope="module")
+def wds_root(spark, pairs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wds") / "corpus")
+    receipts = exp.export_webdataset(pairs, out, N_SHARDS).collect()
+    return out, {r.shard: r for r in receipts}
+
+
+def test_webdataset_readback_matches_receipts(spark, pairs, wds_root):
+    root, receipts = wds_root
+    back = {r.shard: r for r in exp.read_webdataset_manifest(spark, root).collect()}
+    assert set(back) == set(receipts) and len(back) == N_SHARDS
+    for sh, r in receipts.items():
+        assert back[sh].n_samples == r.n_samples
+        assert back[sh].key_checksum == r.key_checksum
+        assert back[sh].caption_checksum == r.caption_checksum
+    assert sum(r.n_samples for r in back.values()) == 400
+
+
+def test_webdataset_matches_duckdb_mirror(spark, pairs, wds_root):
+    root, _ = wds_root
+    back = {
+        (r.shard): (r.n_samples, r.key_checksum, r.caption_checksum)
+        for r in exp.read_webdataset_manifest(spark, root).collect()
+    }
+    con = duckdb.connect()
+    con.register("pairs_tbl", pairs.toPandas()[["image_id", "caption"]])
+    sql = exp.webdataset_manifest_sql(
+        N_SHARDS, table="pairs_tbl", id_expr="image_id", caption_expr="caption"
+    )
+    want = {s: (n, kc, cc) for s, n, kc, cc in con.execute(sql).fetchall()}
+    assert back == want
+
+
+def test_webdataset_tar_layout_and_determinism(spark, pairs, wds_root, tmp_path):
+    import tarfile
+    from pathlib import Path
+
+    root, _ = wds_root
+    tars = sorted(Path(root).glob("shard-*.tar"))
+    assert len(tars) == N_SHARDS
+    with tarfile.open(tars[0]) as tf:
+        names = tf.getnames()
+        # members come in adjacent (<key>.png, <key>.txt) sample pairs,
+        # sorted by key within the shard
+        assert all(
+            names[i].rsplit(".", 1)[0] == names[i + 1].rsplit(".", 1)[0]
+            for i in range(0, len(names), 2)
+        )
+        keys = [n.rsplit(".", 1)[0] for n in names[::2]]
+        assert keys == sorted(keys, key=int)
+        m = tf.getmember(names[0])
+        assert (m.mtime, m.uid, m.gid, m.uname) == (0, 0, 0, "")
+    # byte-determinism: a second export of the same pairs is identical
+    out2 = str(tmp_path / "corpus2")
+    exp.export_webdataset(pairs, out2, N_SHARDS).collect()
+    for t in tars:
+        assert t.read_bytes() == (Path(out2) / t.name).read_bytes()
+
+
+def test_webdataset_readback_rejects_unpaired(spark, pairs, tmp_path):
+    import tarfile
+    from pathlib import Path
+
+    out = str(tmp_path / "corpus")
+    exp.export_webdataset(pairs, out, 1).collect()
+    tar = next(Path(out).glob("shard-*.tar"))
+    # append an orphan image member -> pairing check must fail
+    with tarfile.open(tar, "a") as tf:
+        import io
+
+        ti = tarfile.TarInfo("999999.png")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"xxx"))
+    with pytest.raises(Exception, match="unpaired"):
+        exp.read_webdataset_manifest(spark, str(Path(out))).collect()
