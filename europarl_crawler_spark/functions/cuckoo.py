@@ -77,10 +77,12 @@ class CuckooFilter:
         """Size for `expected` keys at a target load factor.
 
         b=4 cuckoo tables fill reliably to ~95% (Fan et al. §5); 0.84 leaves
-        headroom so the bulk build's kick loop stays short.
+        headroom so the bulk build's kick loop stays short. The 64-bucket
+        floor (512 bytes) keeps tiny shards from thrashing through
+        overflow→rebuild when maintained incrementally.
         """
         need = max(1, int(expected / (BUCKET_SLOTS * load)))
-        n_buckets = 1 << max(3, (need - 1).bit_length())
+        n_buckets = 1 << max(6, (need - 1).bit_length())
         return cls(n_buckets)
 
     # -- key → (fingerprint, primary index) ---------------------------------
@@ -250,6 +252,35 @@ class ShardedCuckoo:
                 filt = CuckooFilter.sized(max(len(h), 64))
                 self.shards[int(sid)] = filt
             filt.add_many(h[s == sid])
+
+
+def save_sharded(sc: ShardedCuckoo, path) -> None:
+    """Persist a sharded filter as one compressed npz (per-shard tables +
+    shard count), published atomically via rename — the epoch-stamped
+    checkpoint artifact the crawl engine writes beside the store so a
+    restart skips the full-frontier rebuild."""
+    import os
+
+    tmp = str(path) + ".tmp"
+    arrs = {f"shard_{sid}": f.table for sid, f in sc.shards.items()}
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh, n_shards=np.array([sc.n_shards], dtype=np.int64), **arrs
+        )
+    os.replace(tmp, path)
+
+
+def load_sharded(path) -> ShardedCuckoo:
+    with np.load(path) as z:
+        n_shards = int(z["n_shards"][0])
+        shards = {
+            int(k.split("_", 1)[1]): CuckooFilter(
+                z[k].shape[0], z[k].astype(np.uint16)
+            )
+            for k in z.files
+            if k.startswith("shard_")
+        }
+    return ShardedCuckoo(n_shards, shards)
 
 
 def build_cuckoo(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
-from ..functions.cuckoo import build_cuckoo
+from ..functions.cuckoo import build_cuckoo, load_sharded, save_sharded
 from ..functions.rules import rules_df
 from ..functions.seen import anti_join_seen, build_bloom
 from ..sources import schema as S
@@ -131,14 +131,43 @@ class CrawlEngine:
         )
 
     def _build_cuckoo(self, frontier: DataFrame):
-        """(Re)build the incremental seen sketch (seen_sketch="cuckoo") from
-        the frontier source of truth. Sized at load 0.21 (~4.7× headroom over
-        the current frontier) so per-epoch increments fit for many epochs
-        between rebuilds; a restart simply rebuilds, so the sketch needs no
-        persistence of its own."""
+        """Load-or-(re)build the incremental seen sketch (seen_sketch=
+        "cuckoo"). A checkpoint written by ``shutdown_compact`` (stamped
+        with the frontier commit it reflects) is loaded instead of
+        rebuilding when its stamp matches the CURRENT frontier head — at a
+        10^10-URL frontier the rebuild is a full-table scan, the load is a
+        file read. Any stamp mismatch (epochs committed since) falls back
+        to the build; the sketch sizes at load 0.21 (~4.7× headroom) so
+        per-epoch increments fit for many epochs between rebuilds."""
+        loaded = self._load_sketch()
+        if loaded is not None:
+            return loaded
         return build_cuckoo(
             frontier, "url_id", n_shards=self.config.cuckoo_shards, load=0.21
         )
+
+    def _sketch_dir(self):
+        return self.store.root / "_seen_sketch"
+
+    def _load_sketch(self):
+        e = self.store.latest("frontier")
+        if e is None:
+            return None
+        p = self._sketch_dir() / f"frontier-{e:08d}.npz"
+        return load_sharded(p) if p.exists() else None
+
+    def save_sketch(self) -> None:
+        """Checkpoint the in-memory sketch, stamped with the frontier commit
+        it reflects; older checkpoints are dropped (only the head-matching
+        stamp is ever loadable)."""
+        e = self.store.latest("frontier")
+        if self._cuckoo is None or e is None:
+            return
+        d = self._sketch_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        for old in d.glob("frontier-*.npz"):
+            old.unlink()
+        save_sharded(self._cuckoo, d / f"frontier-{e:08d}.npz")
 
     def bootstrap(self, days: DataFrame) -> None:
         """Initial load: seed-day domain (reference table bootstrap +
@@ -192,6 +221,10 @@ class CrawlEngine:
         sketch = None
         mode = self.config.seen_sketch if self.use_bloom else "none"
         if mode == "cuckoo":
+            if self._cuckoo is None:
+                # restart path: the shutdown checkpoint's stamp can only
+                # match BEFORE this epoch's merge advances the chain head
+                self._cuckoo = self._load_sketch()
             sketch = self._cuckoo
         elif mode == "bloom" and self.store.latest("frontier") is not None:
             expected = sum(m["rows"] for m in self.store.manifests("frontier")) or 1
@@ -199,7 +232,11 @@ class CrawlEngine:
         fresh = anti_join_seen(new_urls, frontier, sketch, hash_col="url_id")
         if self._cuckoo is not None:
             fresh = fresh.persist()
-        m = self.store.merge("frontier", fresh, e, keys=["url_id"])
+        # the frontier keeps its OWN commit chain (like documents/url_state):
+        # shutdown_compact's delete+compact commits advance it past the
+        # crawl clock, and a resumed crawl must commit above BOTH
+        f_e = max(e, (self.store.latest("frontier") or 0) + 1)
+        m = self.store.merge("frontier", fresh, f_e, keys=["url_id"])
         if self._cuckoo is not None:
             # incremental sketch maintenance: only THIS epoch's genuinely-new
             # url_ids (post exact anti-join) cross to the driver — O(delta),
@@ -387,7 +424,9 @@ class CrawlEngine:
         """D4: drop frontier rows that were never requested (reference
         drop_uncrawled_urls at crawler shutdown, db/url.py:139-156), then
         compact the frontier so the next run reads one base snapshot."""
-        e = self.current_epoch() + 1
+        # commit above both the crawl clock and the frontier's own chain
+        # (repeated shutdowns / post-shutdown crawls advance the latter)
+        e = max(self.current_epoch(), self.store.latest("frontier") or 0) + 1
         frontier = self._read("frontier", S.FRONTIER)
         fetched_ids = self._url_state().select("url_id")
         uncrawled = frontier.join(fetched_ids, "url_id", "left_anti")
@@ -408,3 +447,7 @@ class CrawlEngine:
                 self._cuckoo = None
         self.store.delete("frontier", uncrawled, e, keys=["url_id"])
         self.store.compact("frontier", self.spark, e + 1)
+        # post-eviction sketch == compacted frontier: checkpoint it stamped
+        # with the compaction commit so the next run loads instead of
+        # rescanning the frontier
+        self.save_sketch()

@@ -124,3 +124,31 @@ def test_shutdown_evicts_from_cuckoo_in_place(runs):
         dtype=np.int64,
     )
     assert eng._cuckoo.might_contain(kept).all()
+
+
+def test_shutdown_checkpoint_loads_on_restart(spark, tmp_path, monkeypatch):
+    """shutdown_compact checkpoints the sketch stamped with the compaction
+    commit; a restarted engine must LOAD it (no frontier rescan) as long as
+    no frontier commit intervened."""
+    eng, store = _run(spark, tmp_path, "cuckoo", n_epochs=2)
+    eng.shutdown_compact()
+    assert list((store.root / "_seen_sketch").glob("frontier-*.npz"))
+
+    cfg = EngineConfig(seen_sketch="cuckoo", cuckoo_shards=4)
+    eng2 = CrawlEngine(
+        spark, store, eng.web, prefetch_limit=50, epoch_secs=600.0, config=cfg
+    )
+    # any rebuild attempt would call build_cuckoo — make that an error
+    import europarl_crawler_spark.plans.epoch as epoch_mod
+
+    def boom(*a, **k):
+        raise AssertionError("sketch was rebuilt despite a matching checkpoint")
+
+    monkeypatch.setattr(epoch_mod, "build_cuckoo", boom)
+    eng2.run(1, start=START)
+    assert eng2._cuckoo is not None
+    ids = np.array(
+        [r.url_id for r in store.read("frontier", spark).select("url_id").collect()],
+        dtype=np.int64,
+    )
+    assert eng2._cuckoo.might_contain(ids).all()

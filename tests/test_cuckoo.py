@@ -143,3 +143,24 @@ def test_anti_join_seen_accepts_cuckoo_and_respects_eviction(spark):
     )
     fresh2 = {r.url_hash for r in anti_join_seen(cand, remaining, sc).collect()}
     assert fresh2 == set(keys[1200:].tolist())
+
+
+def test_save_load_roundtrip(tmp_path):
+    from europarl_crawler_spark.functions.cuckoo import load_sharded, save_sharded
+
+    keys = _keys(20000, 23)
+    sc = ShardedCuckoo(8, {})
+    sc.add_many(keys)
+    p = tmp_path / "sketch.npz"
+    save_sharded(sc, p)
+    back = load_sharded(p)
+    assert back.n_shards == sc.n_shards
+    assert set(back.shards) == set(sc.shards)
+    for sid in sc.shards:
+        assert (back.shards[sid].table == sc.shards[sid].table).all()
+        assert back.shards[sid].size == sc.shards[sid].size
+    assert back.might_contain(keys).all()
+    # the loaded filter is fully live: delete + insert still work
+    assert back.delete_many(keys[:10]).all()
+    back.add_many(keys[:10])
+    assert back.might_contain(keys).all()
