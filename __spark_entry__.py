@@ -1562,6 +1562,38 @@ def q_multimodal_png_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_meta(spark, sf_dir):
+    """JPEG COM-marker metadata lane (functions/jpegkit.py:jpeg_comments,
+    T.81 §B.2.4.5): embed each document's leading text as a UTF-8 COM
+    segment, then walk the real marker stream to extract it back. DuckDB
+    predicts the comment straight from the source text, so any segment
+    length/alignment/charset defect breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import jpegkit
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "caption_out": [], "n_comments": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(768)]
+                px = np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
+                payload = jpegkit.jpeg_encode(px, comment=txt[:120])
+                coms = jpegkit.jpeg_comments(payload)
+                out["doc_id"].append(did)
+                out["caption_out"].append(coms[0] if coms else None)
+                out["n_comments"].append(len(coms))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches, schema="doc_id long, caption_out string, n_comments long"
+    )
+
+
 def q_multimodal_wav_codec(spark, sf_dir):
     """The REAL audio (PCM WAV) lane, oracle-checked end-to-end: 64 int16
     samples derived from each document's text codepoints round-trip through
@@ -2427,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_codec": q_multimodal_png_codec,
         "multimodal_png_meta": q_multimodal_png_meta,  # new in r4
         "multimodal_jpeg_codec": q_multimodal_jpeg_codec,
+        "multimodal_jpeg_meta": q_multimodal_jpeg_meta,  # new in r4
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
@@ -2472,10 +2505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_pairs_streaming": q_dedup_image_pairs_streaming,
         "dedup_image_groups": q_dedup_image_groups,
         "image_quality": q_image_quality,
-        "caption_boilerplate": q_caption_boilerplate,
         # ---- end of the driver's 50-lane window ---------------------------
         # everything below holds a green row in CORRECTNESS_r03.json
         # (and ALL lanes hold one in BENCH/ORACLE_FULL_r04.json)
+        "caption_boilerplate": q_caption_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3224,6 +3257,14 @@ FROM c
                    substr(text, 1, 120) AS caption_out,
                    'europarl-crawler-spark' AS software_out,
                    CAST(2 AS BIGINT) AS n_chunks
+            FROM documents
+        """,
+        # same stance for the JPEG COM marker: the comment written into the
+        # real JFIF stream is re-parsed out of the marker walk Spark-side
+        "multimodal_jpeg_meta": """
+            SELECT doc_id,
+                   substr(text, 1, 120) AS caption_out,
+                   CAST(1 AS BIGINT) AS n_comments
             FROM documents
         """,
         # WAV is lossless PCM ⇒ the decoded samples equal the deterministic

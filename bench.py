@@ -40,6 +40,7 @@ HEADLINE = [
     "j8_metadata_join",
     "f2_url_build",
     "j2_anti_seen",
+    "j2_anti_seen_cuckoo",
     "o1_o2_topk_drain",
     "o8_spaced_refresh",
     "t1_events_hourly",
@@ -71,7 +72,9 @@ HEADLINE = [
     "corpus_sample_stratified",
     "corpus_mixture_repeat",
     "corpus_export_manifest",
+    "corpus_export_webdataset",
     "text_quality",
+    "text_repetition",
     "text_pii_scan",
     "text_pii_redact",
     "text_vocab_topk",
@@ -85,6 +88,7 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_binary_meta",
     "multimodal_png_codec",
+    "multimodal_png_meta",
     "multimodal_wav_codec",
     "multimodal_y4m_codec",
     "multimodal_jpeg_codec",

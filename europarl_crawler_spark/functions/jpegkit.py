@@ -194,8 +194,16 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def jpeg_encode(px: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, standard tables)."""
+def jpeg_encode(
+    px: np.ndarray, quality: int = 85, comment: str | None = None
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, standard tables).
+
+    ``comment`` (optional) embeds a COM segment (marker 0xFFFE, T.81 §B.2.4.5)
+    after APP0, UTF-8 encoded — the field crawlers mine for captions/credits.
+    Omitted, the output stays byte-identical. A value beyond one segment's
+    65533-byte payload raises (splitting would shear UTF-8 sequences across
+    segments; captions don't approach 64 KB)."""
     h, w, _ = px.shape
     qy = _quality_scale(QUANT_LUM, quality)
     qc = _quality_scale(QUANT_CHROM, quality)
@@ -255,9 +263,16 @@ def jpeg_encode(px: np.ndarray, quality: int = 85) -> bytes:
     def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
         return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
+    coms = []
+    if comment is not None:
+        cb = comment.encode("utf-8")
+        if len(cb) > 65533:
+            raise ValueError("jpeg: comment exceeds one COM segment (65533 bytes)")
+        coms = [seg(0xFFFE, cb)]
     out = [
         b"\xff\xd8",  # SOI
         seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        *coms,
         seg(0xFFDB, b"\x00" + bytes(qy.flatten()[ZIGZAG].astype(np.uint8))),
         seg(0xFFDB, b"\x01" + bytes(qc.flatten()[ZIGZAG].astype(np.uint8))),
         seg(
@@ -314,6 +329,28 @@ def _extend(v: int, cat: int) -> int:
 
 
 @rejects_malformed("jpeg")
+def jpeg_comments(body: bytes) -> list[str]:
+    """All COM segments (marker 0xFFFE) before the scan, UTF-8 decoded in
+    stream order — the crawl-side caption/credit mining surface. Walks the
+    same marker structure as the decoder (bad alignment raises); stops at
+    SOS/EOI since COM cannot occur inside entropy data."""
+    if body[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    out: list[str] = []
+    while pos + 4 <= len(body):
+        if body[pos] != 0xFF:
+            raise ValueError(f"jpeg: bad marker alignment at {pos}")
+        marker = body[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS
+            break
+        seg_len = struct.unpack(">H", body[pos + 2 : pos + 4])[0]
+        if marker == 0xFE:
+            out.append(body[pos + 4 : pos + 2 + seg_len].decode("utf-8"))
+        pos += 2 + seg_len
+    return out
+
+
 def jpeg_decode(body: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB. Decodes with the tables
     embedded in the stream; baseline 4:4:4 only (progressive / subsampled

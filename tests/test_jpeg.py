@@ -101,3 +101,32 @@ def test_dc_differential_across_blocks():
     px[16:] = 240
     dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=92))
     assert imaging.psnr(px, dec) >= 40.0
+
+
+def test_jpeg_com_comment_roundtrip():
+    import numpy as np
+
+    from europarl_crawler_spark.functions import jpegkit as jk
+
+    rng = np.random.Generator(np.random.Philox(key=9))
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    b0 = jk.jpeg_encode(px)
+    b1 = jk.jpeg_encode(px, comment="a café caption 日本語")
+    assert jk.jpeg_comments(b0) == []
+    assert jk.jpeg_comments(b1) == ["a café caption 日本語"]
+    # COM must not disturb pixel decode; no-comment output byte-identical
+    assert (jk.jpeg_decode(b1) == jk.jpeg_decode(b0)).all()
+    assert jk.jpeg_encode(px) == b0
+
+
+def test_jpeg_com_rejects_oversize_and_bad_stream():
+    import numpy as np
+    import pytest as _pytest
+
+    from europarl_crawler_spark.functions import jpegkit as jk
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    with _pytest.raises(ValueError, match="COM"):
+        jk.jpeg_encode(px, comment="x" * 70000)
+    with _pytest.raises(ValueError, match="SOI"):
+        jk.jpeg_comments(b"not a jpeg")
