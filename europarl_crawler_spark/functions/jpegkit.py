@@ -351,6 +351,7 @@ def jpeg_comments(body: bytes) -> list[str]:
     return out
 
 
+@rejects_malformed("jpeg")
 def jpeg_decode(body: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB. Decodes with the tables
     embedded in the stream; baseline 4:4:4 only (progressive / subsampled
