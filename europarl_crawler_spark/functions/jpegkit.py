@@ -195,15 +195,20 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 def jpeg_encode(
-    px: np.ndarray, quality: int = 85, comment: str | None = None
+    px: np.ndarray,
+    quality: int = 85,
+    comment: str | None = None,
+    exif: bytes | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, standard tables).
 
     ``comment`` (optional) embeds a COM segment (marker 0xFFFE, T.81 §B.2.4.5)
     after APP0, UTF-8 encoded — the field crawlers mine for captions/credits.
-    Omitted, the output stays byte-identical. A value beyond one segment's
-    65533-byte payload raises (splitting would shear UTF-8 sequences across
-    segments; captions don't approach 64 KB)."""
+    ``exif`` (optional) embeds a prebuilt APP1 payload (exifkit.exif_build)
+    as marker 0xFFE1 right after APP0 — Exif 2.3's placement. Omitted, the
+    output stays byte-identical. A comment beyond one segment's 65533-byte
+    payload raises (splitting would shear UTF-8 sequences across segments;
+    captions don't approach 64 KB)."""
     h, w, _ = px.shape
     qy = _quality_scale(QUANT_LUM, quality)
     qc = _quality_scale(QUANT_CHROM, quality)
@@ -263,16 +268,20 @@ def jpeg_encode(
     def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
         return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
-    coms = []
+    apps = []
+    if exif is not None:
+        if len(exif) > 65533:
+            raise ValueError("jpeg: exif exceeds one APP1 segment (65533 bytes)")
+        apps.append(seg(0xFFE1, exif))
     if comment is not None:
         cb = comment.encode("utf-8")
         if len(cb) > 65533:
             raise ValueError("jpeg: comment exceeds one COM segment (65533 bytes)")
-        coms = [seg(0xFFFE, cb)]
+        apps.append(seg(0xFFFE, cb))
     out = [
         b"\xff\xd8",  # SOI
         seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
-        *coms,
+        *apps,
         seg(0xFFDB, b"\x00" + bytes(qy.flatten()[ZIGZAG].astype(np.uint8))),
         seg(0xFFDB, b"\x01" + bytes(qc.flatten()[ZIGZAG].astype(np.uint8))),
         seg(
