@@ -1398,6 +1398,25 @@ def q_text_repetition(spark, sf_dir):
     return textstats.repetition_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_text_c4_filters(spark, sf_dir):
+    """C4 page cleaning (operators/textstats.py:c4_quality_profile, Raffel
+    et al. 2020 §2.2): terminal-punctuation + min-words + no-javascript line
+    retention, ≥3-sentence page floor, lorem-ipsum / curly-brace page
+    rejection. Pure per-row projection — zero shuffles, zero Python stages;
+    DuckDB recomputes every line predicate and count."""
+    return textstats.c4_quality_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (operators/textstats.py:
+    quality_classifier, CCNet/fastText shape): hashed-BoW features ×
+    broadcast weight table → mean-pooled integer score → keep verdict.
+    Integer partial sums make the score order-independent; DuckDB
+    recomputes the hash, the synthetic weights, and the pooled score
+    bit-for-bit."""
+    return textstats.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_winnow_pairs(spark, sf_dir):
     """MOSS-style copy-detection pairs (operators/textstats.py:winnow_pairs):
     documents sharing >= 2 winnowing fingerprints after a df-cap of 100 —
@@ -1591,6 +1610,60 @@ def q_multimodal_jpeg_meta(spark, sf_dir):
 
     return d.mapInPandas(
         batches, schema="doc_id long, caption_out string, n_comments long"
+    )
+
+
+def q_multimodal_jpeg_exif(spark, sf_dir):
+    """EXIF APP1 metadata lane (functions/exifkit.py, Exif 2.3 / TIFF 6.0):
+    build a real TIFF IFD per document — ImageDescription = leading text,
+    Orientation/DateTime derived from doc_id, Exif sub-IFD pixel dims —
+    embed it in the JFIF stream, then parse it back out through the marker
+    walk + IFD walk. Half the corpus is written big-endian (MM) so the
+    parser's byte-order handling is value-checked, not just unit-tested.
+    DuckDB predicts every field straight from the source row; any IFD
+    layout / endianness / inline-vs-offset defect breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import exifkit, jpegkit
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                "doc_id": [], "desc_out": [], "orientation": [], "dt_out": [],
+                "px_x": [], "px_y": [], "byte_order": [], "n_tags": [],
+            }
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(768)]
+                px = np.array(vals, dtype=np.uint8).reshape(16, 16, 3)
+                app1 = exifkit.exif_build(
+                    description=txt[:96],
+                    orientation=1 + did % 8,
+                    software="europarl-crawler-spark",
+                    datetime=f"2026:08:{did % 28 + 1:02d} 12:00:00",
+                    pixel_x=16,
+                    pixel_y=16,
+                    byte_order="MM" if did % 2 else "II",
+                )
+                meta = exifkit.jpeg_exif(jpegkit.jpeg_encode(px, exif=app1))
+                out["doc_id"].append(did)
+                out["desc_out"].append(meta["description"])
+                out["orientation"].append(meta["orientation"])
+                out["dt_out"].append(meta["datetime"])
+                out["px_x"].append(meta["pixel_x"])
+                out["px_y"].append(meta["pixel_y"])
+                out["byte_order"].append(meta["byte_order"])
+                out["n_tags"].append(meta["n_tags"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, desc_out string, orientation int, dt_out string, "
+        "px_x int, px_y int, byte_order string, n_tags long",
     )
 
 
@@ -2460,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_meta": q_multimodal_png_meta,  # new in r4
         "multimodal_jpeg_codec": q_multimodal_jpeg_codec,
         "multimodal_jpeg_meta": q_multimodal_jpeg_meta,  # new in r4
+        "multimodal_jpeg_exif": q_multimodal_jpeg_exif,  # new in r4
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
@@ -2486,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
         "text_repetition": q_text_repetition,  # new in r4
+        "text_c4_filters": q_text_c4_filters,  # new in r4
+        "text_quality_classifier": q_text_quality_classifier,  # new in r4
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
         "text_fingerprint": q_text_fingerprint,
@@ -3028,6 +3104,73 @@ FROM documents d
 LEFT JOIN ls ON ls.doc_id = d.doc_id
 LEFT JOIN bs ON bs.doc_id = d.doc_id
 """,
+        # C4: same line split/trim + tokenizer mirrors as text_repetition;
+        # sentence counting is per-line (newline never matches [.!?], so the
+        # per-line sum equals Spark's joined-text count); DuckDB
+        # regexp_replace needs the explicit 'g' flag Spark applies by default
+        "text_c4_filters": """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) != ''
+), lk AS (
+  SELECT doc_id, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(list_filter(regexp_split_to_array(lower(line),
+                  '[^a-zA-Z0-9'']+'), x -> x != '')) >= 5
+          AND NOT list_contains(list_filter(regexp_split_to_array(lower(line),
+                  '[^a-zA-Z0-9'']+'), x -> x != ''), 'javascript')) AS kept
+  FROM lines
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept_lines,
+         sum(CASE WHEN kept THEN length(line) ELSE 0 END) AS kept_chars,
+         sum(CASE WHEN kept THEN
+             length(line) - length(regexp_replace(line, '[.!?]', '', 'g'))
+             ELSE 0 END) AS n_sentences
+  FROM lk GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(agg.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(agg.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+  CAST(coalesce(agg.kept_chars, 0) AS BIGINT) AS kept_chars,
+  CAST(coalesce(agg.n_sentences, 0) AS BIGINT) AS n_sentences,
+  contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+  contains(d.text, '{') AS has_brace,
+  (coalesce(agg.n_sentences, 0) >= 3
+   AND NOT contains(lower(d.text), 'lorem ipsum')
+   AND NOT contains(d.text, '{')) AS keep
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+        # classifier: same tokenizer mirror; weights recomputed from the
+        # affine family; integer partial sums make the pooled score exact
+        "text_quality_classifier": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '[^a-zA-Z0-9'']+'), x -> x != '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         {porthash.poly_hash_sql('tok')} % {textstats.CLASSIFIER_FEATURES}
+           AS bucket
+  FROM tk
+), c AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), s AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(c * ({porthash.affine_sql('bucket', textstats.CLASSIFIER_WEIGHT_SEED)}
+                  % 1001 - 500)) AS score_int
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(s.score_int, 0)
+             / (1000.0 * greatest(coalesce(s.n_tokens, 0), 1)), 6) AS score,
+       round(coalesce(s.score_int, 0)
+             / (1000.0 * greatest(coalesce(s.n_tokens, 0), 1)), 6) > 0.0 AS keep
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
         "dedup_winnow_pairs": winnow_pairs_sql,
         "decontaminate_ngram": f"""
 WITH g13 AS (
@@ -3265,6 +3408,21 @@ FROM c
             SELECT doc_id,
                    substr(text, 1, 120) AS caption_out,
                    CAST(1 AS BIGINT) AS n_comments
+            FROM documents
+        """,
+        # EXIF: every field written into the TIFF IFD is re-parsed out of
+        # the real APP1 bitstream Spark-side (incl. the MM big-endian half);
+        # DuckDB predicts them straight from the source row
+        "multimodal_jpeg_exif": """
+            SELECT doc_id,
+                   substr(text, 1, 96) AS desc_out,
+                   CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+                   '2026:08:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || ' 12:00:00' AS dt_out,
+                   CAST(16 AS INTEGER) AS px_x,
+                   CAST(16 AS INTEGER) AS px_y,
+                   CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+                   CAST(7 AS BIGINT) AS n_tags
             FROM documents
         """,
         # WAV is lossless PCM ⇒ the decoded samples equal the deterministic

@@ -75,6 +75,8 @@ HEADLINE = [
     "corpus_export_webdataset",
     "text_quality",
     "text_repetition",
+    "text_c4_filters",
+    "text_quality_classifier",
     "text_pii_scan",
     "text_pii_redact",
     "text_vocab_topk",
@@ -89,6 +91,7 @@ HEADLINE = [
     "multimodal_binary_meta",
     "multimodal_png_codec",
     "multimodal_png_meta",
+    "multimodal_jpeg_exif",
     "multimodal_wav_codec",
     "multimodal_y4m_codec",
     "multimodal_jpeg_codec",

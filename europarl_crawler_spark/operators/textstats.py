@@ -242,6 +242,137 @@ def repetition_profile(
     )
 
 
+def c4_quality_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 "Exploring the Limits of
+    Transfer Learning", §2.2 heuristics — public paper): a line is KEPT only
+    when it ends in terminal punctuation (``. ! ?`` or a closing double
+    quote), has at least ``min_words_per_line`` words, and does not contain
+    the word "javascript"; the page as a whole is kept only when the
+    retained lines hold at least ``min_sentences`` sentences and the raw
+    text contains neither "lorem ipsum" nor a curly brace (the paper's
+    leaked-code tell). Complements the Gopher repetition filters
+    (repetition_profile) — C4 targets boilerplate/code leakage, Gopher
+    targets repetition.
+
+    Plan shape: a pure per-row projection — line split, per-line predicates
+    inside ``filter``/``transform`` (independent per element, constant-size
+    state), and scalar regexp counts. Zero shuffles, zero Python stages;
+    the whole filter runs in one codegen'd scan at any corpus size. The
+    only per-element HOF work is O(n_lines) with scalar accumulators —
+    NOT the O(len·|acc|) array-accumulator trap from r3's caption lane."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def line_tokens(x):
+        return F.filter(F.split(F.lower(x), r"[^a-zA-Z0-9']+"), lambda t: t != "")
+
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(line_tokens(x)) >= min_words_per_line)
+        & ~F.array_contains(line_tokens(x), "javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, r"[.!?]", "")
+    )
+    kept_chars = F.aggregate(
+        kept, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    has_lorem = F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        kept_chars.cast("long").alias("kept_chars"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )
+
+
+CLASSIFIER_FEATURES = 4096  # hashed-BoW buckets; power of two like fastText's
+CLASSIFIER_WEIGHT_SEED = 7  # porthash affine-family member deriving the weights
+
+
+def classifier_weights(spark, n_features: int = CLASSIFIER_FEATURES) -> DataFrame:
+    """The (bucket, w) model-weight dimension for quality_classifier —
+    deterministic integer weights in [-500, 500] derived from the porthash
+    affine family, so the DuckDB oracle recomputes every score bit-exactly.
+    In production this is where trained fastText/CCNet weights load from a
+    table; the plan downstream is identical either way."""
+    b = F.col("id")
+    w = porthash.affine(b, CLASSIFIER_WEIGHT_SEED) % 1001 - 500
+    return spark.range(n_features).select(
+        b.cast("long").alias("bucket"), w.cast("long").alias("w")
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = CLASSIFIER_FEATURES,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring in the CCNet / fastText linear-classifier
+    shape (Wenzek et al. 2020; Joulin et al. 2017 — public papers): hashed
+    bag-of-words features scored against a weight table, mean-pooled over
+    tokens, thresholded into a keep verdict. Heuristic filters (text_quality,
+    c4_quality_profile, repetition_profile) catch structural junk; the
+    model lane is the learned complement every production pipeline adds.
+
+    Plan shape — the canonical one for linear model scoring at 100 TB:
+    explode_outer(tokens) → bucket hash → per-(doc, bucket) count
+    (map-side combinable) → BROADCAST join against the weight dimension
+    (model weights are ~n_features rows, never shuffle-worthy) → per-doc
+    integer sum. explode_outer (not explode) keeps token-less documents
+    in-band as a null-bucket row, so the one-row-per-document contract
+    needs NO reattach join — a plain explode would force a second
+    doc-keyed shuffle of the full corpus just to re-emit empty pages.
+    Weighted sums stay in int64 until the final division, so the score is
+    order-of-summation independent and the DuckDB oracle matches
+    bit-for-bit — float partial sums would not survive a shuffle-order
+    change, let alone a cross-engine compare."""
+    spark = docs.sparkSession
+    toks = tokens_expr(text_col)
+    scored = (
+        docs.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+        .select(
+            id_col, (porthash.poly_hash(F.col("tok")) % n_features).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("bucket").alias("c"))  # the null-bucket sentinel counts 0
+        .join(F.broadcast(classifier_weights(spark, n_features)), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.coalesce("w", F.lit(0))).alias("score_int"),
+        )
+    )
+    score = F.round(
+        F.col("score_int") / (F.lit(1000.0) * F.greatest("n_tokens", F.lit(1))), 6
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > threshold).alias("keep"),
+    )
+
+
 def budget_pack(
     docs: DataFrame,
     token_budget: int,

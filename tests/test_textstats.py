@@ -283,3 +283,74 @@ def test_repetition_profile(spark):
     assert got[4].n_lines == 1 and got[4].n_bigrams == 0 and not got[4].flagged
     # doc 5: blank lines dropped -> 2 lines, both "a line" -> dup frac 1.0
     assert got[5].n_lines == 2 and got[5].dup_line_frac == 1.0 and got[5].flagged
+
+
+def test_c4_quality_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 sentences across 2 kept lines; third line dropped (no
+            # terminal punct), fourth dropped (< 5 words)
+            (
+                1,
+                "This is a full sentence with enough words.\n"
+                "Another good line follows here! And one more thing?\n"
+                "a trailing header without punctuation\n"
+                "Too short.",
+            ),
+            # lorem ipsum rejects the page even with enough sentences
+            (
+                2,
+                "One proper sentence sits right here.\n"
+                "Lorem ipsum dolor sit amet consectetur.\n"
+                "A third full sentence closes the page.",
+            ),
+            # curly brace (code leakage) rejects the page
+            (3, "A fine sentence with plenty of words. { code }"),
+            # javascript line is dropped; page then has < 3 sentences
+            (
+                4,
+                "Please enable javascript to view this page.\n"
+                "Only this one real sentence remains standing.",
+            ),
+            (5, ""),  # degenerate: empty page
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.c4_quality_profile(docs).collect()}
+    assert got[1].n_lines == 4 and got[1].n_kept_lines == 2
+    assert got[1].n_sentences == 3 and got[1].keep
+    assert got[2].has_lorem and not got[2].keep and got[2].n_sentences == 3
+    assert got[3].has_brace and not got[3].keep
+    # doc 4: the javascript line is excluded from kept lines
+    assert got[4].n_kept_lines == 1 and got[4].n_sentences == 1
+    assert not got[4].keep
+    assert got[5].n_lines == 0 and got[5].kept_chars == 0 and not got[5].keep
+
+
+def test_quality_classifier(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, "zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.quality_classifier(docs)
+    got = {r.doc_id: r for r in out.collect()}
+    # deterministic: identical text scores identically
+    assert got[1].score == got[2].score and got[1].keep == got[2].keep
+    assert got[1].n_tokens == 9
+    # empty doc: zero tokens, zero score, not kept at threshold 0
+    assert got[3].n_tokens == 0 and got[3].score == 0.0 and not got[3].keep
+    # score is mean-pooled: bounded by the weight range
+    assert all(-0.5 <= r.score <= 0.5 for r in got.values())
+    # keep is exactly score > threshold
+    assert all(r.keep == (r.score > 0.0) for r in got.values())
+    # plan shape: the weight dimension broadcasts; the only joins/shuffles
+    # are the two doc-keyed aggregations — no reattach join of the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # audit the AQE final plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
