@@ -1417,6 +1417,58 @@ def q_text_quality_classifier(spark, sf_dir):
     return textstats.quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_text_curation_full(spark, sf_dir):
+    """FULL text curation verdict — the text-side twin of
+    ``image_curation_full``: keep iff quality_score ≥ 0.5 AND the language
+    is identified AND the Gopher repetition filters don't flag AND the
+    model classifier keeps AND the doc is not an exact-duplicate loser.
+    Five individually-oracle-checked stages composed per document; the
+    oracle re-composes the same SQL bodies, so the end-to-end verdict is
+    value-checked through every stage. (C4's sentence-structure floor
+    stays a standalone lane — it presumes page-shaped text, which the
+    caption-like documents corpus is not.) Plan: quality+lang fuse into
+    one scan (text_profile); repetition/classifier join as thin doc-keyed
+    aggregates; the dup check shuffles only (hash, id), never text."""
+    prof = textstats.text_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score", "lang_pred"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    rep = textstats.repetition_profile(docs).select(
+        "doc_id", F.col("flagged").alias("rep_flagged")
+    )
+    clf = textstats.quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    groups = dedup.exact_duplicates(docs)  # (text_hash, keep_id, n_dups)
+    loser = (
+        docs.select("doc_id", F.xxhash64("text").alias("text_hash"))
+        .join(groups, "text_hash", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_dups").isNotNull() & (F.col("doc_id") != F.col("keep_id"))
+            ).alias("is_dup_loser"),
+        )
+    )
+    out = prof.join(rep, "doc_id").join(clf, "doc_id").join(loser, "doc_id")
+    keep = (
+        (F.col("quality_score") >= 0.5)
+        & (F.col("lang_pred") != "und")
+        & ~F.col("rep_flagged")
+        & F.col("clf_keep")
+        & ~F.col("is_dup_loser")
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        "rep_flagged",
+        "clf_keep",
+        "is_dup_loser",
+        keep.alias("keep_final"),
+    )
+
+
 def q_dedup_winnow_pairs(spark, sf_dir):
     """MOSS-style copy-detection pairs (operators/textstats.py:winnow_pairs):
     documents sharing >= 2 winnowing fingerprints after a df-cap of 100 —
@@ -2562,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,  # new in r4
         "text_c4_filters": q_text_c4_filters,  # new in r4
         "text_quality_classifier": q_text_quality_classifier,  # new in r4
+        "text_curation_full": q_text_curation_full,  # new in r4
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
         "text_fingerprint": q_text_fingerprint,
@@ -4114,6 +4167,26 @@ FROM c
     # the full curation verdict composes three already-oracled bodies, so a
     # defect anywhere in codec, hash, CC closure, quality algebra, alignment
     # cosine, or template df breaks this row set too
+    # text-side full-curation verdict: composes the same five oracle bodies
+    # (dup groups keyed by text itself — Spark's xxhash64 grouping is the
+    # collision-free fast path for the same partition)
+    o["text_curation_full"] = f"""
+        WITH dupg AS (
+          SELECT text, min(doc_id) AS keep_id, count(*) AS n
+          FROM documents GROUP BY 1
+        )
+        SELECT p.doc_id, p.lang_pred, p.quality_score,
+               r.flagged AS rep_flagged, c.keep AS clf_keep,
+               (g.n > 1 AND d.doc_id != g.keep_id) AS is_dup_loser,
+               (p.quality_score >= 0.5 AND p.lang_pred != 'und'
+                AND NOT r.flagged AND c.keep
+                AND NOT (g.n > 1 AND d.doc_id != g.keep_id)) AS keep_final
+        FROM documents d
+        JOIN ({o["text_profile"]}) p ON p.doc_id = d.doc_id
+        JOIN ({o["text_repetition"]}) r ON r.doc_id = d.doc_id
+        JOIN ({o["text_quality_classifier"]}) c ON c.doc_id = d.doc_id
+        JOIN dupg g ON g.text = d.text
+    """
     o["image_curation_full"] = f"""
         SELECT c.image_id, c.quality_keep, c.is_dup_loser, a.aligned,
                b.is_boilerplate,

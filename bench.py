@@ -77,6 +77,7 @@ HEADLINE = [
     "text_repetition",
     "text_c4_filters",
     "text_quality_classifier",
+    "text_curation_full",
     "text_pii_scan",
     "text_pii_redact",
     "text_vocab_topk",

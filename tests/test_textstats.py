@@ -354,3 +354,22 @@ def test_quality_classifier(spark):
     plan = plan.split("== Initial Plan ==")[0]  # audit the AQE final plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_text_curation_full_discriminates(spark):
+    # the composed verdict must not be degenerate: on the synthetic corpus
+    # both keep and reject must occur, and keep_final must equal the AND of
+    # its published stage columns (catches a stage silently dropping out)
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["text_curation_full"](spark, SF_DIR).collect()
+    keeps = [r.keep_final for r in rows]
+    assert any(keeps) and not all(keeps)
+    for r in rows:
+        assert r.keep_final == (
+            (r.quality_score >= 0.5)
+            and r.lang_pred != "und"
+            and not r.rep_flagged
+            and r.clf_keep
+            and not r.is_dup_loser
+        )
