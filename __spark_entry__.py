@@ -2286,6 +2286,59 @@ def q_store_incremental_read(spark, sf_dir):
     )
 
 
+def q_store_time_travel(spark, sf_dir):
+    """Iceberg time-travel read (sources/epochstore.py:read ``as_of``):
+    reproducible dataset builds re-read the EXACT snapshot a training run
+    consumed, no matter what later crawl epochs merged or deleted
+    (reference analog: re-querying europarl/db state for a fixed crawl
+    day). Same 3-epoch fixture as the CDC lane (epoch 1: even doc_ids;
+    epoch 2: every 3rd updated with a '-v2' suffix; epoch 3: every 10th
+    tombstoned); reads snapshot as_of=2 AND latest, tagged — the epoch-3
+    deletes must be visible at `latest` and invisible at `e2`, the epoch-2
+    updates in both. Manifest replay prunes to the ≤ as_of prefix; no
+    delta directory written after the snapshot is ever opened."""
+    import tempfile
+
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = EpochStore(tempfile.mkdtemp(prefix="tt-query-"))
+    store.merge("docs", d.filter(F.col("doc_id") % 2 == 0), 1, keys=["doc_id"])
+    store.merge(
+        "docs",
+        d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat("text", F.lit("-v2"))
+        ),
+        2,
+        keys=["doc_id"],
+    )
+    store.delete("docs", d.filter(F.col("doc_id") % 10 == 0), 3, keys=["doc_id"])
+    snap = store.read("docs", spark, as_of=2).select(
+        F.lit("e2").alias("snap"),
+        "doc_id",
+        F.length("text").cast("int").alias("text_len"),
+    )
+    latest = store.read("docs", spark).select(
+        F.lit("latest").alias("snap"),
+        "doc_id",
+        F.length("text").cast("int").alias("text_len"),
+    )
+    return snap.unionByName(latest)
+
+
+def q_text_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/dedup.py:paragraph_dedup —
+    the Dolma / RefinedWeb corpus-cleaning step): every repeated paragraph
+    keeps only its first (doc, pos) occurrence corpus-wide; each document
+    is reassembled from its survivors with counts + removed-char fraction.
+    One content-keyed groupBy + one co-partitioned join back — no corpus
+    window, no Python stage. DuckDB recomputes the chunking, the
+    first-owner rule, and the reassembled cleaned text byte-for-byte."""
+    from europarl_crawler_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_multimodal_webp_codec(spark, sf_dir):
     """The REAL WebP lossless lane (VP8L, RFC 9649 — functions/webpkit.py:
     prefix-coded literals on encode; the decoder handles the full spec
@@ -2608,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export_webdataset": q_corpus_export_webdataset,  # new in r4
         "corpus_sequence_pack": q_corpus_sequence_pack,
         "store_incremental_read": q_store_incremental_read,
+        "store_time_travel": q_store_time_travel,  # new in r4
+        "text_paragraph_dedup": q_text_paragraph_dedup,  # new in r4
         "text_pii_scan": q_text_pii_scan,
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
@@ -4048,6 +4103,76 @@ FROM c
                         ELSE 'upsert' END AS change
             FROM documents
             WHERE doc_id % 3 = 0 OR doc_id % 10 = 0
+        """,
+        # time travel: snapshot as_of=2 = evens ∪ multiples-of-3 with the
+        # epoch-2 '-v2' suffix on multiples of 3; latest additionally loses
+        # the epoch-3 tombstones (every 10th). Pure arithmetic on doc_id.
+        "store_time_travel": """
+            WITH members AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN length(text) + 3
+                          ELSE length(text) END AS text_len
+              FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+            )
+            SELECT 'e2' AS snap, doc_id,
+                   CAST(text_len AS INTEGER) AS text_len FROM members
+            UNION ALL
+            SELECT 'latest' AS snap, doc_id,
+                   CAST(text_len AS INTEGER) AS text_len
+            FROM members WHERE doc_id % 10 <> 0
+        """,
+        # paragraph dedup: DuckDB re-derives the 12-token chunking with the
+        # same tokenizer mirror as the vocab lane, applies the first-(doc,
+        # pos)-owner rule per distinct paragraph, and reassembles the
+        # cleaned text — the value hash pins counts, char masses, fraction,
+        # and the rebuilt string byte-for-byte.
+        "text_paragraph_dedup": """
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-zA-Z0-9'']+'),
+                       x -> x != '') AS arr
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(arr) AS tok,
+                     unnest(generate_series(1, len(arr))) AS i
+              FROM arrs
+            ),
+            paras AS (
+              SELECT doc_id, CAST((i - 1) // 12 AS INTEGER) AS pos,
+                     string_agg(tok, ' ' ORDER BY i) AS para
+              FROM toks GROUP BY doc_id, (i - 1) // 12
+            ),
+            flag AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) = 1 AS kept
+              FROM paras
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_paras,
+                     CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                     CAST(sum(length(para)) AS BIGINT) AS n_chars,
+                     CAST(sum(CASE WHEN kept THEN length(para) ELSE 0 END)
+                          AS BIGINT) AS n_kept_chars,
+                     string_agg(CASE WHEN kept THEN para END, chr(10)
+                                ORDER BY pos) AS cleaned
+              FROM flag GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_paras, 0) AS n_paras,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.n_chars, 0) AS n_chars,
+                   coalesce(a.n_kept_chars, 0) AS n_kept_chars,
+                   CASE WHEN coalesce(a.n_chars, 0) > 0
+                        THEN round(1.0 - a.n_kept_chars /
+                                   CAST(a.n_chars AS DOUBLE), 6)
+                        ELSE 0.0 END AS removed_frac,
+                   coalesce(a.cleaned, '') AS cleaned
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         # VP8L is lossless ⇒ decoded pixels equal the codepoint-derived
         # bytes; same mean oracle as png. ok_magic pins RIFF/WEBP/VP8L.

@@ -67,6 +67,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "store_incremental_read",
+    "store_time_travel",
+    "text_paragraph_dedup",
     "corpus_split",
     "corpus_sample",
     "corpus_sample_stratified",

@@ -467,3 +467,105 @@ def ngram_decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    window: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact deduplication — the Dolma / RefinedWeb recipe
+    (Penedo et al. 2023 §G, Soldaini et al. 2024 §4.1, both public): drop
+    every repeated paragraph from the corpus, keeping only its FIRST
+    occurrence in (doc, position) order, and reassemble each document from
+    its surviving paragraphs. Catches boilerplate (nav bars, cookie
+    banners, license footers) that document-level dedup can never remove
+    because the surrounding text differs.
+
+    Paragraph boundary: ``\\n``-separated blocks; corpora whose line
+    structure was lost upstream (this synthetic table has none) fall back
+    to fixed ``window``-token chunks — the standard proxy.
+
+    Output, one row per input document: ``n_paras`` / ``n_kept`` counts,
+    character mass before/after, the removed-character fraction, and
+    ``cleaned`` — the surviving paragraphs re-joined in original order.
+
+    Plan shape (100 TB): posexplode → groupBy(paragraph) with a
+    min(struct(doc, pos)) "first owner" aggregate — map-side combinable,
+    one shuffle keyed by paragraph content (uniform, no salting needed) —
+    then a shuffle join back on the same key (co-partitioned, AQE-planned)
+    and a per-doc regroup. No corpus-wide window, no Python stage; the only
+    sort is array_sort over each doc's own surviving chunk list. At real
+    scale the exchange key would be ``xxhash64(paragraph)`` with the text
+    carried only in the exploded frame (identical result modulo 2^-64
+    collisions, same plan shape); the string key is kept here so the
+    DuckDB oracle is collision-free by construction."""
+    from .textstats import tokens_expr
+
+    has_nl = F.col(text_col).contains("\n")
+    nl_paras = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = tokens_expr(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunk_paras = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paras_arr = F.when(has_nl, nl_paras).otherwise(chunk_paras)
+
+    ex = docs.select(
+        F.col(id_col), F.posexplode_outer(paras_arr).alias("pos", "para")
+    )
+    paras = ex.filter(F.col("para").isNotNull())
+    first = paras.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        )
+    )
+    flagged = paras.join(first, "para").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("first.d")) & (F.col("pos") == F.col("first.p")),
+    )
+    summary = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.length("para")).cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("kept"), F.length("para")).otherwise(0))
+        .cast("long")
+        .alias("n_kept_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    return (
+        docs.select(id_col)
+        .join(summary, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_kept_chars", F.lit(0)).cast("long").alias("n_kept_chars"),
+            F.when(
+                F.coalesce("n_chars", F.lit(0)) > 0,
+                F.round(
+                    1.0 - F.col("n_kept_chars") / F.col("n_chars"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removed_frac"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

@@ -167,3 +167,72 @@ def test_ngram_decontaminate_clean_corpus_is_empty(spark):
         "doc_id long, text string",
     )
     assert dd.ngram_decontaminate(train, ev, n=13).count() == 0
+
+
+# ---- paragraph-level dedup (Dolma / RefinedWeb recipe) ----------------------
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    # newline-structured docs: the shared paragraph "cookie banner text"
+    # must survive only in doc 1 (its first (doc, pos) occurrence).
+    return spark.createDataFrame(
+        [
+            (1, "cookie banner text\nunique one"),
+            (2, "unique two\ncookie banner text"),
+            (3, "cookie banner text"),
+            (4, ""),  # no paragraphs at all
+            (5, "repeat me\nrepeat me\nunique five"),  # intra-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_dedup_first_owner(para_docs):
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(para_docs).collect()}
+    assert got[1].cleaned == "cookie banner text\nunique one"
+    assert got[1].n_paras == 2 and got[1].n_kept == 2
+    # doc 2 loses the banner (first owner is doc 1) but keeps order
+    assert got[2].cleaned == "unique two"
+    assert got[2].n_paras == 2 and got[2].n_kept == 1
+    # doc 3 is nothing but the banner -> fully emptied
+    assert got[3].cleaned == "" and got[3].n_kept == 0
+    assert got[3].removed_frac == 1.0
+    # empty doc: present in the output with zero counts
+    assert got[4].n_paras == 0 and got[4].cleaned == ""
+    assert got[4].removed_frac == 0.0
+    # intra-document repeats dedup too (pos 0 wins over pos 1)
+    assert got[5].cleaned == "repeat me\nunique five"
+    assert got[5].n_paras == 3 and got[5].n_kept == 2
+
+
+def test_paragraph_dedup_char_mass(para_docs):
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(para_docs).collect()}
+    r2 = got[2]
+    assert r2.n_chars == len("unique two") + len("cookie banner text")
+    assert r2.n_kept_chars == len("unique two")
+    assert r2.removed_frac == round(1 - r2.n_kept_chars / r2.n_chars, 6)
+
+
+def test_paragraph_dedup_token_window_fallback(spark):
+    # no newlines -> fixed token-window chunks; window=3 for hand-checking.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # chunks: "a b c", "d e"
+            (2, "a b c x y"),  # chunk "a b c" duplicates doc 1 pos 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(docs, window=3).collect()}
+    assert got[1].cleaned == "a b c\nd e"
+    assert got[2].cleaned == "x y"
+    assert got[2].n_paras == 2 and got[2].n_kept == 1
+
+
+def test_paragraph_dedup_idempotent(para_docs):
+    """Running the pass over its own cleaned output removes nothing more."""
+    first = dedup.paragraph_dedup(para_docs).select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    second = dedup.paragraph_dedup(first)
+    assert second.filter(F.col("removed_frac") > 0).count() == 0
