@@ -32,6 +32,10 @@ about 10^10-row scale:
 
 On a real cluster this module is swapped for ``MERGE INTO`` on Iceberg; the
 call sites (plans/epoch.py) only use merge/append/read/latest, which map 1:1.
+The exact production statements — DDL, MERGE, maintenance CALLs, time travel,
+changelog — live in ``icebridge.py`` (emit_* pure functions + an executing
+drop-in class), pinned by tests/test_icebridge.py including a Spark-parser
+parse check, so the migration is a config change, not a rewrite.
 """
 
 from __future__ import annotations
