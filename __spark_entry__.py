@@ -1759,6 +1759,51 @@ def q_multimodal_wav_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_flac_codec(spark, sf_dir):
+    """The REAL lossless compressed-audio lane (FLAC, RFC 9639 —
+    functions/flackit.py: rice-coded fixed predictors, CRC-8/CRC-16,
+    UTF-8-coded frame numbers; decoder additionally covers LPC, stereo
+    decorrelation, rice escapes — tests/test_flac.py), oracle-checked end
+    to end: the same 64 codepoint-derived int16 samples as the wav lane
+    round-trip through flac_encode/flac_decode; FLAC is lossless so DuckDB
+    predicts n_samples/rms/peak straight from the codepoints — any
+    bitstream defect (rice fold, predictor restore, CRC emission) breaks
+    the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import flackit
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "ok_roundtrip": [], "n_samples": [],
+                   "rms": [], "peak": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = np.array(
+                    [(cps[i % len(cps)] - 128) * 256 for i in range(64)],
+                    dtype=np.int16,
+                )
+                dec, fr = flackit.flac_decode(flackit.flac_encode(vals, 8000))
+                x = dec.astype(np.float64)
+                out["doc_id"].append(did)
+                out["ok_roundtrip"].append(
+                    bool(fr == 8000 and np.array_equal(dec, vals))
+                )
+                out["n_samples"].append(len(dec))
+                out["rms"].append(round(float(np.sqrt(np.mean(x**2))), 6))
+                out["peak"].append(int(np.max(np.abs(dec.astype(np.int64)))))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_roundtrip boolean, n_samples long, "
+        "rms double, peak int",
+    )
+
+
 def q_multimodal_y4m_codec(spark, sf_dir):
     """The REAL video (Y4M/YUV4MPEG2) lane, oracle-checked end-to-end: two
     8×8 RGB frames derived from each document's codepoints go through the
@@ -2647,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_codec": q_multimodal_avi_codec,
         "multimodal_mp4_codec": q_multimodal_mp4_codec,
         "multimodal_mp3_codec": q_multimodal_mp3_codec,
+        "multimodal_flac_codec": q_multimodal_flac_codec,  # new in r4
         "multimodal_media_probe": q_multimodal_media_probe,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "video_frame_ahash": q_video_frame_ahash,
@@ -3537,6 +3583,24 @@ FROM c
         # codepoint-derived int16s; n_samples/rms/peak are SQL-predictable
         # (sum of int squares is exact in double, IEEE sqrt is correctly
         # rounded in both engines)
+        # FLAC is lossless ⇒ identical oracle body to the wav lane:
+        # n_samples/rms/peak predicted from the codepoints directly
+        "multimodal_flac_codec": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS cp
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 63)) AS i FROM documents)
+            ), v AS (SELECT doc_id, (cp - 128) * 256 AS v FROM s)
+            SELECT doc_id,
+                   TRUE AS ok_roundtrip,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+                   CAST(max(abs(v)) AS INTEGER) AS peak
+            FROM v GROUP BY doc_id
+        """,
         "multimodal_wav_codec": """
             WITH s AS (
               SELECT doc_id,

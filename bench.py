@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_avi_codec",
     "multimodal_mp4_codec",
     "multimodal_mp3_codec",
+    "multimodal_flac_codec",
     "multimodal_webp_codec",
     "multimodal_media_probe",
     "dedup_video_pairs",

@@ -8,9 +8,10 @@ that need codec libraries are STUBBED — the sandbox has no Pillow/ffmpeg).
 Real decoders: raw / ppm / qraw / png / jpeg / gif for images
 (functions/imaging.py — png is genuine zlib RFC 2083, jpeg is genuine
 baseline T.81/JFIF with DCT + Huffman, functions/jpegkit.py, gif is full
-variable-width LZW, functions/gifkit.py), wav (PCM, stdlib ``wave``) and
-adpcm (IMA ADPCM WAV tag 0x11, 4:1 lossy — functions/adpcmkit.py) for
-audio, and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0
+variable-width LZW, functions/gifkit.py), wav (PCM, stdlib ``wave``),
+adpcm (IMA ADPCM WAV tag 0x11, 4:1 lossy — functions/adpcmkit.py), and
+flac (RFC 9639 lossless — rice-coded predictors, functions/flackit.py)
+for audio, and y4m (YUV4MPEG2, functions/videokit.py — real BT.601 + 4:2:0
 chroma subsampling) plus avi (Motion-JPEG in a RIFF AVI container —
 functions/avikit.py) for video — used by the crawl pipeline and the
 feature lanes.
@@ -41,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import adpcmkit, avikit, imaging, mp3codec, mp3kit, mp4kit, videokit
+from ..functions import adpcmkit, avikit, flackit, imaging, mp3codec, mp3kit, mp4kit, videokit
 
 # mp3 AUDIO decode is real as of r4 (functions/mp3codec.py — Layer III
 # side info, Huffman, requantization, alias reduction, IMDCT, polyphase;
@@ -257,6 +258,15 @@ def wav_decode(body: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"wav: malformed stream ({e})") from e
 
 
+def flac_pcm_decode(body: bytes) -> tuple[np.ndarray, int]:
+    """flac bytes → (int16 samples, framerate) via the real lossless decoder
+    (functions/flackit.py, RFC 9639). Stereo is interleaved to the shared
+    1-D int16 lane so every downstream audio operator (features,
+    fingerprints, dedup) runs unchanged on decoded flac."""
+    s, fr = flackit.flac_decode(body)
+    return s.reshape(-1), fr
+
+
 def mp3_pcm_decode(body: bytes) -> tuple[np.ndarray, int]:
     """mp3 bytes → (mono int16 samples, framerate) via the real Layer III
     decoder (functions/mp3codec.py). The filterbank's float output is scaled
@@ -298,6 +308,7 @@ def audio_features(audios: DataFrame) -> DataFrame:
                     "wav": wav_decode,
                     "adpcm": adpcmkit.adpcm_wav_decode,
                     "mp3": mp3_pcm_decode,
+                    "flac": flac_pcm_decode,
                 }.get(fmt)
                 try:
                     if decoder is None:
@@ -433,6 +444,12 @@ def _probe_one(body: bytes, fmt: str) -> dict:
     (ISO BMFF box walk, mp4kit)."""
     import struct as _struct
 
+    if fmt == "flac":
+        p = flackit.flac_probe(body)
+        return dict(
+            kind="audio", samplerate=p["samplerate"], channels=p["channels"],
+            n_frames=p["n_samples"], duration_ms=p["duration_ms"],
+        )
     if fmt == "mp3":
         p = mp3kit.mp3_probe(body)
         return dict(
