@@ -24,7 +24,7 @@ Scope (and why it is honest):
   4096-entry space fills, and the ``cScSc`` (code == next_code) decode
   case.
 - The decoder also accepts GIF89a files, skips extension blocks, and
-  honors local color tables, so externally-produced non-interlaced GIFs
+  honors local color tables and Appendix-E interlacing, so externally-produced GIFs
   decode too — it is a real decoder, not just the encoder's inverse.
 """
 
@@ -256,7 +256,7 @@ def gif_encode(pixels: np.ndarray) -> bytes:
 @rejects_malformed("gif")
 def gif_decode(payload: bytes) -> np.ndarray:
     """GIF bytes → (h, w, 3) uint8. Accepts GIF87a/GIF89a, skips extension
-    blocks, honors a local color table; non-interlaced only (asserted)."""
+    blocks, honors a local color table and four-pass interlacing."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("bad GIF magic")
     sw, sh = struct.unpack_from("<HH", payload, 6)
@@ -283,7 +283,7 @@ def gif_decode(payload: bytes) -> np.ndarray:
         left, top, w, h = struct.unpack_from("<HHHH", payload, p + 1)
         ipacked = payload[p + 9]
         p += 10
-        assert not ipacked & 0x40, "interlaced GIF not supported"
+        interlaced = bool(ipacked & 0x40)
         table = gct
         if ipacked & 0x80:
             n = 1 << ((ipacked & 0x07) + 1)
@@ -314,5 +314,15 @@ def gif_decode(payload: bytes) -> np.ndarray:
             p += 1
         if p >= len(payload) or payload[p] != 0x3B:
             raise ValueError("gif: missing trailer (truncated stream)")
-        return table[idx].reshape(h, w, 3).copy()
+        px = table[idx].reshape(h, w, 3).copy()
+        if interlaced:
+            # GIF89a appendix E: rows stored in four passes
+            # (8k, 8k+4, 4k+2, 2k+1); de-permute back to display order
+            order = np.concatenate(
+                [np.arange(s, h, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
+        return px
     raise ValueError("no image block in GIF")

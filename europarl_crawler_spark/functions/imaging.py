@@ -16,13 +16,14 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
              satisfying the input_hint invariant (decoded-pixel allclose with
              PSNR ≥ 40 dB for lossy formats).
 - ``png``  : real compressed PNG (RFC 2083), stdlib ``zlib`` + numpy
-             filtering — 8-bit RGB (color type 2), non-interlaced. The
-             encoder picks the per-row filter among None/Sub/Up by the
+             filtering — 8-bit RGB (color type 2). The encoder picks the
+             per-row filter among None/Sub/Up by the
              minimum-sum-of-absolute-residuals heuristic; the decoder
-             unfilters all five spec filter types (incl. Average/Paeth) and
-             verifies chunk CRCs, so externally-produced baseline RGB PNGs
-             decode too. Lossless — the genuine compressed format of the
-             image lane (VERDICT r2 next-step #1).
+             unfilters all five spec filter types (incl. Average/Paeth),
+             handles BOTH interlace methods (none + Adam7) and verifies
+             chunk CRCs, so externally-produced baseline RGB PNGs decode
+             too. Lossless — the genuine compressed format of the image
+             lane (VERDICT r2 next-step #1).
 - ``gif``  : real GIF87a (functions/gifkit.py): exact 256-color palette +
              full variable-width LZW dictionary coding — the third
              compression family (PNG = filter+DEFLATE, JPEG = DCT+Huffman,
@@ -141,7 +142,7 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# PNG (RFC 2083): 8-bit RGB, non-interlaced — stdlib zlib + numpy only
+# PNG (RFC 2083 / ISO 15948): 8-bit RGB, incl. Adam7 — stdlib zlib + numpy
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -224,8 +225,9 @@ def _png_encode(
 @rejects_malformed("png")
 def _png_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Decode PNG bytes → (h, w, 3) uint8. Supports 8-bit RGB (color type 2),
-    non-interlaced, all five filter types, multiple IDAT chunks; verifies
-    chunk CRCs and cross-checks IHDR dims against the (w, h) metadata."""
+    both interlace methods (none + Adam7), all five filter types, multiple
+    IDAT chunks; verifies chunk CRCs and cross-checks IHDR dims against the
+    (w, h) metadata."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     pos = 8
@@ -257,12 +259,41 @@ def _png_decode(payload: bytes, w: int, h: int) -> np.ndarray:
         # every IDAT byte arrived (the CRC-checked loop above just stops)
         raise ValueError("png: missing IEND (truncated stream)")
     pw, ph, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
-        raise ValueError(
-            "png: only 8-bit RGB (color type 2) non-interlaced supported"
-        )
+    if (depth, ctype, comp, filt) != (8, 2, 0, 0) or inter not in (0, 1):
+        raise ValueError("png: only 8-bit RGB (color type 2) supported")
     assert (pw, ph) == (w, h), "PNG header/metadata mismatch"
     raw = zlib.decompress(bytes(idat))
+    if inter == 1:
+        # Adam7 (ISO 15948 §8.2): seven independently-filtered sub-images,
+        # scattered back onto the (x0, dx, y0, dy) lattices
+        out = np.zeros((ph, pw, 3), np.uint8)
+        pos7 = 0
+        for x0, dx, y0, dy in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            cols = (pw - x0 + dx - 1) // dx
+            rows = (ph - y0 + dy - 1) // dy
+            if cols <= 0 or rows <= 0:
+                continue
+            need = rows * (cols * 3 + 1)
+            sub = _png_defilter(raw[pos7 : pos7 + need], cols, rows)
+            pos7 += need
+            out[y0::dy, x0::dx] = sub
+        if pos7 != len(raw):
+            raise ValueError("png: scanline data size mismatch")
+        return out
+    stride = pw * 3
+    if len(raw) != ph * (stride + 1):
+        raise ValueError("png: scanline data size mismatch")
+    return _png_defilter(raw, pw, ph)
+
+
+def _png_defilter(raw: bytes, pw: int, ph: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over a (ph rows × pw px RGB)
+    block — the whole image when non-interlaced, one Adam7 sub-image
+    otherwise (each pass filters against its OWN neighbors, ISO 15948
+    §8.2)."""
     stride = pw * 3
     if len(raw) != ph * (stride + 1):
         raise ValueError("png: scanline data size mismatch")

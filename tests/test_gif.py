@@ -116,3 +116,21 @@ def test_synthetic_web_serves_gif(spark):
         assert r.w * r.h <= 256
         px = imaging.decode(bytes(r.bytes), r.w, r.h, "gif")
         assert px.shape == (r.h, r.w, 3)
+
+
+def test_interlaced_gif_decodes_to_display_order():
+    """Hand-build an interlaced stream: rows stored in GIF89a Appendix-E
+    pass order with the interlace flag set must decode back to display
+    order (externally-produced interlaced GIFs are common on the web)."""
+    rng = np.random.default_rng(11)
+    h, w = 13, 7  # odd sizes exercise every pass boundary
+    px = (rng.integers(0, 8, (h, w, 3)) * 32).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(s, h, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    body = bytearray(gifkit.gif_encode(px[order]))
+    n_gct = 1 << ((body[10] & 0x07) + 1)
+    desc = 13 + 3 * n_gct
+    assert body[desc] == 0x2C
+    body[desc + 9] |= 0x40  # set the interlace flag
+    assert np.array_equal(gifkit.gif_decode(bytes(body)), px)

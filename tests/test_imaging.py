@@ -248,3 +248,34 @@ def test_png_text_chunks_rejects_corruption():
         imaging.png_text_chunks(b"nope")
     with _pytest.raises(ValueError, match="keyword"):
         imaging._png_encode(px, text={"": "empty keyword"})
+
+
+def test_adam7_interlaced_png_decodes():
+    """Hand-built Adam7 stream (ISO 15948 §8.2): seven independently
+    filtered sub-images must scatter back to the original lattice —
+    externally-produced interlaced PNGs are common on the web."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(17)
+    for h, w in [(13, 9), (8, 8), (3, 2), (1, 1), (2, 5)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, dx, y0, dy in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)  # filter None
+                raw += row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        body = (
+            imaging._PNG_SIG
+            + imaging._png_chunk(b"IHDR", ihdr)
+            + imaging._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + imaging._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(imaging._png_decode(body, w, h), px), (h, w)
