@@ -7,9 +7,14 @@ with byte stuffing. 4:4:4 sampling (one 8×8 block per component per MCU),
 8-bit, interleaved, no restart markers — the simplest fully-conformant
 baseline stream; any mainstream decoder reads the output.
 
-The decoder parses the real marker structure (DQT/DHT/SOF0/SOS) and decodes
-with the tables FROM THE STREAM, so it also reads externally-produced
-baseline 4:4:4 JPEGs; progressive/4:2:0 inputs get a clear error.
+The decoder parses the real marker structure (DQT/DHT/SOF/DRI/SOS) and
+decodes with the tables FROM THE STREAM, so it also reads
+externally-produced 4:4:4 JPEGs — BOTH baseline (SOF0) and progressive
+(SOF2: spectral selection, successive approximation with DC/AC
+first+refinement scans, EOB runs, restart markers, T.81 Annex G);
+``jpeg_encode_progressive`` emits a real successive-approximation scan
+script so the progressive paths round-trip against our own streams too.
+4:2:0-subsampled inputs get a clear error.
 
 Quality ≥ ~97 keeps PSNR ≥ 40 dB even on noise payloads (quant steps → 1,
 residual error is DCT/color-transform rounding) — the serving quality for
@@ -300,6 +305,190 @@ def jpeg_encode(
     return b"".join(out)
 
 
+def jpeg_encode_progressive(
+    px: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4, standard
+    tables) with a successive-approximation scan script that exercises all
+    four progressive entropy modes (T.81 Annex G): an interleaved DC-first
+    scan at Al=1, per-component AC-first scans at Al=1, an interleaved
+    DC-refinement scan, and per-component AC-refinement scans — i.e. the
+    same machinery real web encoders (libjpeg scan scripts) emit. EOB runs
+    are emitted as single-block EOBs (always spec-valid; the decoder
+    handles arbitrary EOBn from other encoders)."""
+    h, w, _ = px.shape
+    qy = _quality_scale(QUANT_LUM, quality)
+    qc = _quality_scale(QUANT_CHROM, quality)
+    d = _dct_matrix8()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = _rgb_to_ycbcr(px)
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    nby, nbx = ph // 8, pw // 8
+    coefs = np.zeros((3, nby, nbx, 64), dtype=np.int64)
+    for ci in range(3):
+        q = qy if ci == 0 else qc
+        for by in range(nby):
+            for bx in range(nbx):
+                dct = d @ (
+                    padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] - 128.0
+                ) @ d.T
+                coefs[ci, by, bx] = np.round(dct / q).astype(np.int64).flatten()[
+                    ZIGZAG
+                ]
+
+    dc_tabs = [
+        _build_huffman(DC_LUM_BITS, DC_LUM_VALS),
+        _build_huffman(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tabs = [
+        _build_huffman(AC_LUM_BITS, AC_LUM_VALS),
+        _build_huffman(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        p = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            p += bytes([cid, (td << 4) | ta])
+        p += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">HH", 0xFFDA, len(p) + 2) + p
+
+    def emit(sym: int, tab, bw: _BitWriter) -> None:
+        code, length = tab[sym]
+        bw.write(code, length)
+
+    def dc_first_scan(al: int, ri: int = 0) -> bytes:
+        out = bytearray()
+        bw = _BitWriter()
+        prev = [0, 0, 0]
+        rst = 0
+        for mcu in range(nby * nbx):
+            if ri and mcu and mcu % ri == 0:
+                out += bw.flush() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                prev = [0, 0, 0]
+            by, bx = divmod(mcu, nbx)
+            for ci in range(3):
+                tab = dc_tabs[0 if ci == 0 else 1]
+                v = int(coefs[ci, by, bx, 0]) >> al
+                diff = v - prev[ci]
+                prev[ci] = v
+                cat = _category(diff)
+                emit(cat, tab, bw)
+                if cat:
+                    bw.write(_amplitude_bits(diff, cat), cat)
+        return bytes(out + bw.flush())
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    bw.write((int(coefs[ci, by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, al: int) -> bytes:
+        bw = _BitWriter()
+        tab = ac_tabs[0 if ci == 0 else 1]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coefs[ci, by, bx]
+                t = [
+                    (1 if v > 0 else -1) * (abs(int(v)) >> al)
+                    for v in blk[1:64]
+                ]
+                nz = [i for i, v in enumerate(t) if v]
+                last = nz[-1] + 1 if nz else 0
+                run = 0
+                for i in range(last):
+                    v = t[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit(0xF0, tab, bw)
+                        run -= 16
+                    cat = _category(v)
+                    emit((run << 4) | cat, tab, bw)
+                    bw.write(_amplitude_bits(v, cat), cat)
+                    run = 0
+                if last < 63:
+                    emit(0x00, tab, bw)  # EOB (run length 1)
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, al: int) -> bytes:
+        bw = _BitWriter()
+        tab = ac_tabs[0 if ci == 0 else 1]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coefs[ci, by, bx]
+                run = 0
+                pending: list[int] = []  # correction bits ride the next symbol
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    if t == 1 and (abs(v) >> (al + 1)) == 0:  # newly nonzero
+                        while run > 15:
+                            emit(0xF0, tab, bw)
+                            for b in pending:
+                                bw.write(b, 1)
+                            pending = []
+                            run -= 16
+                        emit((run << 4) | 1, tab, bw)
+                        bw.write(1 if v > 0 else 0, 1)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run = 0
+                    else:  # history coefficient: one correction bit
+                        pending.append((abs(v) >> al) & 1)
+                if run > 0 or pending:
+                    emit(0x00, tab, bw)  # EOB run of 1
+                    for b in pending:
+                        bw.write(b, 1)
+        return bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    all3 = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    out = [
+        b"\xff\xd8",
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        seg(0xFFDB, b"\x00" + bytes(qy.flatten()[ZIGZAG].astype(np.uint8))),
+        seg(0xFFDB, b"\x01" + bytes(qc.flatten()[ZIGZAG].astype(np.uint8))),
+        seg(
+            0xFFC2,  # SOF2 progressive
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        ),
+        seg(0xFFC4, dht(0x00, DC_LUM_BITS, DC_LUM_VALS)),
+        seg(0xFFC4, dht(0x10, AC_LUM_BITS, AC_LUM_VALS)),
+        seg(0xFFC4, dht(0x01, DC_CHROM_BITS, DC_CHROM_VALS)),
+        seg(0xFFC4, dht(0x11, AC_CHROM_BITS, AC_CHROM_VALS)),
+    ]
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    out += [sos(all3, 0, 0, 0, 1), dc_first_scan(1, restart_interval)]
+    if restart_interval:  # disable restarts for the remaining scans
+        out.append(seg(0xFFDD, struct.pack(">H", 0)))
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += [sos([(cid, 0, 0 if ci == 0 else 1)], 1, 63, 0, 1),
+                ac_first_scan(ci, 1)]
+    out += [sos(all3, 0, 0, 1, 0), dc_refine_scan(0)]
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += [sos([(cid, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0),
+                ac_refine_scan(ci, 0)]
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -360,11 +549,180 @@ def jpeg_comments(body: bytes) -> list[str]:
     return out
 
 
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _entropy_segments(body: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice one scan's entropy-coded data starting at ``pos`` into
+    restart-interval segments (split on RST0-7; 0xFF00 stuffing stays for
+    the bit reader to unstuff). Returns (segments, index of the terminating
+    marker's 0xFF)."""
+    segs: list[bytes] = []
+    start = i = pos
+    while i < len(body) - 1:
+        if body[i] != 0xFF:
+            i += 1
+            continue
+        nxt = body[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(body[start:i])
+            i += 2
+            start = i
+            continue
+        segs.append(body[start:i])
+        return segs, i
+    raise ValueError("jpeg: entropy data has no terminating marker (truncated)")
+
+
+def _decode_scan(
+    segments: list[bytes],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: np.ndarray,
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+    progressive: bool,
+) -> None:
+    """Decode one scan into the zigzag coefficient store ``coefs[ci, by, bx,
+    k]`` (T.81 §F.2 sequential, §G.2 progressive: DC first/refine, AC
+    first/refine with EOB runs). Restart markers reset the DC predictors
+    and the EOB run and realign to the next segment."""
+    nby, nbx = coefs.shape[1], coefs.shape[2]
+    interleaved = len(scan) > 1
+    n_units = nby * nbx  # 4:4:4 → MCU grid == block grid for every comp
+    seg_i = 0
+    br = _BitReader(segments[0])
+    prev_dc = [0, 0, 0]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(block: np.ndarray, k: int) -> None:
+        if br.read_bit() and (int(block[k]) & p1) == 0:
+            block[k] += p1 if block[k] > 0 else m1
+
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            prev_dc = [0, 0, 0]
+            eobrun = 0
+        by, bx = divmod(unit, nbx)
+        for ci, td, ta in scan:
+            block = coefs[ci, by, bx]
+            if ss == 0 and ah == 0:
+                # DC first (progressive) or the DC half of a sequential scan
+                cat = _read_symbol(br, huff[(0, td)])
+                diff = _extend(br.read_bits(cat), cat) if cat else 0
+                prev_dc[ci] += diff
+                block[0] = prev_dc[ci] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    block[0] = int(block[0]) | p1
+            if se == 0:
+                continue
+            if not progressive:
+                # sequential AC: full band follows the DC in the same ECS
+                ac = huff[(1, ta)]
+                k = 1
+                while k <= se:
+                    rs = _read_symbol(br, ac)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    block[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                continue
+            if interleaved:
+                raise ValueError("jpeg: interleaved progressive AC scan")
+            ac = huff[(1, ta)]
+            if ah == 0:  # AC first (§G.2.2): values at bit precision al
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run != 15:
+                            eobrun = (1 << run) - 1 + (
+                                br.read_bits(run) if run else 0
+                            )
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    block[k] = _extend(br.read_bits(size), size) << al
+                    k += 1
+            else:  # AC refinement (§G.2.3): corrections + new ±1<<al coeffs
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(br, ac)
+                        run, size = rs >> 4, rs & 0xF
+                        val = 0
+                        if size == 0:
+                            if run != 15:
+                                eobrun = (1 << run) + (
+                                    br.read_bits(run) if run else 0
+                                )
+                                break  # this block finishes in the EOB pass
+                            # ZRL: run of 16 zero-history positions
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "jpeg: bad AC-refinement symbol"
+                                )
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if block[k] != 0:
+                                refine_nonzero(block, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val and k <= se:
+                            block[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if block[k] != 0:
+                            refine_nonzero(block, k)
+                        k += 1
+                    eobrun -= 1
+
+
 @rejects_malformed("jpeg")
 def jpeg_decode(body: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB. Decodes with the tables
-    embedded in the stream; baseline 4:4:4 only (progressive / subsampled
-    streams raise with a clear message)."""
+    """JFIF bytes → (h, w, 3) uint8 RGB, decoded with the tables embedded in
+    the stream: baseline (SOF0) AND progressive (SOF2 — spectral selection,
+    successive approximation with DC/AC first+refinement scans, EOB runs,
+    restart markers), 8-bit 4:4:4. Subsampled streams raise with a clear
+    message."""
     if body[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -372,14 +730,20 @@ def jpeg_decode(body: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
-    scan: list[tuple[int, int, int]] = []  # (comp_index, td, ta)
-    data_start = -1
-    while pos < len(body):
+    coefs = None
+    progressive = False
+    restart_interval = 0
+    saw_eoi = saw_scan = False
+    while pos < len(body) - 1:
         if body[pos] != 0xFF:
             raise ValueError(f"jpeg: bad marker alignment at {pos}")
         marker = body[pos + 1]
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         seg_len = struct.unpack(">H", body[pos + 2 : pos + 4])[0]
         payload = body[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -401,75 +765,60 @@ def jpeg_decode(body: bytes) -> np.ndarray:
                 vals = list(payload[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0:  # SOF0
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or nc != 3:
-                raise ValueError("jpeg: only 8-bit 3-component baseline supported")
+                raise ValueError("jpeg: only 8-bit 3-component supported")
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 if samp != 0x11:
                     raise ValueError("jpeg: only 4:4:4 sampling supported")
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise ValueError("jpeg: only baseline (SOF0) supported")
+            nby, nbx = -(-h // 8), -(-w // 8)
+            coefs = np.zeros((3, nby, nbx, 64), dtype=np.int64)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("jpeg: only baseline (SOF0) / progressive (SOF2)")
         elif marker == 0xDA:  # SOS
+            if coefs is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = payload[0]
+            scan = []
             for si in range(ns):
                 cid = payload[1 + 2 * si]
                 td, ta = payload[2 + 2 * si] >> 4, payload[2 + 2 * si] & 0xF
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan.append((idx, td, ta))
-            data_start = pos
-            break
-    if data_start < 0 or not comps:
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            segments, pos = _entropy_segments(body, pos)
+            _decode_scan(
+                segments, scan, ss, se, ah, al, coefs, huff,
+                restart_interval, progressive,
+            )
+            saw_scan = True
+        # APPn / COM: skipped
+    if coefs is None or not saw_scan:
         raise ValueError("jpeg: no scan data")
-    # entropy data runs until EOI; a body with no EOI marker is a truncated
-    # download even when the entropy bits happen to decode completely
-    end = body.rfind(b"\xff\xd9")
-    if end < 0:
+    if not saw_eoi:
+        # a body with no EOI marker is a truncated download even when every
+        # entropy bit decoded
         raise ValueError("jpeg: missing EOI (truncated stream)")
-    br = _BitReader(body[data_start:end])
     d = _dct_matrix8()
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((3, ph, pw), dtype=np.float64)
-    prev_dc = [0, 0, 0]
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
-
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp_idx, td, ta in scan:
-                dct_tab = huff[(0, td)]
-                ac_tab = huff[(1, ta)]
-                q = qt[comps[comp_idx][2]]
-                coef = np.zeros(64, dtype=np.int64)
-                cat = read_symbol(dct_tab)
-                diff = _extend(br.read_bits(cat), cat) if cat else 0
-                prev_dc[comp_idx] += diff
-                coef[0] = prev_dc[comp_idx]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    coef[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                block = (coef[UNZIGZAG].reshape(8, 8) * q).astype(np.float64)
-                planes[comp_idx, by : by + 8, bx : bx + 8] = (
+    nby, nbx = coefs.shape[1], coefs.shape[2]
+    planes = np.zeros((3, nby * 8, nbx * 8), dtype=np.float64)
+    for ci in range(3):
+        q = qt[comps[ci][2]]
+        for by in range(nby):
+            for bx in range(nbx):
+                block = (
+                    coefs[ci, by, bx][UNZIGZAG].reshape(8, 8) * q
+                ).astype(np.float64)
+                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     d.T @ block @ d
                 ) + 128.0
     ycc = np.stack([planes[0], planes[1], planes[2]], axis=-1)[:h, :w]

@@ -82,11 +82,16 @@ def test_imaging_dispatch_jpeg():
         imaging.decode(body, 8, 8, "jpeg")  # metadata mismatch is loud
 
 
-def test_rejects_non_baseline():
+def test_rejects_unsupported_sof_kinds():
     body = bytearray(jpegkit.jpeg_encode(_smooth(h=8, w=8), quality=85))
     i = bytes(body).find(b"\xff\xc0")
-    body[i + 1] = 0xC2  # pretend progressive SOF2
-    with pytest.raises(ValueError, match="baseline"):
+    body[i + 1] = 0xC3  # lossless SOF3: genuinely unsupported
+    with pytest.raises(ValueError, match="SOF0"):
+        jpegkit.jpeg_decode(bytes(body))
+    # SOF2 relabeled onto a baseline-structured scan is MALFORMED progressive
+    # (interleaved full-band scan) — must still raise cleanly, not decode
+    body[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpegkit.jpeg_decode(bytes(body))
     with pytest.raises(ValueError, match="SOI"):
         jpegkit.jpeg_decode(b"notajpeg")
@@ -130,3 +135,48 @@ def test_jpeg_com_rejects_oversize_and_bad_stream():
         jk.jpeg_encode(px, comment="x" * 70000)
     with _pytest.raises(ValueError, match="SOI"):
         jk.jpeg_comments(b"not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Same quantized coefficients ⇒ progressive reassembly must reproduce
+    the baseline decode EXACTLY, for every scan type in the script (DC
+    first/refine interleaved, AC first/refine per component, EOB runs)."""
+    rng = np.random.default_rng(9)
+    for h, w in [(16, 16), (24, 17), (8, 8), (9, 13)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=90))
+        prog = jpegkit.jpeg_decode(jpegkit.jpeg_encode_progressive(px, quality=90))
+        assert np.array_equal(base, prog), (h, w)
+
+
+def test_progressive_holds_serving_psnr_invariant():
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode_progressive(px, quality=97))
+    assert imaging.psnr(px, dec) >= 40.0
+
+
+def test_progressive_restart_markers():
+    """DRI + RST0-7 in the interleaved DC scan (predictors reset per
+    interval, markers cycle), then DRI=0 for the later scans."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    base = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=90))
+    for ri in (1, 2, 5):
+        body = jpegkit.jpeg_encode_progressive(px, quality=90, restart_interval=ri)
+        assert np.array_equal(jpegkit.jpeg_decode(body), base), ri
+        assert b"\xff\xd0" in body  # a real RST marker was emitted
+
+
+def test_progressive_truncation_raises():
+    px = np.full((16, 16, 3), 77, dtype=np.uint8)
+    body = jpegkit.jpeg_encode_progressive(px, quality=90)
+    with pytest.raises(ValueError):
+        jpegkit.jpeg_decode(body[: len(body) - 2])  # EOI gone
+    with pytest.raises(ValueError):
+        jpegkit.jpeg_decode(body[: len(body) // 2])
