@@ -3,9 +3,10 @@
 The web's dominant image format, implemented for real: 8×8 DCT-II,
 quality-scaled Annex-K quantization tables, zigzag + DC-differential +
 run-length entropy coding with the standard Huffman tables, JFIF container
-with byte stuffing. 4:4:4 sampling (one 8×8 block per component per MCU),
-8-bit, interleaved, no restart markers — the simplest fully-conformant
-baseline stream; any mainstream decoder reads the output.
+with byte stuffing. The encoder emits 4:4:4 by default (lossless chroma —
+the serving lane's PSNR invariant) or 4:2:0 (2×2 box-averaged chroma, the
+dominant web layout: 4 luma + 2 chroma blocks per MCU); 8-bit,
+interleaved; any mainstream decoder reads the output.
 
 The decoder parses the real marker structure (DQT/DHT/SOF/DRI/SOS) and
 decodes with the tables FROM THE STREAM, so it also reads
@@ -14,7 +15,10 @@ externally-produced 4:4:4 JPEGs — BOTH baseline (SOF0) and progressive
 first+refinement scans, EOB runs, restart markers, T.81 Annex G);
 ``jpeg_encode_progressive`` emits a real successive-approximation scan
 script so the progressive paths round-trip against our own streams too.
-4:2:0-subsampled inputs get a clear error.
+The decoder handles subsampled layouts with per-component block grids and
+replication upsampling — 4:2:0 and 4:2:2 round-trip-tested against our own
+encoder; other integer-ratio layouts (e.g. 4:4:0) ride the same grid
+logic; sampling factors beyond 2 raise cleanly.
 
 Quality ≥ ~97 keeps PSNR ≥ 40 dB even on noise payloads (quant steps → 1,
 residual error is DCT/color-transform rounding) — the serving quality for
@@ -204,9 +208,13 @@ def jpeg_encode(
     quality: int = 85,
     comment: str | None = None,
     exif: bytes | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, standard tables).
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (standard tables).
 
+    ``subsampling``: "444" (default — lossless chroma, the serving lane's
+    PSNR invariant) or "420" (2×2 box-averaged chroma, the dominant web
+    layout: each MCU carries 4 luma + 1 Cb + 1 Cr block).
     ``comment`` (optional) embeds a COM segment (marker 0xFFFE, T.81 §B.2.4.5)
     after APP0, UTF-8 encoded — the field crawlers mine for captions/credits.
     ``exif`` (optional) embeds a prebuilt APP1 payload (exifkit.exif_build)
@@ -214,15 +222,29 @@ def jpeg_encode(
     output stays byte-identical. A comment beyond one segment's 65533-byte
     payload raises (splitting would shear UTF-8 sequences across segments;
     captions don't approach 64 KB)."""
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"jpeg: unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420"
+    sub422 = subsampling == "422"
     h, w, _ = px.shape
     qy = _quality_scale(QUANT_LUM, quality)
     qc = _quality_scale(QUANT_CHROM, quality)
     d = _dct_matrix8()
 
-    # pad to 8×8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to MCU multiples by edge replication
+    # (8×8 at 4:4:4, 16-wide×8 at 4:2:2, 16×16 at 4:2:0)
+    mcu_w = 8 if subsampling == "444" else 16
+    mcu_h = 16 if sub420 else 8
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     ycc = _rgb_to_ycbcr(px)
     padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    if sub420:
+        chroma = (
+            padded[0::2, 0::2, 1:] + padded[1::2, 0::2, 1:]
+            + padded[0::2, 1::2, 1:] + padded[1::2, 1::2, 1:]
+        ) / 4.0
+    elif sub422:
+        chroma = (padded[:, 0::2, 1:] + padded[:, 1::2, 1:]) / 2.0
 
     dc_y = _build_huffman(DC_LUM_BITS, DC_LUM_VALS)
     ac_y = _build_huffman(AC_LUM_BITS, AC_LUM_VALS)
@@ -231,40 +253,63 @@ def jpeg_encode(
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                q = qy if comp == 0 else qc
-                dct = d @ (padded[by : by + 8, bx : bx + 8, comp] - 128.0) @ d.T
-                coef = np.round(dct / q).astype(np.int64).flatten()[ZIGZAG]
-                dch, ach = (dc_y, ac_y) if comp == 0 else (dc_c, ac_c)
-                diff = int(coef[0]) - prev_dc[comp]
-                prev_dc[comp] = int(coef[0])
-                cat = _category(diff)
-                code, length = dch[cat]
+
+    def put_block(tile: np.ndarray, comp: int) -> None:
+        q = qy if comp == 0 else qc
+        dct = d @ (tile - 128.0) @ d.T
+        coef = np.round(dct / q).astype(np.int64).flatten()[ZIGZAG]
+        dch, ach = (dc_y, ac_y) if comp == 0 else (dc_c, ac_c)
+        diff = int(coef[0]) - prev_dc[comp]
+        prev_dc[comp] = int(coef[0])
+        cat = _category(diff)
+        code, length = dch[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(_amplitude_bits(diff, cat), cat)
+        run = 0
+        nz = np.nonzero(coef[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(coef[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ach[0xF0]  # ZRL
                 bw.write(code, length)
-                if cat:
-                    bw.write(_amplitude_bits(diff, cat), cat)
-                run = 0
-                nz = np.nonzero(coef[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for i in range(1, last + 1):
-                    v = int(coef[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ach[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    cat = _category(v)
-                    code, length = ach[(run << 4) | cat]
-                    bw.write(code, length)
-                    bw.write(_amplitude_bits(v, cat), cat)
-                    run = 0
-                if last < 63:
-                    code, length = ach[0x00]  # EOB
-                    bw.write(code, length)
+                run -= 16
+            cat = _category(v)
+            code, length = ach[(run << 4) | cat]
+            bw.write(code, length)
+            bw.write(_amplitude_bits(v, cat), cat)
+            run = 0
+        if last < 63:
+            code, length = ach[0x00]  # EOB
+            bw.write(code, length)
+
+    if sub420:
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for v in range(2):
+                    for hh in range(2):
+                        y0, x0 = my + v * 8, mx + hh * 8
+                        put_block(padded[y0 : y0 + 8, x0 : x0 + 8, 0], 0)
+                cy, cx = my // 2, mx // 2
+                put_block(chroma[cy : cy + 8, cx : cx + 8, 0], 1)
+                put_block(chroma[cy : cy + 8, cx : cx + 8, 1], 2)
+    elif sub422:
+        for my in range(0, ph, 8):
+            for mx in range(0, pw, 16):
+                put_block(padded[my : my + 8, mx : mx + 8, 0], 0)
+                put_block(padded[my : my + 8, mx + 8 : mx + 16, 0], 0)
+                cx = mx // 2
+                put_block(chroma[my : my + 8, cx : cx + 8, 0], 1)
+                put_block(chroma[my : my + 8, cx : cx + 8, 1], 2)
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for comp in range(3):
+                    put_block(padded[by : by + 8, bx : bx + 8, comp], comp)
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -292,7 +337,8 @@ def jpeg_encode(
         seg(
             0xFFC0,  # SOF0 baseline
             struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            + bytes([1, 0x22 if sub420 else (0x21 if sub422 else 0x11),
+                     0, 2, 0x11, 1, 3, 0x11, 1]),
         ),
         seg(0xFFC4, dht(0x00, DC_LUM_BITS, DC_LUM_VALS)),
         seg(0xFFC4, dht(0x10, AC_LUM_BITS, AC_LUM_VALS)),
@@ -591,18 +637,28 @@ def _decode_scan(
     se: int,
     ah: int,
     al: int,
-    coefs: np.ndarray,
+    comps: list[tuple[int, int, int, int]],
+    coefs: list[np.ndarray],
+    real_grids: list[tuple[int, int]],
+    mcu_dims: tuple[int, int],
     huff: dict[tuple[int, int], dict[tuple[int, int], int]],
     restart_interval: int,
     progressive: bool,
 ) -> None:
-    """Decode one scan into the zigzag coefficient store ``coefs[ci, by, bx,
-    k]`` (T.81 §F.2 sequential, §G.2 progressive: DC first/refine, AC
-    first/refine with EOB runs). Restart markers reset the DC predictors
-    and the EOB run and realign to the next segment."""
-    nby, nbx = coefs.shape[1], coefs.shape[2]
+    """Decode one scan into the per-component zigzag coefficient stores
+    ``coefs[ci][by, bx, k]`` (T.81 §F.2 sequential, §G.2 progressive: DC
+    first/refine, AC first/refine with EOB runs). Interleaved scans walk
+    MCUs emitting hi×vi blocks per component (4:2:0's 4×Y+Cb+Cr);
+    non-interleaved scans walk the component's OWN block grid. Restart
+    markers reset the DC predictors and the EOB run and realign to the
+    next segment."""
     interleaved = len(scan) > 1
-    n_units = nby * nbx  # 4:4:4 → MCU grid == block grid for every comp
+    mcuy, mcux = mcu_dims
+    if interleaved:
+        n_units = mcuy * mcux
+    else:
+        rows0, cols0 = real_grids[scan[0][0]]
+        n_units = rows0 * cols0
     seg_i = 0
     br = _BitReader(segments[0])
     prev_dc = [0, 0, 0]
@@ -621,9 +677,21 @@ def _decode_scan(
             br = _BitReader(segments[seg_i])
             prev_dc = [0, 0, 0]
             eobrun = 0
-        by, bx = divmod(unit, nbx)
-        for ci, td, ta in scan:
-            block = coefs[ci, by, bx]
+        blocks: list[tuple[np.ndarray, int, int, int]] = []
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, td, ta in scan:
+                _, hi, vi, _ = comps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        blocks.append(
+                            (coefs[ci][my * vi + v, mx * hi + hh], ci, td, ta)
+                        )
+        else:
+            ci, td, ta = scan[0]
+            by, bx = divmod(unit, real_grids[ci][1])
+            blocks.append((coefs[ci][by, bx], ci, td, ta))
+        for block, ci, td, ta in blocks:
             if ss == 0 and ah == 0:
                 # DC first (progressive) or the DC half of a sequential scan
                 cat = _read_symbol(br, huff[(0, td)])
@@ -721,15 +789,18 @@ def jpeg_decode(body: bytes) -> np.ndarray:
     """JFIF bytes → (h, w, 3) uint8 RGB, decoded with the tables embedded in
     the stream: baseline (SOF0) AND progressive (SOF2 — spectral selection,
     successive approximation with DC/AC first+refinement scans, EOB runs,
-    restart markers), 8-bit 4:4:4. Subsampled streams raise with a clear
-    message."""
+    restart markers), 8-bit, 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 sampling (chroma
+    upsampled by pixel replication)."""
     if body[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
+    real_grids: list[tuple[int, int]] = []
+    mcu_dims = (0, 0)
+    hmax = vmax = 1
     coefs = None
     progressive = False
     restart_interval = 0
@@ -774,11 +845,22 @@ def jpeg_decode(body: bytes) -> np.ndarray:
                 raise ValueError("jpeg: only 8-bit 3-component supported")
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("jpeg: only 4:4:4 sampling supported")
-                comps.append((cid, samp, tq))
-            nby, nbx = -(-h // 8), -(-w // 8)
-            coefs = np.zeros((3, nby, nbx, 64), dtype=np.int64)
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps) or hmax > 2 or vmax > 2:
+                raise ValueError("jpeg: unsupported sampling-factor layout")
+            mcu_dims = (-(-h // (8 * vmax)), -(-w // (8 * hmax)))
+            coefs, real_grids = [], []
+            for _, hi, vi, _ in comps:
+                wc, hc = -(-w * hi // hmax), -(-h * vi // vmax)
+                real_grids.append((-(-hc // 8), -(-wc // 8)))
+                # MCU-padded store: interleaved scans may touch dummy blocks
+                coefs.append(
+                    np.zeros(
+                        (mcu_dims[0] * vi, mcu_dims[1] * hi, 64), dtype=np.int64
+                    )
+                )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("jpeg: only baseline (SOF0) / progressive (SOF2)")
         elif marker == 0xDA:  # SOS
@@ -797,8 +879,8 @@ def jpeg_decode(body: bytes) -> np.ndarray:
                 ss, se, ah, al = 0, 63, 0, 0
             segments, pos = _entropy_segments(body, pos)
             _decode_scan(
-                segments, scan, ss, se, ah, al, coefs, huff,
-                restart_interval, progressive,
+                segments, scan, ss, se, ah, al, comps, coefs, real_grids,
+                mcu_dims, huff, restart_interval, progressive,
             )
             saw_scan = True
         # APPn / COM: skipped
@@ -809,17 +891,25 @@ def jpeg_decode(body: bytes) -> np.ndarray:
         # entropy bit decoded
         raise ValueError("jpeg: missing EOI (truncated stream)")
     d = _dct_matrix8()
-    nby, nbx = coefs.shape[1], coefs.shape[2]
-    planes = np.zeros((3, nby * 8, nbx * 8), dtype=np.float64)
-    for ci in range(3):
-        q = qt[comps[ci][2]]
-        for by in range(nby):
-            for bx in range(nbx):
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        q = qt[tq]
+        rows, cols = real_grids[ci]
+        plane = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        for by in range(rows):
+            for bx in range(cols):
                 block = (
-                    coefs[ci, by, bx][UNZIGZAG].reshape(8, 8) * q
+                    coefs[ci][by, bx][UNZIGZAG].reshape(8, 8) * q
                 ).astype(np.float64)
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     d.T @ block @ d
                 ) + 128.0
-    ycc = np.stack([planes[0], planes[1], planes[2]], axis=-1)[:h, :w]
+        wc, hc = -(-w * hi // hmax), -(-h * vi // vmax)
+        plane = plane[:hc, :wc]
+        if hi != hmax or vi != vmax:  # chroma upsample by replication
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
+    ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)

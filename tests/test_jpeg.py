@@ -180,3 +180,55 @@ def test_progressive_truncation_raises():
         jpegkit.jpeg_decode(body[: len(body) - 2])  # EOI gone
     with pytest.raises(ValueError):
         jpegkit.jpeg_decode(body[: len(body) // 2])
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma subsampling (the dominant web layout)
+# ---------------------------------------------------------------------------
+
+
+def test_420_quadrant_geometry_exact():
+    """Flat quadrant colors survive 2×2 chroma averaging exactly — any MCU
+    block-order or chroma-plane indexing defect scrambles this."""
+    px = np.zeros((32, 32, 3), np.uint8)
+    px[:16, :16] = (200, 30, 30)
+    px[:16, 16:] = (30, 200, 30)
+    px[16:, :16] = (30, 30, 200)
+    px[16:, 16:] = (200, 200, 30)
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=97, subsampling="420"))
+    assert np.array_equal(dec, px)
+
+
+def test_420_smooth_psnr_and_odd_sizes():
+    t = np.linspace(30, 220, 40)
+    px = np.stack([np.add.outer(t, t / 2) % 255] * 3, -1).astype(np.uint8)
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=97, subsampling="420"))
+    assert imaging.psnr(px, dec) >= 40.0
+    for h, w in [(23, 17), (8, 8), (9, 16), (17, 9)]:
+        noisy = np.random.default_rng(h * w).integers(0, 256, (h, w, 3)).astype(
+            np.uint8
+        )
+        out = jpegkit.jpeg_decode(
+            jpegkit.jpeg_encode(noisy, quality=90, subsampling="420")
+        )
+        assert out.shape == noisy.shape
+
+
+def test_420_sof_declares_sampling_factors():
+    px = np.full((16, 16, 3), 99, np.uint8)
+    body = jpegkit.jpeg_encode(px, quality=90, subsampling="420")
+    i = body.find(b"\xff\xc0")
+    assert body[i + 11] == 0x22  # Y sampling 2×2
+    with pytest.raises(ValueError, match="subsampling"):
+        jpegkit.jpeg_encode(px, subsampling="422x")
+
+
+def test_422_quadrant_geometry_and_shapes():
+    px = np.zeros((16, 32, 3), np.uint8)
+    px[:, :16] = (200, 30, 30)
+    px[:, 16:] = (30, 30, 200)
+    dec = jpegkit.jpeg_decode(jpegkit.jpeg_encode(px, quality=97, subsampling="422"))
+    assert np.array_equal(dec, px)
+    noisy = np.random.default_rng(5).integers(0, 256, (11, 21, 3)).astype(np.uint8)
+    out = jpegkit.jpeg_decode(jpegkit.jpeg_encode(noisy, quality=90, subsampling="422"))
+    assert out.shape == noisy.shape
