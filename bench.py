@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_mp4_codec",
     "multimodal_mp3_codec",
     "multimodal_flac_codec",
+    "multimodal_jpeg_variants",
     "multimodal_webp_codec",
     "multimodal_media_probe",
     "dedup_video_pairs",

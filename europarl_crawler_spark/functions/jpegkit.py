@@ -468,6 +468,13 @@ def jpeg_encode_progressive(
         for by in range(nby):
             for bx in range(nbx):
                 blk = coefs[ci, by, bx]
+                # last newly-nonzero position: ZRLs beyond it fold into EOB
+                kex = 0
+                for k in range(1, 64):
+                    if abs(int(blk[k])) >> al == 1 and abs(int(blk[k])) >> (
+                        al + 1
+                    ) == 0:
+                        kex = k
                 run = 0
                 pending: list[int] = []  # correction bits ride the next symbol
                 for k in range(1, 64):
@@ -476,13 +483,18 @@ def jpeg_encode_progressive(
                     if t == 0:
                         run += 1
                         continue
+                    # the ZRL check runs at EVERY nonzero encounter (T.81
+                    # G.1.2.3 / libjpeg ordering) — checking only at newly-
+                    # nonzero coefficients lets correction bits from beyond
+                    # the decoder's 16-zero window flush too early and
+                    # desynchronizes the stream
+                    while run > 15 and k <= kex:
+                        emit(0xF0, tab, bw)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run -= 16
                     if t == 1 and (abs(v) >> (al + 1)) == 0:  # newly nonzero
-                        while run > 15:
-                            emit(0xF0, tab, bw)
-                            for b in pending:
-                                bw.write(b, 1)
-                            pending = []
-                            run -= 16
                         emit((run << 4) | 1, tab, bw)
                         bw.write(1 if v > 0 else 0, 1)
                         for b in pending:
