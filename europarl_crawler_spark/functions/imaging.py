@@ -41,6 +41,9 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
              decoder additionally handles every spec feature — all four
              transforms, color cache, LZ77 2D distances, meta prefix
              groups — so files from other encoders decode too). Lossless.
+- ``bmp``  : Windows BMP (BITMAPINFOHEADER, 24-bit BGR, 4-byte row
+             padding; bottom-up and top-down variants decode) — the
+             uncompressed container crawls still meet constantly. Lossless.
 
 ``phash64`` is the classic 8×8-DCT perceptual hash (32×32 grayscale → DCT-II →
 top-left 8×8 minus DC → sign vs median → 64-bit int), all numpy matmuls so it
@@ -56,8 +59,8 @@ import numpy as np
 
 from .kitguard import rejects_malformed
 
-FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp")
-LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp"})
+FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp", "bmp")
+LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp", "bmp"})
 
 # serving quality for the crawl's jpeg lane: quant steps ≈ 1, so even noise
 # payloads hold the input_hint's PSNR ≥ 40 dB lossy invariant (measured
@@ -97,6 +100,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from . import webpkit
 
         return webpkit.webp_encode(px)
+    if fmt == "bmp":
+        return _bmp_encode(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -137,6 +142,10 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         px = webpkit.webp_decode(payload)
         assert px.shape == (h, w, 3), "WEBP header/metadata mismatch"
+        return px
+    if fmt == "bmp":
+        px = _bmp_decode(payload)
+        assert px.shape == (h, w, 3), "BMP header/metadata mismatch"
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 
@@ -376,6 +385,49 @@ def png_text_chunks(payload: bytes) -> dict[str, str]:
             break
         pos += 12 + length
     return out
+
+
+def _bmp_encode(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → Windows BMP (BITMAPINFOHEADER, 24-bit BGR,
+    bottom-up rows padded to 4 bytes) — the uncompressed format crawls still
+    meet constantly (favicons, screenshots, Office exports). Lossless."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+@rejects_malformed("bmp")
+def _bmp_decode(payload: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8 RGB. 24-bit uncompressed
+    BITMAPINFOHEADER (and later header sizes with the same leading
+    fields), bottom-up or top-down rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (isize,) = struct.unpack_from("<I", payload, 14)
+    if isize < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER formats unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("bmp: only 24-bit uncompressed supported")
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    body = payload[off : off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("bmp: pixel data size mismatch (truncated stream)")
+    rows = np.frombuffer(body, np.uint8).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (px if topdown else px[::-1]).copy()
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -279,3 +279,30 @@ def test_adam7_interlaced_png_decodes():
             + imaging._png_chunk(b"IEND", b"")
         )
         assert np.array_equal(imaging._png_decode(body, w, h), px), (h, w)
+
+
+def test_bmp_roundtrip_and_variants():
+    """24-bit BMP: bottom-up round trip through the dispatch, the top-down
+    (negative height) variant, 4-byte row padding at odd widths, and the
+    truncation contract."""
+    import struct
+
+    rng = np.random.default_rng(23)
+    for h, w in [(7, 5), (8, 8), (1, 1), (3, 10)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        body = imaging.encode(px, "bmp")
+        assert body[:2] == b"BM"
+        assert np.array_equal(imaging.decode(body, w, h, "bmp"), px)
+    px = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    body = bytearray(imaging.encode(px, "bmp"))
+    # flip to top-down: negate height and reverse the stored row order
+    struct.pack_into("<i", body, 22, -6)
+    stride = (5 * 3 + 3) & ~3
+    off = 54
+    rows = [bytes(body[off + i * stride : off + (i + 1) * stride]) for i in range(6)]
+    body[off:] = b"".join(reversed(rows))
+    assert np.array_equal(imaging._bmp_decode(bytes(body)), px)
+    with pytest.raises(ValueError):
+        imaging._bmp_decode(bytes(body[: len(body) - 4]))
+    with pytest.raises(ValueError):
+        imaging._bmp_decode(b"XX" + bytes(body[2:]))
