@@ -2268,6 +2268,52 @@ def q_corpus_sample(spark, sf_dir):
     return sampling.sample(d, 0.3).select("doc_id", "lang", "n_chars")
 
 
+def q_corpus_importance_sample(spark, sf_dir):
+    """Quality-weighted (importance) sampling
+    (operators/sampling.py:importance_sample — the DCLM / FineWeb-edu move
+    of sampling the corpus TOWARD high-quality documents instead of
+    hard-thresholding): keep probability = clamp(score, 0, 1), decided as
+    u(doc_id) < score on a dedicated affine member, so membership is
+    deterministic, partition-independent, and uncorrelated with the
+    split/sample members. Score here = min(1, n_tokens/60) — a pure column
+    expression both engines recompute exactly. Zero shuffle."""
+    from europarl_crawler_spark.operators.textstats import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), F.size(tokens_expr("text")) / F.lit(60.0)), 6
+        ).alias("score"),
+    )
+    return sampling.importance_sample(scored, "score").select("doc_id", "score")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-epoch incremental exact dedup
+    (operators/dedup.py:incremental_dedup): epoch 1 dedups the even-doc_id
+    increment against empty history and MERGEs its content hashes into the
+    epoch store; epoch 2 dedups the FULL table against epoch 1's hash set —
+    history is consulted as the thin hash column only, never rescanned
+    text. DuckDB recomputes both epochs' keep-first + anti-join semantics
+    from the raw table."""
+    import tempfile
+
+    from europarl_crawler_spark.operators.dedup import incremental_dedup
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = EpochStore(tempfile.mkdtemp(prefix="incdedup-query-"))
+    e1 = incremental_dedup(store, spark, d.filter(F.col("doc_id") % 2 == 0), 1)
+    e2 = incremental_dedup(store, spark, d, 2)
+    tag = lambda df, t: df.select(
+        F.lit(t).alias("epoch"),
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return tag(e1, "e1").unionByName(tag(e2, "e2"))
+
+
 def q_corpus_sample_stratified(spark, sf_dir):
     """Per-language deterministic rebalancing sample
     (operators/sampling.py:stratified_sample): keep u(doc_id) <
@@ -2765,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audio_pairs": q_dedup_audio_pairs,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
+        "corpus_importance_sample": q_corpus_importance_sample,  # new in r4
+        "dedup_incremental": q_dedup_incremental,  # new in r4
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mixture_repeat": q_corpus_mixture_repeat,
         "corpus_export_manifest": q_corpus_export_manifest,
@@ -4389,6 +4437,26 @@ FROM c
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + sampling.sample_keep_sql(0.3)
         ),
+        "corpus_importance_sample": (
+            "SELECT doc_id, score FROM (SELECT doc_id, round(least(1.0, "
+            "len(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-zA-Z0-9'']+'), x -> x != '')) / 60.0), 6) AS score "
+            "FROM documents) WHERE " + sampling.importance_keep_sql("score")
+        ),
+        # both epochs recomputed from the raw table: epoch-1 survivors are
+        # keep-first among evens; epoch-2 survivors are keep-first among all
+        # docs whose text no even doc carries
+        "dedup_incremental": """
+            WITH e1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            s1 AS (SELECT min(doc_id) AS doc_id, text FROM e1 GROUP BY text),
+            s2 AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+            SELECT 'e1' AS epoch, doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars FROM s1
+            UNION ALL
+            SELECT 'e2' AS epoch, doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM s2 WHERE text NOT IN (SELECT text FROM e1)
+        """,
         "corpus_sample_stratified": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + sampling.stratified_keep_sql(

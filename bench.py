@@ -47,6 +47,7 @@ HEADLINE = [
     "w1_top_customer_per_nation",
     "a1_status_histogram",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_groups",
     "dedup_minhash_lsh",
@@ -71,6 +72,7 @@ HEADLINE = [
     "text_paragraph_dedup",
     "corpus_split",
     "corpus_sample",
+    "corpus_importance_sample",
     "corpus_sample_stratified",
     "corpus_mixture_repeat",
     "corpus_export_manifest",

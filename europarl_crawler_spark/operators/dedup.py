@@ -569,3 +569,48 @@ def paragraph_dedup(
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+def incremental_dedup(
+    store,
+    spark,
+    new_docs: DataFrame,
+    epoch: int,
+    table: str = "content_hashes",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-epoch exact dedup: dedup a crawl INCREMENT against the full
+    corpus history without ever rescanning the history's text — the pattern
+    a daily 100 TB crawl actually runs. The history lives as a content-hash
+    set table in the epoch store (hash-keyed, so reads are the thin hash
+    column, not document bytes); each epoch the increment is (1) keep-first
+    deduped within itself, (2) anti-joined against the history hashes (the
+    shuffle keys are uniform content hashes — no salting needed; Spark
+    broadcasts the history side only while it is genuinely small), and
+    (3) the survivors' hashes MERGE back at ``epoch`` so the next increment
+    sees them. Uses the portable poly hash so the whole loop is
+    value-oracle-checkable in DuckDB. Returns the surviving rows.
+
+    Reference analog: the url-seen discipline of europarl/db/url.py:71-92
+    applied to CONTENT identity instead of URL identity."""
+    from pyspark.sql import types as T
+
+    from ..functions import porthash
+
+    hashed = new_docs.withColumn("_h", porthash.poly_hash(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(F.asc(id_col))
+    batch_first = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hist_schema = T.StructType([T.StructField("h", T.LongType(), False)])
+    hist = store.read(table, spark, schema=hist_schema)
+    survivors = batch_first.join(
+        hist.select(F.col("h").alias("_h")), "_h", "left_anti"
+    )
+    store.merge(
+        table, survivors.select(F.col("_h").alias("h")), epoch, keys=["h"]
+    )
+    return survivors.drop("_h")

@@ -253,3 +253,31 @@ def stratified_keep_sql(
         case.append(f"WHEN {strata_expr} = '{k}' THEN {float(v)!r}")
     case.append(f"ELSE {float(default_fraction)!r} END")
     return f"{u} < ({' '.join(case)})"
+
+
+IMPORTANCE_MEMBER = 46
+
+
+def importance_sample(
+    docs: DataFrame, score_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-weighted (importance) sampling — keep each row with
+    probability equal to its per-row score in [0, 1] (a classifier quality
+    score: the DCLM / FineWeb-edu curation move of sampling the corpus
+    toward high-quality documents instead of hard-thresholding), decided
+    hash-deterministically: the row survives iff u(id) < clamp(score, 0, 1)
+    on its own affine member, so membership is reproducible across runs,
+    partitions, and engines, and independent of the split/sample members.
+    Zero shuffle, pure projection+filter; NULL or ≤0 scores drop, ≥1 always
+    keeps."""
+    u = _id_unit(id_col, IMPORTANCE_MEMBER)
+    p = F.least(
+        F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    return docs.filter(u < p)
+
+
+def importance_keep_sql(score_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB WHERE predicate mirroring ``importance_sample``."""
+    p = f"least(greatest(CAST({score_expr} AS DOUBLE), 0.0), 1.0)"
+    return f"({_id_unit_sql(id_expr, IMPORTANCE_MEMBER)} < {p})"

@@ -236,3 +236,28 @@ def test_paragraph_dedup_idempotent(para_docs):
     )
     second = dedup.paragraph_dedup(first)
     assert second.filter(F.col("removed_frac") > 0).count() == 0
+
+
+# ---- cross-epoch incremental dedup ------------------------------------------
+
+
+def test_incremental_dedup_across_epochs(spark, tmp_path):
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    store = EpochStore(tmp_path / "store")
+    e1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    )
+    s1 = {r.doc_id for r in dedup.incremental_dedup(store, spark, e1, 1).collect()}
+    assert s1 == {1, 3}  # keep-first within the batch
+    # epoch 2: one replayed text, one new — only the new one survives
+    e2 = spark.createDataFrame(
+        [(9, "alpha"), (10, "gamma")], "doc_id long, text string"
+    )
+    s2 = {r.doc_id for r in dedup.incremental_dedup(store, spark, e2, 2).collect()}
+    assert s2 == {10}
+    # epoch 3: replaying everything yields nothing — history is cumulative
+    s3 = dedup.incremental_dedup(store, spark, e1.unionByName(e2), 3).count()
+    assert s3 == 0
+    # the history table holds exactly the distinct content hashes
+    assert store.read("content_hashes", spark).select("h").distinct().count() == 3

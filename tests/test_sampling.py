@@ -281,3 +281,31 @@ def test_id_hash_edge_ids_parity(spark):
         ).collect()
     }
     assert got_l[123] == got["123"] and got_l[-42] == got["-42"]
+
+
+def test_importance_sample_bounds_and_determinism(spark):
+    from europarl_crawler_spark.operators.sampling import importance_sample
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 / 10.0).alias("score"),  # 0.0 .. 0.9
+    )
+    kept = importance_sample(docs, "score")
+    # score 0 rows can never survive; determinism: two runs identical
+    assert kept.filter("score = 0.0").count() == 0
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in importance_sample(docs, "score").collect())
+    assert a == b
+    # keep-rate tracks the score (each score bucket has 200 rows)
+    rates = {
+        r.score: r.n / 200.0
+        for r in kept.groupBy("score").agg(F.count("*").alias("n")).collect()
+    }
+    for s, rate in rates.items():
+        assert abs(rate - s) < 0.12, (s, rate)
+    # clamp: >1 always keeps, negative/NULL drops
+    edge = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (3, None)], "doc_id long, score double"
+    )
+    got = {r.doc_id for r in importance_sample(edge, "score").collect()}
+    assert got == {1}
