@@ -2834,9 +2834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- lanes whose plan changed this round (need a fresh green row) --
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
-        "image_curation": q_image_curation,
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,  # new in r4
+        # image_curation ⊂ image_curation_full (same shared decode pass):
+        # rotated just past the gate boundary so the cuckoo lane gets its
+        # first driver-visible row; the full composition stays gated
+        "image_curation": q_image_curation,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
