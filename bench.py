@@ -113,6 +113,18 @@ HEADLINE = [
     "dedup_audio_pairs",
 ]
 
+# Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
+# three empty-set invariants (dedup_lsh_precision, ann_lsh_valid,
+# ann_ivf_valid — 0-row correctness checks, not workloads), the streaming
+# twins (dedup_exact_streaming, dedup_image_pairs_streaming — identical
+# compute to their benched batch twins plus harness overhead), fingerprint
+# sub-lanes subsumed by their benched dedup-pair composites
+# (dedup_image_ahash, image_resize_hash, video_frame_ahash,
+# audio_fingerprint, multimodal_jpeg_meta ⊂ jpeg_exif/variants), and the
+# sub-second relational parity queries whose joins are strict subsets of
+# benched composites (f1/f6, j3/j5/j6/j7/j10, o3, p10, redirect_resolve).
+# Every excluded lane still runs in the oracle gate each round.
+
 CRAWL_DAYS = int(os.environ.get("SPARK_GRAFT_CRAWL_DAYS", "60"))
 CRAWL_EPOCHS = int(os.environ.get("SPARK_GRAFT_CRAWL_EPOCHS", "3"))
 LINEAR_REGION_THREADS = 8  # BENCH/BASELINE.md: >8 busy threads → kernel collapse
