@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
-from europarl_crawler_spark.operators import dedup, sampling, similarity, textstats
+from europarl_crawler_spark.operators import dedup, lm, sampling, similarity, textstats
 from europarl_crawler_spark.operators import export as export_ops
 
 # ---------------------------------------------------------------------------
@@ -219,6 +219,62 @@ _AHASH_BITS_SQL = """cp AS (
                      CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
               FROM bs JOIN tot ON bs.doc_id = tot.doc_id
             )"""
+
+def _phash_sig_sql() -> str:
+    """DuckDB mirror of the integer-DCT pHash (imaging.phash64_i) over the
+    codepoint pixels: same cp/px CTEs as the ahash chain, then exact integer
+    matrix algebra against the SAME quantized cos table (imaging.dctq_rows —
+    inlined as VALUES so both engines share one set of constants), the AC
+    median as an exact order statistic (32nd smallest of 63), and the same
+    16-bit band packing the banded hamming join keys on."""
+    from europarl_crawler_spark.functions import imaging
+
+    vals = ", ".join(f"({k}, {r}, {q})" for k, r, q in imaging.dctq_rows(16))
+    return f"""
+        WITH cp AS (
+          SELECT doc_id, i,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                 END AS v
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(0, 767)) AS i FROM documents)
+        ), px AS (
+          SELECT doc_id, i // 3 AS p,
+                 max(CASE WHEN i % 3 = 0 THEN v END) AS r,
+                 max(CASE WHEN i % 3 = 1 THEN v END) AS g,
+                 max(CASE WHEN i % 3 = 2 THEN v END) AS b
+          FROM cp GROUP BY 1, 2
+        ), lum AS (
+          SELECT doc_id, p // 16 AS rw, p % 16 AS cl,
+                 (77 * r + 150 * g + 29 * b + 128) // 256 AS y
+          FROM px
+        ), dctq(k, r, q) AS (VALUES {vals}),
+        t1 AS (
+          SELECT l.doc_id, d.k, l.cl AS c, sum(d.q * l.y) AS v
+          FROM lum l JOIN dctq d ON d.r = l.rw
+          GROUP BY 1, 2, 3
+        ), co AS (
+          SELECT t.doc_id, t.k, d.k AS l, sum(d.q * t.v) AS v
+          FROM t1 t JOIN dctq d ON d.r = t.c
+          GROUP BY 1, 2, 3
+        ), ac AS (
+          SELECT doc_id, v,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+          FROM co WHERE NOT (k = 0 AND l = 0)
+        ), med AS (SELECT doc_id, v AS m FROM ac WHERE rn = 32),
+        bits AS (
+          SELECT co.doc_id, co.k * 8 + co.l AS i,
+                 CASE WHEN co.v > med.m THEN 1 ELSE 0 END AS bit
+          FROM co JOIN med ON co.doc_id = med.doc_id
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INTEGER) AS b0,
+               CAST(sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INTEGER) AS b1,
+               CAST(sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INTEGER) AS b2,
+               CAST(sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END) AS INTEGER) AS b3
+        FROM bits GROUP BY doc_id
+    """
+
 
 # DuckDB mirror of the VIDEO frame-ahash arithmetic (operators/videodup.py):
 # two 16×16 frames per doc at codepoint offsets 0 and 768; the Y4M container
@@ -746,6 +802,30 @@ def _image_ahash_sig(spark, sf_dir):
 
     return _codepoint_docs(spark, sf_dir).mapInPandas(
         batches, schema="doc_id long, hash64 long"
+    )
+
+
+def q_dedup_image_phash(spark, sf_dir):
+    """IMAGE integer-DCT pHash lane (imaging.phash64_i), FULLY oracle-checked
+    through the real PNG codec: the DCT basis is quantized once to int64
+    (cos·2^14, shared with the oracle as a VALUES table), so the transform is
+    exact integer matrix algebra and the AC-median threshold an exact order
+    statistic — every hash bit recomputes bit-identically in SQL, unlike the
+    float pHash production stores. Emits the four 16-bit band integers the
+    banded hamming join keys on (same plan as dedup_image_ahash)."""
+    from europarl_crawler_spark.operators import imagedup
+
+    sig = imagedup.image_hashes(
+        _codepoint_png_images(spark, sf_dir), id_col="image_id", kind="phash_i"
+    )
+    return sig.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        *[
+            F.expr(f"cast(shiftrightunsigned(hash64, {16 * b}) & 65535 as int)").alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
     )
 
 
@@ -1387,6 +1467,19 @@ def q_text_vocab_topk(spark, sf_dir):
     deterministic (n DESC, token ASC) cut; only 50 rows leave the
     executors. DuckDB mirrors the identical tokenizer and total order."""
     return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_text_perplexity_bucket(spark, sf_dir):
+    """CCNet perplexity bucketing (operators/lm.py:perplexity_bucket;
+    Wenzek et al. 2020): an interpolated bigram LM trained on a
+    deterministic hash split of the corpus scores every document; per-token
+    costs are ln-quantized to int64 BEFORE the doc-level sum (shuffle-order
+    independent), and head/middle/tail cuts are exact integer compares.
+    Train = two explode→groupBy counts; score = explode + broadcast model
+    joins + doc-keyed integer agg. DuckDB recomputes the whole model."""
+    from europarl_crawler_spark.operators import lm
+
+    return lm.perplexity_bucket(_t(spark, sf_dir, "documents"))
 
 
 def q_text_repetition(spark, sf_dir):
@@ -2826,20 +2919,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "text_repetition": q_text_repetition,  # new in r4
         "text_c4_filters": q_text_c4_filters,  # new in r4
+        "text_perplexity_bucket": q_text_perplexity_bucket,  # new in r4
         "text_quality_classifier": q_text_quality_classifier,  # new in r4
         "text_curation_full": q_text_curation_full,  # new in r4
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "text_fingerprint": q_text_fingerprint,
         # -- lanes whose plan changed this round (need a fresh green row) --
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
-        "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,  # new in r4
+        "dedup_image_phash": q_dedup_image_phash,  # new in r4 (gated)
         # image_curation ⊂ image_curation_full (same shared decode pass):
         # rotated just past the gate boundary so the cuckoo lane gets its
-        # first driver-visible row; the full composition stays gated
+        # first driver-visible row; the full composition stays gated.
+        # text_fingerprint (driver-green since r3) and
+        # dedup_image_pairs_blocked (r3-green; its r4 plan change — the
+        # shared decode frame — is certified by the still-gated
+        # image_curation_full) rotated out the same way to make room for
+        # the new perplexity + integer-pHash lanes inside the window.
+        "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "image_curation": q_image_curation,
+        "text_fingerprint": q_text_fingerprint,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3333,6 +3433,9 @@ WHERE rank <= 10
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,
+        # full-model mirror: the oracle retrains the bigram LM from the same
+        # hash split and recomputes every quantized token cost (lm.py)
+        "text_perplexity_bucket": lm.perplexity_bucket_sql(),
         "text_repetition": """
 WITH lines AS (
   SELECT doc_id, trim(l) AS line FROM (
@@ -3777,6 +3880,7 @@ FROM c
         # bands (dedup_image_ahash), then brute-forces hamming over ALL
         # pairs (dedup_image_pairs) — codec transparency, hash math, band
         # extraction, and pigeonhole completeness all value-checked
+        "dedup_image_phash": _phash_sig_sql(),
         "dedup_image_ahash": f"""
             WITH {_AHASH_BITS_SQL}
             SELECT doc_id,

@@ -59,6 +59,7 @@ HEADLINE = [
     "image_curation",
     "image_curation_full",
     "dedup_image_pairs_blocked",
+    "dedup_image_phash",
     "caption_boilerplate",
     "image_ar_bucket",
     "p11_robots_gate",
@@ -81,6 +82,7 @@ HEADLINE = [
     "text_repetition",
     "text_c4_filters",
     "text_quality_classifier",
+    "text_perplexity_bucket",
     "text_curation_full",
     "text_pii_scan",
     "text_pii_redact",

@@ -483,3 +483,67 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# --- integer fixed-point DCT pHash (SQL-mirrorable) ------------------------
+#
+# ``phash64`` above is the classic float pHash the crawl stores. This
+# variant quantizes the DCT basis to int64 (cos·2^14, rounded once, shared
+# verbatim with the DuckDB oracle via ``dctq_rows``) so the whole transform
+# is exact integer matrix algebra: every coefficient, the AC median (the
+# 32nd smallest of 63 — an exact order statistic, no float .5 averaging),
+# and every hash bit are bit-identical across engines. Same robustness
+# class as float pHash (the quantization error is ~2^-14 of the basis,
+# orders below the median-threshold decision margin).
+
+DCTQ_SCALE = 1 << 14
+DCTQ_N = 16  # native synthetic-frame edge; production would resize to 32
+
+_DCTQ16 = None
+
+
+def _dctq_matrix(n: int = DCTQ_N) -> np.ndarray:
+    """(8, n) int64: rows k=0..7 of the DCT-II basis, cos quantized once.
+    The √(2/n) normalization is dropped: it is the SAME factor on every
+    AC row (only k=0 differs), so comparisons among AC coefficients — and
+    therefore the AC median and all 63 AC hash bits — are unchanged; the
+    DC bit is the always-set throwaway bit, exactly as in classic pHash."""
+    global _DCTQ16
+    if _DCTQ16 is None or _DCTQ16.shape[1] != n:
+        k = np.arange(8)[:, None]
+        r = np.arange(n)[None, :]
+        _DCTQ16 = np.round(
+            np.cos(np.pi * (2 * r + 1) * k / (2.0 * n)) * DCTQ_SCALE
+        ).astype(np.int64)
+    return _DCTQ16
+
+
+def dctq_rows(n: int = DCTQ_N) -> list[tuple[int, int, int]]:
+    """(k, r, q) triples of the quantized basis — the oracle inlines these
+    as a VALUES table, so both engines share one set of constants."""
+    m = _dctq_matrix(n)
+    return [(k, r, int(m[k, r])) for k in range(8) for r in range(n)]
+
+
+def luma_bt601(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (h, w) int64 integer BT.601 luma (the videokit
+    constants — same expression the ahash/quality lanes mirror in SQL)."""
+    p = px.astype(np.int64)
+    return (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2] + 128) >> 8
+
+
+def phash64_i(pixels: np.ndarray) -> int:
+    """Signed 64-bit INTEGER-DCT perceptual hash of an (n, n, 3) uint8
+    image. Bit i = k·8+l (LSB-first) is set iff DCT coefficient (k, l)
+    exceeds the exact median of the 63 AC coefficients."""
+    y = luma_bt601(pixels)
+    n = y.shape[0]
+    m = _dctq_matrix(n)
+    d = m @ y @ m.T  # exact int64: |coeff| ≤ n^2 · 255 · 2^28 « 2^63
+    block = d.flatten()
+    med = int(np.sort(block[1:])[31])  # 32nd smallest of the 63 AC terms
+    acc = 0
+    for i in range(64):
+        if int(block[i]) > med:
+            acc |= 1 << i
+    return int(np.int64(np.uint64(acc)))

@@ -172,9 +172,15 @@ def image_hashes(
 ) -> DataFrame:
     """Decode each (id, bytes, w, h, fmt) row through the REAL codecs and
     emit (id, hash64) — ``kind='ahash'`` for the SQL-mirrorable average hash,
-    ``'phash'`` for the DCT hash the crawl stores. One Arrow pass; undecodable
-    payloads drop (a curation pass skips what it cannot read)."""
-    hasher = ahash64 if kind == "ahash" else imaging.phash64
+    ``'phash'`` for the float DCT hash the crawl stores, ``'phash_i'`` for
+    the integer fixed-point DCT hash (imaging.phash64_i) that is ALSO
+    SQL-mirrorable. One Arrow pass; undecodable payloads drop (a curation
+    pass skips what it cannot read)."""
+    hasher = {
+        "ahash": ahash64,
+        "phash": imaging.phash64,
+        "phash_i": imaging.phash64_i,
+    }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -306,3 +306,31 @@ def test_bmp_roundtrip_and_variants():
         imaging._bmp_decode(bytes(body[: len(body) - 4]))
     with pytest.raises(ValueError):
         imaging._bmp_decode(b"XX" + bytes(body[2:]))
+
+
+def test_phash64_i_integer_dct_properties():
+    """Integer fixed-point pHash (imaging.phash64_i): deterministic; AC
+    coefficients (hence all 63 AC bits) exactly invariant under a constant
+    luma shift, because every AC row of the quantized basis sums to exactly
+    zero (next test); distinct textures land far apart."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+    h1 = imaging.phash64_i(px)
+    assert h1 == imaging.phash64_i(px.copy())
+    # global brightness shift: +40 on every channel moves only DC
+    brighter = np.clip(px.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert imaging.hamming64(h1, imaging.phash64_i(brighter)) <= 1
+    other = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert imaging.hamming64(h1, imaging.phash64_i(other)) >= 10
+
+
+def test_phash64_i_ac_rows_sum_to_zero():
+    """The quantized DCT basis keeps every AC row summing to EXACTLY zero
+    (pairwise cos cancellation survives the shared rounding), which is what
+    makes the constant-shift invariance above exact integer algebra."""
+    m = imaging._dctq_matrix(16)
+    assert m.shape == (8, 16)
+    for k in range(1, 8):
+        assert int(m[k].sum()) == 0
+    # and the k=0 row is the constant 2^14
+    assert (m[0] == imaging.DCTQ_SCALE).all()
