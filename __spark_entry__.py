@@ -1482,6 +1482,18 @@ def q_text_perplexity_bucket(spark, sf_dir):
     return lm.perplexity_bucket(_t(spark, sf_dir, "documents"))
 
 
+def q_text_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (operators/dedup.py:
+    exact_substring_dedup; Lee et al. 2022 ExactSubstr): every 8-token span
+    occurring more than once corpus-wide is removed from every document.
+    K-gram position marking is exact for fixed span length (no suffix
+    array needed); cleaned text value-checks byte-for-byte — the DuckDB
+    oracle rebuilds every surviving token in order."""
+    from europarl_crawler_spark.operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition filters (operators/textstats.py:repetition_profile,
     Rae et al. 2021 A1.1): duplicate-line fraction (count + char mass) and
@@ -2940,6 +2952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "image_curation": q_image_curation,
         "text_fingerprint": q_text_fingerprint,
+        # new in r4 but past the 50-lane window (it is full): value-checked
+        # by tools/check_oracle.py + the committed BENCH/ORACLE_FULL artifact
+        "text_substring_dedup": q_text_substring_dedup,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3436,6 +3451,7 @@ WHERE rank <= 10
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),
+        "text_substring_dedup": dedup.exact_substring_dedup_sql(),
         "text_repetition": """
 WITH lines AS (
   SELECT doc_id, trim(l) AS line FROM (

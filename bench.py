@@ -71,6 +71,7 @@ HEADLINE = [
     "store_incremental_read",
     "store_time_travel",
     "text_paragraph_dedup",
+    "text_substring_dedup",
     "corpus_split",
     "corpus_sample",
     "corpus_importance_sample",

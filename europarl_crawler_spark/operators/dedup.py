@@ -614,3 +614,160 @@ def incremental_dedup(
         table, survivors.select(F.col("_h").alias("h")), epoch, keys=["h"]
     )
     return survivors.drop("_h")
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal — the ExactSubstr step of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better",
+    public; released as google-research/deduplicate-text-datasets): any
+    span of ``k`` consecutive tokens that occurs more than once ANYWHERE in
+    the corpus is removed from EVERY document containing it (the released
+    tool's semantics: all occurrences go, there is no kept "original" —
+    the keep-first discipline at coarser grain is ``paragraph_dedup``).
+
+    The reference tool builds a corpus suffix array; the Spark-native
+    equivalent is k-gram position marking, which is EXACT for the fixed
+    span length: every duplicated substring of length ≥ k is a union of
+    duplicated k-grams, so marking the token positions covered by any
+    duplicated k-gram removes exactly the tokens inside maximal duplicated
+    runs of length ≥ k (and nothing shorter — a run of k-1 shared tokens
+    produces no shared k-gram and survives).
+
+    Output, one row per input document: ``n_tokens``, ``n_removed``,
+    ``removed_frac`` (6 dp), and ``cleaned`` — the surviving tokens
+    re-joined with single spaces in original order (tokenizer-normalized
+    text, the same contract the released tool documents).
+
+    Plan shape (100 TB): posexplode token k-grams → groupBy(gram) count
+    (map-side combinable, uniform content keys) → semi-join the >1 grams
+    back (co-partitioned on the same key) → explode each hit into its k
+    covered positions (bounded fan-out k) → distinct → anti-join against
+    the token frame → per-doc regroup. No corpus window, no Python stage;
+    grams are grouped by their full text so the oracle is collision-free —
+    at real scale the exchange key becomes xxhash64(gram) with identical
+    plan shape."""
+    from .textstats import tokens_expr
+
+    sep = "\x1f"  # unit separator: grams join unambiguously ("a bc" != "ab c")
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    n_grams = F.size("toks") - F.lit(k - 1)
+    grams = (
+        base.filter(F.size("toks") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.struct(
+                        i.alias("gpos"),
+                        F.array_join(
+                            F.slice(F.col("toks"), i + 1, k), sep
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            id_col, F.col("g.gpos").alias("gpos"), F.col("g.gram").alias("gram")
+        )
+    )
+
+    dup_grams = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    )
+    covered = (
+        grams.join(dup_grams.select("gram"), "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    survivors = tok_rows.filter(F.col("tok").isNotNull()).join(
+        covered, [id_col, "pos"], "left_anti"
+    )
+    kept = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                lambda x: x.tok,
+            ),
+        ).alias("cleaned"),
+    )
+    totals = base.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    out = totals.join(kept, id_col, "left")
+    n_kept = F.coalesce("n_kept", F.lit(0))
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round((F.col("n_tokens") - n_kept) / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("removed_frac"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+def exact_substring_dedup_sql(
+    k: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`exact_substring_dedup` — same tokenizer,
+    gram separator, counting, coverage, and reassembly."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower({text_col}), "
+        f"'[^a-zA-Z0-9'']+'), x -> x <> '')"
+    )
+    return f"""
+WITH b AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+g AS (
+  SELECT {id_col}, i - 1 AS gpos,
+         list_aggr(toks[i:i+{k - 1}], 'string_agg', chr(31)) AS gram
+  FROM b, unnest(generate_series(1, len(toks) - {k - 1})) AS t(i)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT {id_col}, gpos + d AS pos
+  FROM (SELECT g.* FROM g JOIN dup USING (gram)),
+       unnest(generate_series(0, {k - 1})) AS u(d)
+),
+tokrows AS (
+  SELECT {id_col}, i - 1 AS pos, toks[i] AS tok
+  FROM b, unnest(generate_series(1, len(toks))) AS t(i)
+),
+kept AS (
+  SELECT t.{id_col}, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+  FROM tokrows t ANTI JOIN cov c
+    ON t.{id_col} = c.{id_col} AND t.pos = c.pos
+  GROUP BY t.{id_col}
+)
+SELECT b.{id_col},
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CASE WHEN len(b.toks) > 0
+            THEN round(CAST(len(b.toks) - coalesce(k.n_kept, 0) AS DOUBLE)
+                       / len(b.toks), 6)
+            ELSE 0.0 END AS removed_frac,
+       coalesce(k.cleaned, '') AS cleaned
+FROM b LEFT JOIN kept k USING ({id_col})
+"""

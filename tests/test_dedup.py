@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import duckdb
 import pytest
 
 from pyspark.sql import functions as F
@@ -261,3 +262,65 @@ def test_incremental_dedup_across_epochs(spark, tmp_path):
     assert s3 == 0
     # the history table holds exactly the distinct content hashes
     assert store.read("content_hashes", spark).select("h").distinct().count() == 3
+
+
+# --- exact_substring_dedup (Lee et al. 2022 ExactSubstr) -------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"intro one {shared} outro one"),
+        (2, f"different opening here {shared} and a different close"),
+        (3, "seven shared tokens alpha bravo charlie delta echo foxtrot golf"),
+        (4, "nothing in common with anybody else at all whatsoever today"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dedup_removes_every_occurrence(span_docs):
+    got = {r.doc_id: r for r in dedup.exact_substring_dedup(span_docs).collect()}
+    # the shared 8-token span is gone from BOTH carriers (no kept original)
+    for d in (1, 2):
+        assert "alpha" not in got[d].cleaned and "hotel" not in got[d].cleaned
+        assert got[d].n_removed == 8
+    # the unique framing around the span survives, in order
+    assert got[1].cleaned == "intro one outro one"
+    assert "different opening here" in got[2].cleaned
+
+
+def test_substring_dedup_k_minus_one_run_survives(span_docs):
+    got = {r.doc_id: r for r in dedup.exact_substring_dedup(span_docs).collect()}
+    # doc 3 shares only a 7-token run with docs 1/2: below k=8, untouched
+    assert got[3].n_removed == 0
+    assert got[4].n_removed == 0
+    # token-less doc stays in-band
+    assert got[5].n_tokens == 0 and got[5].cleaned == ""
+
+
+def test_substring_dedup_identical_docs_fully_removed(spark):
+    txt = "one two three four five six seven eight nine ten eleven twelve"
+    d = spark.createDataFrame([(1, txt), (2, txt)], "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.exact_substring_dedup(d).collect()}
+    assert got[1].cleaned == "" and got[2].cleaned == ""
+    assert got[1].removed_frac == 1.0
+
+
+def test_substring_dedup_duckdb_mirror(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.removed_frac, r.cleaned)
+        for r in dedup.exact_substring_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(dedup.exact_substring_dedup_sql()).fetchall()
+    }
+    assert got == want
