@@ -645,6 +645,18 @@ def q_t1_events_hourly(spark, sf_dir):
     )
 
 
+def q_t2_events_sessionize(spark, sf_dir):
+    """T2: gap-based session windows per user (streaming/stream.py:
+    sessionize — Spark's session_window aggregation, identical on
+    readStream+watermark). The oracle is the classic gap-and-island
+    rewrite; per-session value sums are exact int64 cents so the compare
+    is order-independent. One shuffle keyed by user, session assembly
+    inside the aggregation operator — no window-function pass."""
+    from europarl_crawler_spark.streaming.stream import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_f6_json_extract(spark, sf_dir):
     """F6: semi-structured JSON column parse + aggregate (reference stores
     extraction results as JSONB, db/documents.py:188-199; here from_json with
@@ -2955,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 but past the 50-lane window (it is full): value-checked
         # by tools/check_oracle.py + the committed BENCH/ORACLE_FULL artifact
         "text_substring_dedup": q_text_substring_dedup,
+        "t2_events_sessionize": q_t2_events_sessionize,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3011,6 +3024,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+
+
+def _stream_mod():
+    from europarl_crawler_spark.streaming import stream
+
+    return stream
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3421,6 +3441,9 @@ WHERE rank <= 10
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # session windows: gap-and-island rewrite; Spark merges TOUCHING
+        # windows, hence <= gap extends (pinned in tests/test_sessionize)
+        "t2_events_sessionize": _stream_mod().sessionize_sql(),
         "f6_json_extract": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -44,6 +44,7 @@ HEADLINE = [
     "o1_o2_topk_drain",
     "o8_spaced_refresh",
     "t1_events_hourly",
+    "t2_events_sessionize",
     "w1_top_customer_per_nation",
     "a1_status_histogram",
     "dedup_exact",

@@ -68,6 +68,89 @@ def windowed_status_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based SESSION windows per key — Spark's ``session_window``
+    aggregation (the analytics twin of a crawler's per-host activity
+    sessions). A session extends while consecutive events arrive within
+    ``gap``; its end is last-event-time + gap, and touching windows merge
+    (an event exactly at last+gap extends the session).
+
+    Works identically on a bounded frame and on ``readStream`` +
+    ``withWatermark`` (session_window is a first-class streaming operator);
+    the batch lane is what the oracle value-checks, via the classic
+    gap-and-island rewrite (lag → new-session flag → running sum → group).
+
+    The per-session value sum is made order-independent the repo's standard
+    way: each double rounds ONCE to integer cents per row, the aggregate is
+    an exact int64 sum, and the final division is a single IEEE op — a raw
+    double sum would depend on shuffle arrival order.
+
+    Plan shape (100 TB): one shuffle keyed by ``key_col`` (uniform user/host
+    keys), session assembly inside the aggregation operator — no window
+    function pass, no second shuffle. Skewed keys (one bot user with 10^8
+    events) would salt the key and re-merge adjacent sessions; AQE's skew
+    handling covers the join-side analog."""
+    cents = F.round(F.col(value_col) * F.lit(100)).cast("long")
+    agg = (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    return agg.select(
+        key_col,
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        F.round(F.col("cents") / F.lit(100.0), 2).alias("sum_value"),
+    )
+
+
+def sessionize_sql(
+    gap_minutes: int = 30,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB mirror of :func:`sessionize` — the gap-and-island rewrite.
+    A new session starts when the gap to the previous event EXCEEDS gap:
+    Spark merges touching windows, so an event landing exactly at
+    last+gap still extends the session (pinned in tests/test_sessionize)."""
+    return f"""
+WITH e AS (
+  SELECT {key_col}, {ts_col},
+         CAST(round({value_col} * 100) AS BIGINT) AS cents,
+         CASE WHEN {ts_col} - lag({ts_col}) OVER
+                   (PARTITION BY {key_col} ORDER BY {ts_col}, cents)
+                   <= INTERVAL {gap_minutes} MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM {table}
+),
+s AS (
+  SELECT *, sum(new_s) OVER
+           (PARTITION BY {key_col} ORDER BY {ts_col}, cents
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT {key_col},
+       min({ts_col}) AS session_start,
+       max({ts_col}) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(cents) / 100.0, 2) AS sum_value
+FROM s GROUP BY {key_col}, sid
+"""
+
+
 _POLITENESS_OUT = T.StructType(
     [
         T.StructField("host_hash", T.LongType(), False),
