@@ -494,6 +494,22 @@ def q_p10_throttle_classify(spark, sf_dir):
     return g.select("host_key", action.alias("action"))
 
 
+def q_p12_politeness_audit(spark, sf_dir):
+    """P12 (audit): after-the-fact politeness compliance over a timestamped
+    request log — rows whose gap to the previous same-host request is below
+    the minimum interval (plans/politeness.py:politeness_audit; the verifier
+    dual of the reference's TokenBucket emission-side spacing,
+    workers/tokenbucket.py). One shuffle keyed by host; exact int64
+    microsecond gaps. 6h interval over the events-derived log yields a
+    deterministic non-empty violation report; the ENGINE's own log audits
+    to zero rows in tests/test_politeness_audit.py."""
+    from europarl_crawler_spark.plans.politeness import politeness_audit
+
+    return politeness_audit(
+        _requests(spark, sf_dir), min_interval_secs=21600.0
+    ).select("host_key", "request_id", "prev_request_id", "gap_us")
+
+
 def q_j10_uncrawled_delete(spark, sf_dir):
     """J10/D4 shape: rows with no child row → delete targets (customers with
     no orders; reference db/url.py:139-156 urls with no requests)."""
@@ -2523,6 +2539,26 @@ def q_corpus_export_webdataset(spark, sf_dir):
     return exp.read_webdataset_manifest(spark, root)
 
 
+def q_corpus_export_warc(spark, sf_dir):
+    """WARC archive export round trip (operators/warc.py): write the corpus
+    as hash-sharded ``.warc.gz`` archives — per-record gzip members, a
+    leading warcinfo record, one framed HTTP ``response`` record per
+    document — then RE-READ the archives through the real record parser
+    (version line, mandatory headers, Content-Length framing at both the
+    WARC and HTTP layer, record terminators) and return per-shard counts +
+    order-insensitive url/payload checksums. The DuckDB oracle recomputes
+    the receipt from the source table, so any record lost, duplicated, or
+    byte-mangled in pack→unpack breaks the value hash."""
+    import tempfile
+
+    from europarl_crawler_spark.operators import warc as warc_ops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = tempfile.mkdtemp(prefix="warc-query-") + "/corpus"
+    warc_ops.export_warc(d, root, n_shards=4).collect()
+    return warc_ops.read_warc_manifest(spark, root)
+
+
 def q_store_incremental_read(spark, sf_dir):
     """Iceberg-style incremental (CDC) consumption
     (sources/epochstore.py:read_changes): a downstream training-data
@@ -2968,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_oracle.py + the committed BENCH/ORACLE_FULL artifact
         "text_substring_dedup": q_text_substring_dedup,
         "t2_events_sessionize": q_t2_events_sessionize,
+        "p12_politeness_audit": q_p12_politeness_audit,
+        "corpus_export_warc": q_corpus_export_warc,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3031,6 +3069,12 @@ def _stream_mod():
     from europarl_crawler_spark.streaming import stream
 
     return stream
+
+
+def _warc_mod():
+    from europarl_crawler_spark.operators import warc
+
+    return warc
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3364,6 +3408,20 @@ WHERE rank <= 10
                         THEN 'unthrottle'
                         ELSE 'noop' END AS action
             FROM {_REQUESTS_SQL} AS r GROUP BY host_key
+        """,
+        "p12_politeness_audit": f"""
+            WITH g AS (
+                SELECT host_key, request_id,
+                       LAG(request_id) OVER w AS prev_request_id,
+                       epoch_us(requested_at) - LAG(epoch_us(requested_at)) OVER w
+                           AS gap_us
+                FROM {_REQUESTS_SQL} AS r
+                WINDOW w AS (PARTITION BY host_key
+                             ORDER BY requested_at ASC, request_id ASC)
+            )
+            SELECT host_key, request_id, prev_request_id, gap_us
+            FROM g
+            WHERE prev_request_id IS NOT NULL AND gap_us < 21600000000
         """,
         "j10_uncrawled_delete": """
             SELECT c_custkey, c_name FROM customer c
@@ -4627,6 +4685,7 @@ FROM c
             {"train": 0.8, "val": 0.1, "test": 0.1}, 4
         ),
         "corpus_export_webdataset": export_ops.webdataset_manifest_sql(4),
+        "corpus_export_warc": _warc_mod().warc_manifest_sql(4),
         # empty-set invariants (VERDICT r2 #5): the lanes' pair/result sets
         # are engine-hash-dependent, but their precision/validity is not —
         # the violation sets must be deterministically empty
