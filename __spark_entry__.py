@@ -1727,6 +1727,59 @@ def q_multimodal_png_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_tiff_codec(spark, sf_dir):
+    """TIFF 6.0 lane (functions/tiffkit.py), oracle-checked end to end: the
+    same codepoint-derived 8×8 RGB pixels round-trip through strip-based
+    TIFF with the encode options rotating by doc_id — (II, uncompressed),
+    (II, LZW), (MM, LZW + horizontal-differencing predictor), (MM,
+    uncompressed + predictor) — at rows_per_strip=3 so every file carries
+    MULTIPLE strips. TIFF is lossless, so DuckDB predicts the decoded-pixel
+    means straight from the codepoints; any defect in the early-change LZW,
+    predictor algebra, IFD layout, or strip reassembly breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import tiffkit
+
+    d = _codepoint_docs(spark, sf_dir)
+    VARIANTS = [
+        ("none", "II", False),
+        ("lzw", "II", False),
+        ("lzw", "MM", True),
+        ("none", "MM", True),
+    ]
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "variant": [], "ok_roundtrip": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                comp, bo, pred = VARIANTS[did % 4]
+                enc = tiffkit.tiff_encode(
+                    px, compression=comp, byte_order=bo,
+                    rows_per_strip=3, predictor=pred,
+                )
+                dec = tiffkit.tiff_decode(enc)
+                m = dec.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out["doc_id"].append(did)
+                out["variant"].append(did % 4)
+                out["ok_roundtrip"].append(bool(np.array_equal(dec, px)))
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, variant int, ok_roundtrip boolean, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
 def q_multimodal_png_meta(spark, sf_dir):
     """PNG text-metadata lane (functions/imaging.py:png_text_chunks): embed
     each document's leading text as a Comment chunk — tEXt when Latin-1,
@@ -3006,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_events_sessionize": q_t2_events_sessionize,
         "p12_politeness_audit": q_p12_politeness_audit,
         "corpus_export_warc": q_corpus_export_warc,
+        "multimodal_tiff_codec": q_multimodal_tiff_codec,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3854,6 +3908,23 @@ FROM c
                            unnest(generate_series(0, 191)) AS i FROM documents)
             )
             SELECT doc_id,
+                   TRUE AS ok_roundtrip,
+                   round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        "multimodal_tiff_codec": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 191)) AS i FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(doc_id % 4 AS INTEGER) AS variant,
                    TRUE AS ok_roundtrip,
                    round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
                    round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,

@@ -44,6 +44,11 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
 - ``bmp``  : Windows BMP (BITMAPINFOHEADER, 24-bit BGR, 4-byte row
              padding; bottom-up and top-down variants decode) — the
              uncompressed container crawls still meet constantly. Lossless.
+- ``tiff`` : TIFF 6.0 (functions/tiffkit.py): strip-based baseline RGB with
+             the spec's MSB-first early-change LZW + horizontal-differencing
+             predictor — the fifth compression family; decoder also covers
+             uncompressed strips, predictor 1, MM byte order (the IFD walk
+             is shared with the EXIF kit). Lossless.
 
 ``phash64`` is the classic 8×8-DCT perceptual hash (32×32 grayscale → DCT-II →
 top-left 8×8 minus DC → sign vs median → 64-bit int), all numpy matmuls so it
@@ -59,8 +64,8 @@ import numpy as np
 
 from .kitguard import rejects_malformed
 
-FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp", "bmp")
-LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp", "bmp"})
+FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp", "bmp", "tiff")
+LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp", "bmp", "tiff"})
 
 # serving quality for the crawl's jpeg lane: quant steps ≈ 1, so even noise
 # payloads hold the input_hint's PSNR ≥ 40 dB lossy invariant (measured
@@ -102,6 +107,11 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return webpkit.webp_encode(px)
     if fmt == "bmp":
         return _bmp_encode(px)
+    if fmt == "tiff":
+        from . import tiffkit
+
+        # LZW + horizontal-differencing predictor: the layout photo TIFFs use
+        return tiffkit.tiff_encode(px, compression="lzw", predictor=True)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -146,6 +156,12 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "bmp":
         px = _bmp_decode(payload)
         assert px.shape == (h, w, 3), "BMP header/metadata mismatch"
+        return px
+    if fmt == "tiff":
+        from . import tiffkit
+
+        px = tiffkit.tiff_decode(payload)
+        assert px.shape == (h, w, 3), "TIFF header/metadata mismatch"
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 
