@@ -1387,6 +1387,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup — cluster-scoped semantic dedup with the paper's
+    keep-farthest-from-centroid policy (operators/similarity.py:semdedup;
+    Abbas et al. 2023). Portable hash-stride seeds + cosine rounded to 6
+    for every cross-engine comparison, so DuckDB reproduces the full
+    pipeline (assignment → per-cell rank → upper-triangular eps rule)
+    value-for-value. eps matches the 0.35 near-dup grain of the synthetic
+    embeddings so the lane exercises both keeps and drops."""
+    return similarity.semdedup(
+        _emb_double(spark, sf_dir), eps=0.35, n_cells=16, portable=True
+    )
+
+
 def _queries_vecs(spark, sf_dir):
     return (
         _emb_double(spark, sf_dir)
@@ -3060,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_politeness_audit": q_p12_politeness_audit,
         "corpus_export_warc": q_corpus_export_warc,
         "multimodal_tiff_codec": q_multimodal_tiff_codec,
+        "dedup_semantic": q_dedup_semantic,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3350,6 +3364,40 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored)
 WHERE rank <= 10
+"""
+    semdedup_sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cnt AS (SELECT greatest(count(*) // 32, 1) AS stride FROM e),
+seeds AS (
+  SELECT vec_id AS cell_id, v AS c FROM e, cnt
+  WHERE ({porthash.affine_sql(f"(vec_id % {porthash.P})", 0)}) % stride = 0
+  ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, v, cell_id, c2c FROM (
+    SELECT e.vec_id, e.v, s.cell_id, round({_fcos('e.v', 's.c')}, 6) AS c2c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_fcos('e.v', 's.c')}, 6) DESC,
+                                       s.cell_id ASC) AS rn
+    FROM e CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, v, cell_id, c2c,
+         row_number() OVER (PARTITION BY cell_id
+                            ORDER BY c2c ASC, vec_id ASC) AS cell_rank
+  FROM assigned
+),
+dom AS (
+  SELECT i.vec_id AS vec_id, min_by(j.vec_id, j.cell_rank) AS dup_of
+  FROM ranked i JOIN ranked j
+    ON i.cell_id = j.cell_id AND j.cell_rank < i.cell_rank
+  WHERE round({_fcos('i.v', 'j.v')}, 6) >= 0.35
+  GROUP BY i.vec_id
+)
+SELECT r.vec_id, r.cell_id, r.cell_rank,
+       d.dup_of IS NULL AS keep, d.dup_of
+FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
 """
     cos_sql = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
@@ -3732,6 +3780,7 @@ FROM c
 
         "ann_lsh_topk": ann_lsh_sql,
         "ann_ivf_topk": ann_ivf_sql,
+        "dedup_semantic": semdedup_sql,
         "dedup_groups": f"""
             WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({shingle_sql}) q),
             edges AS (

@@ -427,3 +427,91 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    n: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    SEMANTIC deduplication — the pruning step production LLM pipelines run
+    between exact/fuzzy dedup and training. Unlike
+    ``embedding_near_dup_pairs`` (exhaustive near-dup pairs with a lossless
+    triangle-inequality guarantee), SemDeDup deliberately scopes duplicate
+    detection to k-means-style cells and applies the paper's keep policy:
+
+    1. assign every vector to its nearest seed centroid (the IVF assignment
+       plan: hash-stride seeds broadcast, one Arrow scoring pass, argmax);
+    2. order each cell by centroid similarity ASCENDING (the paper keeps
+       the examples FARTHEST from the centroid), ties by id;
+    3. a member is a semantic duplicate iff some earlier-ordered member of
+       its cell has cosine ≥ eps with it (the released implementation's
+       upper-triangular-max rule — the dominator need not itself survive).
+
+    Output: (id, cell_id, cell_rank, keep, dup_of) where dup_of is the
+    earliest-ordered dominator (NULL for keepers).
+
+    Every cross-engine comparison (assignment argmax, rank order, the eps
+    test) uses cosine ROUNDED to 6 — the repo's standard for making
+    float ordering engine-independent; ``portable`` seeds let the DuckDB
+    oracle reproduce the exact cell decomposition.
+
+    Scale shape: seeds broadcast (n_cells ≈ √n by cell_count_policy);
+    assignment is one Arrow pass (n·n_cells) with a vid-keyed argmax; the
+    quadratic stage is confined within cells (the algorithm's own cost
+    model: Σ|cell|² ≈ n^1.5 at √n cells) via ONE cell-keyed self-join; the
+    rank window is per-cell, never corpus-wide. A pathological giant cell
+    (mass collapse at 10^10 scale) would salt into sub-cells at the cost of
+    missing cross-sub-cell dups — the paper's own approximation dial.
+    """
+    if n is None:
+        n = estimated_count(emb)
+    if n_cells is None:
+        n_cells = cell_count_policy(n)
+    seeds = centroid_seeds(emb, n_cells, n, id_col, vec_col, portable)
+    v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"))
+    assign_w = Window.partitionBy("vid").orderBy(F.desc("_c2c"), F.asc("cell_id"))
+    assigned = (
+        v.crossJoin(F.broadcast(seeds))
+        .withColumn("_c2c", F.round(cosine_kernel("_v", "_centroid"), 6))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "_v", "cell_id", "_c2c")
+    )
+    rank_w = Window.partitionBy("cell_id").orderBy(F.asc("_c2c"), F.asc("vid"))
+    ranked = assigned.withColumn("cell_rank", F.row_number().over(rank_w))
+    lo = ranked.select(
+        "cell_id",
+        F.col("vid").alias("jvid"),
+        F.col("_v").alias("_vj"),
+        F.col("cell_rank").alias("jrank"),
+    )
+    hi = ranked.select(
+        "cell_id",
+        F.col("vid").alias("ivid"),
+        F.col("_v").alias("_vi"),
+        F.col("cell_rank").alias("irank"),
+    )
+    dom = (
+        hi.join(lo, "cell_id")
+        .filter(F.col("jrank") < F.col("irank"))
+        .withColumn("_cos", F.round(cosine_kernel("_vi", "_vj"), 6))
+        .filter(F.col("_cos") >= F.lit(float(eps)))
+        .groupBy(F.col("ivid").alias("vid"))
+        .agg(F.min_by("jvid", "jrank").alias("dup_of"))
+    )
+    return (
+        ranked.join(dom, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell_id",
+            "cell_rank",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
