@@ -510,6 +510,28 @@ def q_p12_politeness_audit(spark, sf_dir):
     ).select("host_key", "request_id", "prev_request_id", "gap_us")
 
 
+def q_o9_adaptive_refresh(spark, sf_dir):
+    """O9 (beyond O8): change-rate-adaptive revisit scheduling
+    (plans/frontier.py:adaptive_refresh — Cho & Garcia-Molina 2003 ratio
+    estimator as exact integer ceil-division, clamped to [1, 60] days).
+    History is derived per host from the requests view: visits = request
+    count, changes = distinct status codes seen - 1 (the deterministic
+    change stand-in), last_visit = newest request date. Pure projection
+    over the per-host summary — zero shuffle beyond the groupBy, no UDF;
+    DuckDB replays the schedule bit-for-bit including the due flag."""
+    from datetime import date
+
+    from europarl_crawler_spark.plans.frontier import adaptive_refresh
+
+    r = _requests(spark, sf_dir)
+    hist = r.groupBy("host_key").agg(
+        F.count("*").alias("n_visits"),
+        (F.countDistinct("status_code") - 1).alias("n_changes"),
+        F.max(F.to_date("requested_at")).alias("last_visit"),
+    )
+    return adaptive_refresh(hist, date(2024, 6, 1), min_days=1, max_days=60)
+
+
 def q_j10_uncrawled_delete(spark, sf_dir):
     """J10/D4 shape: rows with no child row → delete targets (customers with
     no orders; reference db/url.py:139-156 urls with no requests)."""
@@ -3074,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export_warc": q_corpus_export_warc,
         "multimodal_tiff_codec": q_multimodal_tiff_codec,
         "dedup_semantic": q_dedup_semantic,
+        "o9_adaptive_refresh": q_o9_adaptive_refresh,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3510,6 +3533,27 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
                         THEN 'unthrottle'
                         ELSE 'noop' END AS action
             FROM {_REQUESTS_SQL} AS r GROUP BY host_key
+        """,
+        "o9_adaptive_refresh": f"""
+            WITH h AS (
+              SELECT host_key, count(*) AS n_visits,
+                     count(DISTINCT status_code) - 1 AS n_changes,
+                     max(CAST(requested_at AS DATE)) AS last_visit
+              FROM {_REQUESTS_SQL} AS r GROUP BY host_key
+            ), s AS (
+              SELECT host_key, n_visits, n_changes, last_visit,
+                     least(greatest(
+                       (n_visits + greatest(n_changes, 1) - 1)
+                           // greatest(n_changes, 1),
+                       1), 60) AS interval_days
+              FROM h
+            )
+            SELECT host_key, n_visits, n_changes, interval_days,
+                   CAST(last_visit + INTERVAL (interval_days) DAY AS DATE)
+                       AS next_due,
+                   CAST(last_visit + INTERVAL (interval_days) DAY AS DATE)
+                       <= DATE '2024-06-01' AS due
+            FROM s
         """,
         "p12_politeness_audit": f"""
             WITH g AS (

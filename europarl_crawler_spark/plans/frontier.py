@@ -87,6 +87,50 @@ def spaced_refresh_keep_expr(off_col) -> F.Column:
     )
 
 
+def adaptive_refresh(
+    history: DataFrame,
+    ref_date,
+    min_days: int = 1,
+    max_days: int = 60,
+    k: int = 1,
+    key_col: str = "host_key",
+) -> DataFrame:
+    """Change-rate-ADAPTIVE revisit scheduling — the generalization of the
+    reference's fixed spacing table (spaced_refresh_keep_expr) that a
+    web-scale crawler runs once it has per-page history: pages that change
+    often get short revisit intervals, static pages decay toward
+    ``max_days`` (Cho & Garcia-Molina 2003, "Estimating frequency of
+    change" — the ratio estimator X/n; its Poisson correction is monotone
+    in X/n, so the integer rational form below preserves the schedule
+    ordering while staying bit-exact in any engine).
+
+    ``history``: (key, n_visits, n_changes, last_visit:date). Emits
+    interval_days = clamp(ceil(k·n_visits / max(n_changes, 1)), min, max)
+    — exact integer ceil-division, no float — plus next_due and the due
+    flag vs ``ref_date``.
+
+    Scale shape: a pure projection over the per-page state summary (the
+    O(urls) url_state table, never the request log) — zero shuffle, zero
+    UDF; the due-set filter pushes straight into the state-table scan.
+    """
+    nv, nc = F.col("n_visits"), F.greatest(F.col("n_changes"), F.lit(1))
+    interval = F.least(
+        F.greatest(
+            ((nv * int(k) + nc - 1) / nc).cast("long"),  # exact ceil-div
+            F.lit(int(min_days)),
+        ),
+        F.lit(int(max_days)),
+    )
+    out = history.select(
+        key_col,
+        "n_visits",
+        "n_changes",
+        interval.alias("interval_days"),
+        F.date_add(F.col("last_visit"), interval.cast("int")).alias("next_due"),
+    )
+    return out.withColumn("due", F.col("next_due") <= F.lit(ref_date))
+
+
 def recrawl_candidates(frontier: DataFrame, url_state: DataFrame, now_date) -> DataFrame:
     """O8 wiring: terminal-200 doc URLs re-enter pending when their
     session-date age matches the spaced-refresh schedule (reference

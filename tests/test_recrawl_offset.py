@@ -245,3 +245,33 @@ def test_probe_offset_guard(spark, tmp_path):
     eng_orders = _engine_orders(dict(spark=spark, store=store))
     for e in (1, 2):
         assert eng_orders.get(e, []) == sim_orders[e - 1], f"epoch {e}"
+
+
+def test_adaptive_refresh_integer_schedule(spark):
+    """adaptive_refresh: exact ceil-division, [min,max] clamping, zero-change
+    guard, and the due boundary (next_due == ref counts as due)."""
+    from datetime import date
+
+    from europarl_crawler_spark.plans.frontier import adaptive_refresh
+
+    rows = [
+        # (key, visits, changes, last_visit)
+        (1, 10, 5, date(2024, 1, 1)),   # ceil(10/5)=2
+        (2, 10, 3, date(2024, 1, 1)),   # ceil(10/3)=4
+        (3, 10, 0, date(2024, 1, 1)),   # zero changes -> ceil(10/1)=10
+        (4, 500, 2, date(2024, 1, 1)),  # 250 clamps to max 60
+        (5, 1, 9, date(2024, 1, 1)),    # ceil(1/9)=1 (already >= min)
+        (6, 3, 3, date(2024, 5, 31)),   # interval 1 -> due exactly on ref
+        (7, 3, 3, date(2024, 6, 1)),    # next_due past ref -> not due
+    ]
+    df = spark.createDataFrame(
+        rows, "host_key int, n_visits long, n_changes long, last_visit date"
+    )
+    out = {
+        r["host_key"]: r
+        for r in adaptive_refresh(df, date(2024, 6, 1), 1, 60).collect()
+    }
+    assert [out[k]["interval_days"] for k in (1, 2, 3, 4, 5)] == [2, 4, 10, 60, 1]
+    assert out[4]["next_due"] == date(2024, 3, 1)
+    assert out[6]["due"] is True and out[6]["next_due"] == date(2024, 6, 1)
+    assert out[7]["due"] is False
