@@ -1815,6 +1815,44 @@ def q_multimodal_tiff_codec(spark, sf_dir):
     )
 
 
+def q_multimodal_qoi_codec(spark, sf_dir):
+    """QOI lane (functions/qoikit.py — the qoiformat.org spec): the same
+    codepoint pixels round-trip through the RUN/INDEX/DIFF/LUMA/literal op
+    stream. Lossless ⇒ DuckDB predicts the decoded-pixel means straight
+    from the codepoints; any op emission/decode defect (index-hash drift,
+    wraparound delta, run framing) breaks the roundtrip flag or the
+    means."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import qoikit
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "ok_roundtrip": [], "mean_r": [],
+                   "mean_g": [], "mean_b": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                dec = qoikit.qoi_decode(qoikit.qoi_encode(px))
+                m = dec.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out["doc_id"].append(did)
+                out["ok_roundtrip"].append(bool(np.array_equal(dec, px)))
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, ok_roundtrip boolean, mean_r double, "
+        "mean_g double, mean_b double",
+    )
+
+
 def q_multimodal_png_meta(spark, sf_dir):
     """PNG text-metadata lane (functions/imaging.py:png_text_chunks): embed
     each document's leading text as a Comment chunk — tEXt when Latin-1,
@@ -3097,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_codec": q_multimodal_tiff_codec,
         "dedup_semantic": q_dedup_semantic,
         "o9_adaptive_refresh": q_o9_adaptive_refresh,
+        "multimodal_qoi_codec": q_multimodal_qoi_codec,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3992,6 +4031,22 @@ FROM c
         # defect breaks this row. avg = (int sum)/64 — exact in double AND
         # exactly 6 decimal digits, so round(…, 6) is engine-agnostic.
         "multimodal_png_codec": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 191)) AS i FROM documents)
+            )
+            SELECT doc_id,
+                   TRUE AS ok_roundtrip,
+                   round(avg(CASE WHEN ch = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        "multimodal_qoi_codec": """
             WITH px AS (
               SELECT doc_id, i % 3 AS ch,
                      CASE WHEN length(text) = 0 THEN 0

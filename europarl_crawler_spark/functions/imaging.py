@@ -49,6 +49,10 @@ Arrow-vectorized UDFs (never row-at-a-time Python on the data path):
              predictor — the fifth compression family; decoder also covers
              uncompressed strips, predictor 1, MM byte order (the IFD walk
              is shared with the EXIF kit). Lossless.
+- ``qoi``  : QOI (functions/qoikit.py, qoiformat.org): single-pass
+             RUN/INDEX/DIFF/LUMA/literal byte ops, no entropy coder — the
+             sixth compression family; RGBA-op streams from other encoders
+             decode. Lossless.
 
 ``phash64`` is the classic 8×8-DCT perceptual hash (32×32 grayscale → DCT-II →
 top-left 8×8 minus DC → sign vs median → 64-bit int), all numpy matmuls so it
@@ -64,8 +68,8 @@ import numpy as np
 
 from .kitguard import rejects_malformed
 
-FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp", "bmp", "tiff")
-LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp", "bmp", "tiff"})
+FORMATS = ("raw", "ppm", "qraw", "png", "jpeg", "gif", "webp", "bmp", "tiff", "qoi")
+LOSSLESS = frozenset({"raw", "ppm", "png", "gif", "webp", "bmp", "tiff", "qoi"})
 
 # serving quality for the crawl's jpeg lane: quant steps ≈ 1, so even noise
 # payloads hold the input_hint's PSNR ≥ 40 dB lossy invariant (measured
@@ -112,6 +116,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
         # LZW + horizontal-differencing predictor: the layout photo TIFFs use
         return tiffkit.tiff_encode(px, compression="lzw", predictor=True)
+    if fmt == "qoi":
+        from . import qoikit
+
+        return qoikit.qoi_encode(px)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -162,6 +170,12 @@ def decode(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         px = tiffkit.tiff_decode(payload)
         assert px.shape == (h, w, 3), "TIFF header/metadata mismatch"
+        return px
+    if fmt == "qoi":
+        from . import qoikit
+
+        px = qoikit.qoi_decode(payload)
+        assert px.shape == (h, w, 3), "QOI header/metadata mismatch"
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 
