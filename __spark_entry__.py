@@ -532,6 +532,27 @@ def q_o9_adaptive_refresh(spark, sf_dir):
     return adaptive_refresh(hist, date(2024, 6, 1), min_days=1, max_days=60)
 
 
+def q_g1_pagerank(spark, sf_dir):
+    """G1: crawl-priority PageRank over a host link graph
+    (operators/graph.py — integer-exact power iteration, ranks scaled
+    2^40, damping as the 85/100 rational, 10 iterations). The graph is
+    derived deterministically from events (src = user host key, dst =
+    event-keyed host); DuckDB replays all 10 iterations bit-for-bit via
+    the unrolled-CTE mirror. One shuffle per iteration (ranks⋈edges on
+    src + groupBy dst), no collect, no float drift."""
+    from europarl_crawler_spark.operators import graph
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 20).alias("src"),
+            (F.col("event_id") % 20).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return graph.pagerank(e, n_nodes=20, n_iter=10)
+
+
 def q_j10_uncrawled_delete(spark, sf_dir):
     """J10/D4 shape: rows with no child row → delete targets (customers with
     no orders; reference db/url.py:139-156 urls with no requests)."""
@@ -3136,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "o9_adaptive_refresh": q_o9_adaptive_refresh,
         "multimodal_qoi_codec": q_multimodal_qoi_codec,
+        "g1_pagerank": q_g1_pagerank,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3205,6 +3227,12 @@ def _warc_mod():
     from europarl_crawler_spark.operators import warc
 
     return warc
+
+
+def _graph_mod():
+    from europarl_crawler_spark.operators import graph
+
+    return graph
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3573,6 +3601,12 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
                         ELSE 'noop' END AS action
             FROM {_REQUESTS_SQL} AS r GROUP BY host_key
         """,
+        "g1_pagerank": _graph_mod().pagerank_sql(
+            "SELECT user_id % 20 AS src, event_id % 20 AS dst FROM events "
+            "WHERE user_id % 20 <> event_id % 20",
+            "20",
+            10,
+        ),
         "o9_adaptive_refresh": f"""
             WITH h AS (
               SELECT host_key, count(*) AS n_visits,
