@@ -532,6 +532,67 @@ def q_o9_adaptive_refresh(spark, sf_dir):
     return adaptive_refresh(hist, date(2024, 6, 1), min_days=1, max_days=60)
 
 
+def q_s11_sitemap_ingest(spark, sf_dir):
+    """S11: sitemap-protocol discovery (sources/sitemap.py): each host
+    builds a real two-level sitemap tree — a <sitemapindex> referencing two
+    parity-sharded <urlset> children with per-URL lastmod/changefreq/
+    priority — then the ingest side re-parses the tree through the
+    namespace-validating ElementTree parser and emits one row per
+    discovered URL. One applyInPandas task per host group (index+children
+    handled as a unit, as a fetcher sees them); DuckDB predicts every
+    field (loc, lastmod date arithmetic, changefreq cycle, priority,
+    shard) straight from the documents table, so any build/parse defect —
+    bad namespace, date formatting, priority range, lost entry — breaks
+    the value hash."""
+    import pandas as pd
+
+    from europarl_crawler_spark.sources import sitemap as sm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["source"].iloc[0]
+        ids = sorted(int(x) for x in pdf["doc_id"])
+        entries = sm.demo_entries(ids, host)
+        shards: dict[int, list] = {0: [], 1: []}
+        for did, e in zip(ids, entries):
+            shards[did % 2].append(e)
+        children = {
+            f"https://{host}/sitemap-{s}.xml": sm.sitemap_xml(es)
+            for s, es in shards.items()
+        }
+        index = sm.sitemap_index_xml(sorted(children))
+        # ingest side: full re-parse of the tree (index -> children)
+        kind, refs = sm.parse_sitemap(index)
+        assert kind == "index" and len(refs) == 2
+        rows = []
+        for ref in refs:
+            sub = int(ref["loc"].rsplit("-", 1)[1].split(".")[0])
+            ckind, got = sm.parse_sitemap(children[ref["loc"]])
+            assert ckind == "urlset"
+            for g in got:
+                rows.append(
+                    (
+                        host,
+                        g["loc"],
+                        g["lastmod"],
+                        g["changefreq"],
+                        int(round(g["priority"] * 10)),
+                        sub,
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["host", "loc", "lastmod", "changefreq", "priority_x10", "sub"],
+        )
+
+    return d.groupBy("source").applyInPandas(
+        per_host,
+        schema="host string, loc string, lastmod date, changefreq string, "
+        "priority_x10 int, sub int",
+    )
+
+
 def q_g1_pagerank(spark, sf_dir):
     """G1: crawl-priority PageRank over a host link graph
     (operators/graph.py — integer-exact power iteration, ranks scaled
@@ -3158,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_adaptive_refresh": q_o9_adaptive_refresh,
         "multimodal_qoi_codec": q_multimodal_qoi_codec,
         "g1_pagerank": q_g1_pagerank,
+        "s11_sitemap_ingest": q_s11_sitemap_ingest,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3600,6 +3662,19 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
                         THEN 'unthrottle'
                         ELSE 'noop' END AS action
             FROM {_REQUESTS_SQL} AS r GROUP BY host_key
+        """,
+        "s11_sitemap_ingest": """
+            SELECT source AS host,
+                   'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                       AS loc,
+                   CAST(DATE '2020-01-01' + INTERVAL (doc_id % 365) DAY AS DATE)
+                       AS lastmod,
+                   ['always', 'hourly', 'daily', 'weekly', 'monthly',
+                    'yearly', 'never'][CAST(doc_id % 7 AS INTEGER) + 1]
+                       AS changefreq,
+                   CAST(doc_id % 10 AS INTEGER) AS priority_x10,
+                   CAST(doc_id % 2 AS INTEGER) AS sub
+            FROM documents
         """,
         "g1_pagerank": _graph_mod().pagerank_sql(
             "SELECT user_id % 20 AS src, event_id % 20 AS dst FROM events "
