@@ -532,6 +532,20 @@ def q_o9_adaptive_refresh(spark, sf_dir):
     return adaptive_refresh(hist, date(2024, 6, 1), min_days=1, max_days=60)
 
 
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): hashed
+    bigram features, add-one bag-of-buckets target/raw models, per-
+    occurrence importance increments quantized to int64 BEFORE the
+    doc-keyed sum, deterministic Gumbel-top-k from the id's portable unit
+    hash. DuckDB replays the whole pipeline — tokenizer, bucket hash,
+    smoothing trees, quantization, Gumbel seed, tie-break — and must
+    produce the same 50 selected documents with the same quantized
+    scores."""
+    from europarl_crawler_spark.operators import dsir
+
+    return dsir.dsir_select(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_s11_sitemap_ingest(spark, sf_dir):
     """S11: sitemap-protocol discovery (sources/sitemap.py): each host
     builds a real two-level sitemap tree — a <sitemapindex> referencing two
@@ -3220,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_qoi_codec": q_multimodal_qoi_codec,
         "g1_pagerank": q_g1_pagerank,
         "s11_sitemap_ingest": q_s11_sitemap_ingest,
+        "corpus_dsir_select": q_corpus_dsir_select,
         # -- highest-value LLM-pipeline lanes stay gated every round -------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -3295,6 +3310,12 @@ def _graph_mod():
     from europarl_crawler_spark.operators import graph
 
     return graph
+
+
+def _dsir_mod():
+    from europarl_crawler_spark.operators import dsir
+
+    return dsir
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3663,6 +3684,7 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
                         ELSE 'noop' END AS action
             FROM {_REQUESTS_SQL} AS r GROUP BY host_key
         """,
+        "corpus_dsir_select": _dsir_mod().dsir_select_sql(50),
         "s11_sitemap_ingest": """
             SELECT source AS host,
                    'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
