@@ -1404,6 +1404,90 @@ def q_image_ar_bucket(spark, sf_dir):
     return multimodal.ar_bucket_assign(imgs)
 
 
+_P13_ROBOTS_TXT = (
+    "User-agent: other-bot\nDisallow: /\n\n"
+    "User-agent: europarl-crawler-spark\n"
+    "Disallow: /*.pdf$\n"
+    "Allow: /en/*.pdf$\n"
+    "Disallow: /fr\n"
+    "Allow: /fr/d1\n"
+    "Disallow: /*.php\n\n"
+    "User-agent: *\nDisallow: /\n"
+)
+_P13_AGENT = "europarl-crawler-spark"
+_P13_EXTS = [".html", ".pdf", ".php", ""]
+
+
+def _p13_urls(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _P13_EXTS]), (F.col("doc_id") % 4 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/"), F.col("lang"), F.lit("/d"),
+            (F.col("doc_id") % 50).cast("string"), ext,
+        ).alias("url"),
+        F.xxhash64(F.lower(host)).alias("host_hash"),
+    )
+
+
+def q_p13_robots_wildcard(spark, sf_dir):
+    """RFC 9309 robots gate (plans/robots.py): WILDCARD patterns (* / $
+    anchor), agent-GROUP SELECTION (the crawler's product token must beat
+    both a decoy group and the catch-all 'User-agent: *' Disallow-/ group
+    — a selection bug disallows everything and breaks the hash), and
+    longest-PATTERN precedence. URLs carry rotating extensions so
+    '/*.pdf$' (blocked), '/en/*.pdf$' (longer Allow wins), '/fr' prefix +
+    '/fr/d1' re-allow, and '/*.php' all fire. The oracle replays the SAME
+    parsed rule table with the SAME compiled portable regexes (driver
+    constants shared by construction) and the same precedence window in
+    DuckDB RE2."""
+    from europarl_crawler_spark.plans import robots as rb
+
+    urls = _p13_urls(spark, sf_dir)
+    robots = rb.robots_df(
+        spark,
+        {f"src{i}.example": _P13_ROBOTS_TXT for i in range(20)},
+        agent=_P13_AGENT,
+    )
+    return rb.apply_robots_gate(urls, robots).select("url_id", "url")
+
+
+def _p13_oracle_sql() -> str:
+    from europarl_crawler_spark.plans import robots as rb
+
+    rules = rb.parse_robots(_P13_ROBOTS_TXT, _P13_AGENT)
+    vals = ", ".join(
+        f"('{pat}', '{rb.pattern_regex(pat)}', {str(allow).upper()})"
+        for pat, allow in rules
+    )
+    exts = ", ".join(f"'{e}'" for e in _P13_EXTS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id AS url_id,
+         'https://' || source || '.example/' || lang || '/d'
+             || CAST(doc_id % 50 AS VARCHAR)
+             || ([{exts}])[CAST(doc_id % 4 AS INTEGER) + 1] AS url,
+         '/' || lang || '/d' || CAST(doc_id % 50 AS VARCHAR)
+             || ([{exts}])[CAST(doc_id % 4 AS INTEGER) + 1] AS path
+  FROM documents
+),
+rules AS (SELECT * FROM (VALUES {vals}) t(pattern, regex, allow)),
+m AS (
+  SELECT u.url_id, r.allow,
+         row_number() OVER (PARTITION BY u.url_id
+                            ORDER BY length(r.pattern) DESC, r.allow DESC)
+             AS rn
+  FROM urls u JOIN rules r ON regexp_matches(u.path, r.regex)
+)
+SELECT url_id, url FROM urls
+WHERE url_id NOT IN (SELECT url_id FROM m WHERE rn = 1 AND NOT allow)
+"""
+
+
 def q_p11_robots_gate(spark, sf_dir):
     """ROBOTS.TXT gate (plans/robots.py:apply_robots_gate), value-checked
     end-to-end: frontier URLs synthesized from documents (host = source,
@@ -1946,6 +2030,49 @@ def q_multimodal_qoi_codec(spark, sf_dir):
         batches,
         schema="doc_id long, ok_roundtrip boolean, mean_r double, "
         "mean_g double, mean_b double",
+    )
+
+
+def q_multimodal_format_sniff(spark, sf_dir):
+    """Content sniffing (functions/sniff.py): each document's codepoint
+    pixels are encoded in a format chosen by doc_id % 8 (png/jpeg/gif/webp/
+    bmp/tiff/qoi/ppm — every image family the engine decodes), then the
+    probe must recover the FORMAT FROM THE BYTES ALONE (magic numbers) and
+    the dimensions from the container header (no pixel decode — JPEG SOF
+    marker walk, TIFF IFD walk, VP8L bit fields, ...). DuckDB predicts
+    (fmt, w, h) straight from doc_id, so a mis-sniff or a header-offset
+    bug anywhere breaks the value hash. GIF's 256-color encoder cap is
+    respected by masking the palette for gif-lane docs in BOTH engines'
+    expectations (pixels differ; dims don't)."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+    from europarl_crawler_spark.functions import sniff as sn
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "fmt": [], "w": [], "h": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                fmt = sn.IMAGE_FORMATS[did % 8]
+                if fmt == "gif":
+                    px = (px // 32) * 32  # stay within the exact-palette cap
+                body = imaging.encode(px, fmt)
+                got_fmt, w, h = sn.image_dims(body)
+                out["doc_id"].append(did)
+                out["fmt"].append(got_fmt)
+                out["w"].append(w)
+                out["h"].append(h)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches, schema="doc_id long, fmt string, w int, h int"
     )
 
 
@@ -3156,8 +3283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crawl/TPC-H parity + early LLM lanes; r4 leads with the 31 lanes r3 left
     judge-verified-only — codecs, corpus ops, PII, decontamination, the
     precision/validity invariants — plus every lane whose plan changed this
-    round). Lanes 51+ all have green rows in CORRECTNESS_r03.json and stay
-    runnable via tools/check_oracle.py, which gates ALL entries."""
+    round; the 13 late-r4 lanes past the window are the r5 rotation set).
+    Lanes 51+ hold green rows in CORRECTNESS_r03.json or in the committed
+    full-catalog artifact BENCH/ORACLE_FULL_r04.json; tools/check_oracle.py
+    gates ALL entries."""
     return {
         # -- r4 gate window: previously driver-ungated lanes first ---------
         "dedup_lsh_precision": q_dedup_lsh_precision,
@@ -3211,19 +3340,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation_full": q_image_curation_full,
         "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,  # new in r4
         "dedup_image_phash": q_dedup_image_phash,  # new in r4 (gated)
-        # image_curation ⊂ image_curation_full (same shared decode pass):
-        # rotated just past the gate boundary so the cuckoo lane gets its
-        # first driver-visible row; the full composition stays gated.
-        # text_fingerprint (driver-green since r3) and
-        # dedup_image_pairs_blocked (r3-green; its r4 plan change — the
-        # shared decode frame — is certified by the still-gated
-        # image_curation_full) rotated out the same way to make room for
-        # the new perplexity + integer-pHash lanes inside the window.
+        # ---- end of the driver's 50-lane window (dedup_image_phash = #50)
+        # Everything below EITHER holds a green driver row in
+        # CORRECTNESS_r03.json OR is a late-r4 lane queued for the r5 gate
+        # window; ALL lanes hold value-checked rows in the committed
+        # full-catalog artifact BENCH/ORACLE_FULL_r04.json
+        # (tools/check_oracle.py gates every entry).
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
         "image_curation": q_image_curation,
         "text_fingerprint": q_text_fingerprint,
-        # new in r4 but past the 50-lane window (it is full): value-checked
-        # by tools/check_oracle.py + the committed BENCH/ORACLE_FULL artifact
+        # late-r4 lanes — r5 gate-window rotation candidates, newest first
         "text_substring_dedup": q_text_substring_dedup,
         "t2_events_sessionize": q_t2_events_sessionize,
         "p12_politeness_audit": q_p12_politeness_audit,
@@ -3235,7 +3361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_pagerank": q_g1_pagerank,
         "s11_sitemap_ingest": q_s11_sitemap_ingest,
         "corpus_dsir_select": q_corpus_dsir_select,
-        # -- highest-value LLM-pipeline lanes stay gated every round -------
+        "multimodal_format_sniff": q_multimodal_format_sniff,
+        "p13_robots_wildcard": q_p13_robots_wildcard,
+        # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3245,9 +3373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_pairs_streaming": q_dedup_image_pairs_streaming,
         "dedup_image_groups": q_dedup_image_groups,
         "image_quality": q_image_quality,
-        # ---- end of the driver's 50-lane window ---------------------------
-        # everything below holds a green row in CORRECTNESS_r03.json
-        # (and ALL lanes hold one in BENCH/ORACLE_FULL_r04.json)
         "caption_boilerplate": q_caption_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -4176,6 +4301,15 @@ FROM c
                    round(avg(CASE WHEN ch = 1 THEN v END), 6) AS mean_g,
                    round(avg(CASE WHEN ch = 2 THEN v END), 6) AS mean_b
             FROM px GROUP BY doc_id
+        """,
+        "p13_robots_wildcard": _p13_oracle_sql(),
+        "multimodal_format_sniff": """
+            SELECT doc_id,
+                   ['png', 'jpeg', 'gif', 'webp', 'bmp', 'tiff', 'qoi',
+                    'ppm'][CAST(doc_id % 8 AS INTEGER) + 1] AS fmt,
+                   CAST(8 AS INTEGER) AS w,
+                   CAST(8 AS INTEGER) AS h
+            FROM documents
         """,
         "multimodal_qoi_codec": """
             WITH px AS (

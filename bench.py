@@ -115,6 +115,16 @@ HEADLINE = [
     "multimodal_media_probe",
     "dedup_video_pairs",
     "dedup_audio_pairs",
+    # late-r4 lanes
+    "p12_politeness_audit",
+    "o9_adaptive_refresh",
+    "s11_sitemap_ingest",
+    "g1_pagerank",
+    "corpus_export_warc",
+    "corpus_dsir_select",
+    "dedup_semantic",
+    "multimodal_tiff_codec",
+    "multimodal_qoi_codec",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

@@ -1,13 +1,17 @@
 """robots.txt gating — new surface required by the north_rule.
 
 The reference has no robots handling (its politeness is the token bucket);
-the rebuild gates the frontier drain on a per-host disallow list. The parser
-covers the public robots.txt subset that matters for gating: ``User-agent``
-groups and ``Disallow``/``Allow`` path prefixes for the ``*`` agent.
+the rebuild gates the frontier drain on RFC 9309 (the Robots Exclusion
+Protocol as standardized in 2022): ``User-agent`` group selection with the
+specific-token-beats-wildcard rule, ``Allow``/``Disallow`` path patterns
+with the spec's ``*`` wildcard and ``$`` end anchor, longest-pattern
+precedence with Allow winning length ties, and empty-Disallow = allow-all.
 
 Gating is a broadcast join (the robots dimension is n_hosts × few rules —
-tiny next to the frontier) with a prefix predicate evaluated JVM-side via
-``startswith`` — no UDF, no shuffle of the frontier.
+tiny next to the frontier). Patterns compile ONCE (driver-side, per rule)
+to regexes restricted to a dialect portable across Java regex (Spark
+``regexp_like``) and RE2 (the DuckDB oracle): backslash escapes, ``.*``
+and ``$`` only — evaluated JVM-side, no UDF, no shuffle of the frontier.
 """
 
 from __future__ import annotations
@@ -20,17 +24,43 @@ ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host_hash", T.LongType(), False),
         T.StructField("host", T.StringType(), False),
-        T.StructField("path_prefix", T.StringType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("regex", T.StringType(), False),
         T.StructField("allow", T.BooleanType(), False),
     ]
 )
 
 
-def parse_robots(text: str) -> list[tuple[str, bool]]:
-    """robots.txt → [(path_prefix, allow)] for User-agent: * (longest-match
-    precedence is applied at gate time). Unknown directives ignored."""
+def pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex in the portable dialect
+    (valid and identical in Java regex and RE2): ``*`` → ``.*``, a
+    trailing ``$`` → end anchor, every other non-[A-Za-z0-9_/] octet
+    backslash-escaped. No-wildcard patterns therefore become plain
+    prefix matches (``^escaped``), bit-compatible with the pre-RFC
+    ``startswith`` gate."""
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch.isalnum() or ch in "/_-":
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    if anchor_end:
+        out.append("$")
+    return "".join(out)
+
+
+def _groups(text: str) -> list[tuple[list[str], list[tuple[str, bool]]]]:
+    """robots.txt → [(user-agent tokens, [(pattern, allow)])] groups.
+    Consecutive User-agent lines share one group (RFC 9309 §2.1); an
+    empty Allow/Disallow value is a no-op rule (allow-all), dropped."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
     rules: list[tuple[str, bool]] = []
-    applies = False
+    in_agents = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -38,10 +68,46 @@ def parse_robots(text: str) -> list[tuple[str, bool]]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            applies = val == "*"
-        elif applies and key in ("disallow", "allow") and val:
-            rules.append((val, key == "allow"))
-    return rules
+            if not in_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(val.lower())
+            in_agents = True
+        elif key in ("disallow", "allow"):
+            in_agents = False
+            if val:
+                rules.append((val, key == "allow"))
+        else:
+            in_agents = False  # crawl-delay/sitemap etc.: group continues
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def parse_robots(text: str, agent: str | None = None) -> list[tuple[str, bool]]:
+    """robots.txt → [(path pattern, allow)] for the applicable group.
+
+    ``agent=None`` keeps the legacy behavior (the ``*`` group only).
+    With a product token, RFC 9309 group selection applies: the group
+    whose token exactly matches the agent case-insensitively wins; else
+    the LONGEST token that is a prefix of the agent (the practical
+    Googlebot-documented superset); else the ``*`` group. All groups
+    with the winning token merge."""
+    gs = _groups(text)
+    if agent is None:
+        return [r for agents, rules in gs for r in rules if "*" in agents]
+    a = agent.lower()
+    best: str | None = None
+    for agents, _ in gs:
+        for tok in agents:
+            if tok == "*":
+                continue
+            if (tok == a or a.startswith(tok)) and (
+                best is None or len(tok) > len(best)
+            ):
+                best = tok
+    pick = best if best is not None else "*"
+    return [r for agents, rules in gs for r in rules if pick in agents]
 
 
 def parse_crawl_delay(text: str) -> float | None:
@@ -90,13 +156,18 @@ def crawl_delays_df(spark: SparkSession, robots_by_host: dict[str, str]) -> Data
     return spark.createDataFrame(rows, DELAY_SCHEMA)
 
 
-def robots_df(spark: SparkSession, robots_by_host: dict[str, str]) -> DataFrame:
-    """Build the robots dimension from {host: robots.txt text}."""
+def robots_df(
+    spark: SparkSession,
+    robots_by_host: dict[str, str],
+    agent: str | None = None,
+) -> DataFrame:
+    """Build the robots dimension from {host: robots.txt text}: one row per
+    applicable rule with its pattern compiled to the portable regex."""
     rows = []
     for host, text in sorted(robots_by_host.items()):
         hh = _host_hash_py(spark, host)
-        for prefix, allow in parse_robots(text):
-            rows.append((hh, host, prefix, allow))
+        for pattern, allow in parse_robots(text, agent):
+            rows.append((hh, host, pattern, pattern_regex(pattern), allow))
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
@@ -113,30 +184,35 @@ def path_expr(url_col) -> F.Column:
 
 
 def apply_robots_gate(frontier_batch: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop frontier rows whose URL path matches a disallow rule, honoring
-    longest-prefix-wins with Allow overriding Disallow at equal length (the
-    public robots.txt convention)."""
+    """Drop frontier rows whose URL path matches a disallow rule under
+    RFC 9309 precedence: the longest matching PATTERN decides, with Allow
+    overriding Disallow at equal length. Pattern matching runs JVM-side
+    via ``regexp_like`` over the driver-compiled regexes (no-wildcard
+    rules reduce to anchored prefix regexes — identical results to the
+    old ``startswith`` gate)."""
     fb = frontier_batch.withColumn("_path", path_expr("url"))
     matched = fb.join(
         F.broadcast(robots),
         (fb["host_hash"] == robots["host_hash"])
-        & fb["_path"].startswith(robots["path_prefix"]),
+        & F.regexp_like(fb["_path"], robots["regex"]),
         "left",
     ).select(
         fb["*"],
-        robots["path_prefix"].alias("_prefix"),
+        robots["pattern"].alias("_pattern"),
         robots["allow"].alias("_allow"),
     )
     # longest matching rule per frontier row decides
     from pyspark.sql import Window
 
-    # longest prefix first; at equal length Allow (true) sorts before
-    # Disallow so Allow wins the tie — the public robots.txt convention
-    w = Window.partitionBy("url_id").orderBy(F.desc(F.length("_prefix")), F.desc("_allow"))
+    # longest pattern first; at equal length Allow (true) sorts before
+    # Disallow so Allow wins the tie (RFC 9309 §2.2.2)
+    w = Window.partitionBy("url_id").orderBy(
+        F.desc(F.length("_pattern")), F.desc("_allow")
+    )
     decided = (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter(F.col("_allow").isNull() | F.col("_allow"))
-        .drop("_rn", "_prefix", "_allow", "_path")
+        .drop("_rn", "_pattern", "_allow", "_path")
     )
     return decided

@@ -215,3 +215,94 @@ def test_engine_honors_crawl_delay(spark, tmp_path):
         .collect()
     )
     assert per and all(r["count"] <= 20 for r in per)
+
+
+# ---- RFC 9309 upgrade: wildcards, $ anchor, group selection ----------------
+
+
+def test_pattern_regex_dialect():
+    import re
+
+    from europarl_crawler_spark.plans.robots import pattern_regex
+
+    assert pattern_regex("/fish") == "^/fish"
+    assert pattern_regex("/fish*") == "^/fish.*"
+    assert pattern_regex("/*.php$") == "^/.*\\.php$"
+    # the restricted dialect behaves identically in python re (and hence
+    # Java regex / RE2, which share it): spec examples
+    rx = re.compile(pattern_regex("/fish*.php$"))
+    assert rx.match("/fishheads/catfish.php")
+    assert not rx.match("/fish.php?id=1")  # $ anchors the end
+
+
+def test_group_selection_specific_beats_wildcard():
+    from europarl_crawler_spark.plans.robots import parse_robots
+
+    txt = (
+        "User-agent: other-bot\nDisallow: /decoy\n\n"
+        "User-agent: europarl-crawler-spark\nDisallow: /mine\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    assert parse_robots(txt, "europarl-crawler-spark") == [("/mine", False)]
+    assert parse_robots(txt, "europarl-crawler-spark/0.4") == [("/mine", False)]
+    assert parse_robots(txt, "unrelated-bot") == [("/", False)]
+    assert parse_robots(txt) == [("/", False)]  # legacy: '*' group
+
+
+def test_group_selection_longest_token_and_merge():
+    from europarl_crawler_spark.plans.robots import parse_robots
+
+    txt = (
+        "User-agent: euro\nDisallow: /a\n\n"
+        "User-agent: europarl-crawler-spark\nDisallow: /b\n\n"
+        "User-agent: europarl-crawler-spark\nDisallow: /c\n"
+    )
+    # longest matching token wins; its two groups MERGE
+    assert parse_robots(txt, "europarl-crawler-spark") == [
+        ("/b", False), ("/c", False),
+    ]
+    assert parse_robots(txt, "eurosomething") == [("/a", False)]
+
+
+def test_shared_agent_lines_and_empty_disallow():
+    from europarl_crawler_spark.plans.robots import parse_robots
+
+    txt = (
+        "User-agent: a-bot\nUser-agent: b-bot\n"
+        "Disallow:\nDisallow: /x\n"
+    )
+    # consecutive User-agent lines share the group; empty Disallow is a no-op
+    assert parse_robots(txt, "a-bot") == [("/x", False)]
+    assert parse_robots(txt, "b-bot") == [("/x", False)]
+
+
+def test_wildcard_gate_end_to_end(spark):
+    from europarl_crawler_spark.functions.urlkit import host_hash_expr
+    from europarl_crawler_spark.plans.robots import apply_robots_gate, robots_df
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /ok/*.pdf$\n"
+        "Disallow: /tmp*junk\n"
+    )
+    urls = [
+        "https://h.example/a.pdf",         # blocked by /*.pdf$
+        "https://h.example/a.pdf.txt",     # NOT blocked ($ anchor)
+        "https://h.example/ok/a.pdf",      # re-allowed (longer pattern)
+        "https://h.example/tmp123junk",    # mid-pattern wildcard blocks
+        "https://h.example/tmpclean",      # no match
+    ]
+    fb = (
+        spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "url_id long, url string"
+        )
+        .withColumn("host_hash", host_hash_expr("url"))
+    )
+    robots = robots_df(spark, {"h.example": txt})
+    kept = {r.url for r in apply_robots_gate(fb, robots).collect()}
+    assert kept == {
+        "https://h.example/a.pdf.txt",
+        "https://h.example/ok/a.pdf",
+        "https://h.example/tmpclean",
+    }
