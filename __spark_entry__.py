@@ -1404,6 +1404,83 @@ def q_image_ar_bucket(spark, sf_dir):
     return multimodal.ar_bucket_assign(imgs)
 
 
+def q_f8_html_extract(spark, sf_dir):
+    """F8 (full parity): HTML text+link extraction through the stdlib
+    parser (functions/htmlkit.py — the reference's BeautifulSoup
+    extraction stage, rules/extraction.py). Each document is wrapped in a
+    real page — title, script (contents must be SKIPPED, including a
+    '<' inside code), h1, the escaped body text (entity round trip),
+    anchors (order-kept hrefs), a style block (skipped) — then extracted
+    back. DuckDB predicts title/visible text (same whitespace
+    normalization, relationally)/link count/link checksum/tag count from
+    the source table, so a parser defect (entity decode, script/style
+    leakage, missed href, broken normalization) breaks the value hash."""
+    import html as html_mod
+
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import htmlkit
+    from europarl_crawler_spark.functions.porthash import P, poly_hash_py
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "title": [], "text": [], "n_links": [],
+                   "link_checksum": [], "n_tags": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                page = (
+                    f"<html><head><title>Doc {did}</title>"
+                    "<script>var x=1; if (x<2) x=3;</script></head>"
+                    f"<body><h1>Doc {did}</h1>\n"
+                    f"<p>{html_mod.escape(str(txt))}</p>\n"
+                    f'<a href="/doc/{did + 1}">next</a> '
+                    f'<a href="https://ext.example/{did % 7}">ext</a>'
+                    + (' <a href="#frag">anchor</a>' if did % 3 == 0 else "")
+                    + "<style>p { color: red }</style></body></html>"
+                )
+                got = htmlkit.extract(page)
+                ck = 0
+                for link in got["links"]:
+                    ck = (ck + poly_hash_py(link)) % P
+                out["doc_id"].append(did)
+                out["title"].append(got["title"])
+                out["text"].append(got["text"])
+                out["n_links"].append(len(got["links"]))
+                out["link_checksum"].append(ck)
+                out["n_tags"].append(got["n_tags"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, title string, text string, n_links int, "
+        "link_checksum long, n_tags int",
+    )
+
+
+def _f8_oracle_sql() -> str:
+    from europarl_crawler_spark.functions.porthash import P, poly_hash_sql
+
+    h1 = poly_hash_sql("'/doc/' || CAST(doc_id + 1 AS VARCHAR)")
+    h2 = poly_hash_sql("'https://ext.example/' || CAST(doc_id % 7 AS VARCHAR)")
+    h3 = poly_hash_sql("'#frag'")
+    return f"""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       trim(regexp_replace(
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' next ext'
+               || CASE WHEN doc_id % 3 = 0 THEN ' anchor' ELSE '' END,
+           '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INTEGER) AS n_links,
+       (({h1}) + ({h2})
+        + CASE WHEN doc_id % 3 = 0 THEN ({h3}) ELSE 0 END) % {P}
+           AS link_checksum,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 11 ELSE 10 END AS INTEGER) AS n_tags
+FROM documents
+"""
+
+
 _P13_ROBOTS_TXT = (
     "User-agent: other-bot\nDisallow: /\n\n"
     "User-agent: europarl-crawler-spark\n"
@@ -3363,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_select": q_corpus_dsir_select,
         "multimodal_format_sniff": q_multimodal_format_sniff,
         "p13_robots_wildcard": q_p13_robots_wildcard,
+        "f8_html_extract": q_f8_html_extract,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4303,6 +4381,7 @@ FROM c
             FROM px GROUP BY doc_id
         """,
         "p13_robots_wildcard": _p13_oracle_sql(),
+        "f8_html_extract": _f8_oracle_sql(),
         "multimodal_format_sniff": """
             SELECT doc_id,
                    ['png', 'jpeg', 'gif', 'webp', 'bmp', 'tiff', 'qoi',

@@ -190,9 +190,20 @@ class EpochStore:
         keys = self._keys(table)
         out = resolved.drop("_epoch", "_deleted")
         if target_partitions:
-            out = out.repartition(target_partitions, *keys) if keys else (
-                out.repartition(target_partitions)
-            )
+            if keys:
+                # repartition(n, keys) alone can be ELIDED: the resolve's
+                # row_number window already hash-partitions by the same keys,
+                # EnsureRequirements drops the "redundant" user exchange, and
+                # AQE is then free to coalesce the window's internal exchange
+                # below n (observed: 1 file at shuffle.partitions=2). The
+                # extra constant expression changes the partitioning identity
+                # — same key clustering, but the user-specified exchange (and
+                # its exact partition count) survives.
+                out = out.repartition(
+                    target_partitions, *[F.col(k) for k in keys], F.lit(0)
+                )
+            else:
+                out = out.repartition(target_partitions)
         return self.overwrite(table, out, epoch, keys)
 
     def expire(self, table: str) -> dict:

@@ -231,13 +231,10 @@ def test_shutdown_drops_uncrawled(world):
     )
 
 
-def test_politeness_gap_audit_detects_and_clears():
+def test_politeness_gap_audit_detects_and_clears(spark):
     """politeness_audit (P12): violations are exactly the same-host gaps
     below the interval; a properly spaced log audits clean."""
-    from europarl_crawler_spark import get_spark
     from europarl_crawler_spark.plans.politeness import politeness_audit
-
-    spark = get_spark("audit-unit", master="local[2]", shuffle_partitions=2)
     rows = [
         # host 1: 0s, 2s (violation @3s min), 10s (ok)
         (1, 101, datetime(2021, 1, 1, 0, 0, 0)),

@@ -237,3 +237,24 @@ def test_non_advancing_epoch_conflicts(spark, store):
         store.merge("t", _df(spark, [(2, "b")]), 4, keys=["k"])
     with pytest.raises(CommitConflictError, match="does not advance"):
         store.merge("t", _df(spark, [(2, "b")]), 5, keys=["k"])
+
+
+def test_compact_file_count_immune_to_session_shuffle_conf(spark, store):
+    """Regression: repartition(n, keys) alone was elided against the
+    resolve window's same-key exchange, letting AQE coalesce the write to
+    fewer files than target_partitions when spark.sql.shuffle.partitions
+    was small (observed: 1 file at 2). compact must honor the target under
+    ANY session conf."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for e in range(1, 5):
+            store.merge(
+                "t2", _df(spark, [(i, f"v{e}") for i in range(e * 10, e * 10 + 8)]),
+                e, keys=["k"],
+            )
+        m = store.compact("t2", spark, 5, target_partitions=2)
+        assert m["files"] == 2
+        assert store.read("t2", spark).count() == 32
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
