@@ -19,7 +19,8 @@ def test_basic_extraction():
     # adjacent tags contribute no separator — data-exact extraction
     assert got["text"] == "Head body & textonetwo"
     assert got["links"] == ["/x", "https://e/y"]
-    assert got["n_tags"] == 9
+    # html, head, title, script, body, h1, p, a, a, style
+    assert got["n_tags"] == 10
 
 
 def test_entities_and_charrefs_decode():
