@@ -1404,6 +1404,88 @@ def q_image_ar_bucket(spark, sf_dir):
     return multimodal.ar_bucket_assign(imgs)
 
 
+_DOMAIN_HOST_PATTERNS = [
+    "{s}.example.com",      # plain TLD rule
+    "a.{s}.example.com",    # deeper subdomain, same registrable
+    "{s}.co.uk",            # multi-label suffix
+    "x.{s}.co.uk",
+    "{s}.github.io",        # private-registry suffix
+    "{s}.b.ck",             # wildcard *.ck: b.ck is a public suffix
+    "www.ck",               # exception rule !www.ck
+    "{s}.zz",               # unknown TLD: implicit '*' fallback
+]
+
+
+def q_url_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction (functions/psl.py — the
+    publicsuffix.org algorithm over a broadcast rule dimension: longest
+    suffix wins, wildcard and exception rules, implicit-* fallback; pure
+    Catalyst, no UDF). Hosts rotate through every rule class; DuckDB
+    replays the same rule table, precedence window, and label slicing —
+    a precedence or slicing bug anywhere breaks the value hash. This is
+    the host→domain rollup per-domain politeness and frontier sharding
+    key on at web scale."""
+    from europarl_crawler_spark.functions import psl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.element_at(
+        F.array(*[
+            F.concat(
+                *[
+                    F.col("source") if part == "{s}" else F.lit(part)
+                    for part in _split_pattern(p)
+                ]
+            )
+            for p in _DOMAIN_HOST_PATTERNS
+        ]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    hosts = d.select(F.col("doc_id"), host.alias("host"))
+    out = psl.domain_rollup(hosts, "host")
+    # re-attach ids so rows are unique even when hosts repeat (www.ck)
+    return (
+        hosts.join(out.dropDuplicates(["host"]), "host")
+        .select("doc_id", "host", "domain")
+    )
+
+
+def _split_pattern(p: str) -> list[str]:
+    parts: list[str] = []
+    rest = p
+    while "{s}" in rest:
+        pre, _, rest = rest.partition("{s}")
+        if pre:
+            parts.append(pre)
+        parts.append("{s}")
+    if rest:
+        parts.append(rest)
+    return parts
+
+
+def _domain_rollup_oracle_sql() -> str:
+    from europarl_crawler_spark.functions import psl
+
+    pats = ", ".join(
+        "'" + p.replace("{s}", "' || source || '") + "'"
+        for p in _DOMAIN_HOST_PATTERNS
+    )
+    hosts_sql = (
+        f"SELECT DISTINCT ([{pats}])[CAST(doc_id % 8 AS INTEGER) + 1] AS host "
+        "FROM documents"
+    )
+    roll = psl.domain_rollup_sql(hosts_sql)
+    return f"""
+WITH ids AS (
+  SELECT doc_id,
+         ([{pats}])[CAST(doc_id % 8 AS INTEGER) + 1] AS host
+  FROM documents
+),
+roll AS ({roll})
+SELECT ids.doc_id, ids.host, roll.domain
+FROM ids JOIN roll ON ids.host = roll.host
+"""
+
+
 def q_f8_html_extract(spark, sf_dir):
     """F8 (full parity): HTML text+link extraction through the stdlib
     parser (functions/htmlkit.py — the reference's BeautifulSoup
@@ -3441,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_format_sniff": q_multimodal_format_sniff,
         "p13_robots_wildcard": q_p13_robots_wildcard,
         "f8_html_extract": q_f8_html_extract,
+        "url_domain_rollup": q_url_domain_rollup,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4382,6 +4465,7 @@ FROM c
         """,
         "p13_robots_wildcard": _p13_oracle_sql(),
         "f8_html_extract": _f8_oracle_sql(),
+        "url_domain_rollup": _domain_rollup_oracle_sql(),
         "multimodal_format_sniff": """
             SELECT doc_id,
                    ['png', 'jpeg', 'gif', 'webp', 'bmp', 'tiff', 'qoi',
