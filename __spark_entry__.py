@@ -3413,6 +3413,47 @@ def q_dedup_audio_pairs(spark, sf_dir):
     )
 
 
+def q_multimodal_ogg_probe(spark, sf_dir):
+    """Ogg Opus container probe (functions/oggkit.py — RFC 3533 page walk
+    with the Ogg CRC-32 verified per page + the RFC 7845 OpusHead):
+    structurally-genuine streams synthesized per document (page lacing,
+    granule positions, BOS/EOS flags) flow through the REAL media_probe
+    dispatch. DuckDB predicts channels/samplerate/packet count/duration
+    from doc_id — any framing, lacing, CRC, or granule bug breaks the
+    hash. Opus AUDIO decode stays a declared boundary (SILK/CELT), the
+    same container-real/codec-stub stance as mp4/H.264."""
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import oggkit
+    from europarl_crawler_spark.operators.multimodal import media_probe
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = {"media_id": [], "bytes": [], "fmt": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["bytes"].append(
+                    oggkit.ogg_opus_synthesize(
+                        5 + did % 20, channels=1 + did % 2, seed=did
+                    )
+                )
+                out["fmt"].append("ogg")
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(gen, schema="media_id long, bytes binary, fmt string")
+    return media_probe(media).select(
+        "media_id", "fmt", "kind", "samplerate", "channels",
+        F.col("n_frames").alias("n_packets"), "duration_ms", "ok",
+    )
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → Arrow mapInPandas feature
     pass (byte length here; pixel decode for the crawl's own image tables —
@@ -3524,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_robots_wildcard": q_p13_robots_wildcard,
         "f8_html_extract": q_f8_html_extract,
         "url_domain_rollup": q_url_domain_rollup,
+        "multimodal_ogg_probe": q_multimodal_ogg_probe,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4466,6 +4508,18 @@ FROM c
         "p13_robots_wildcard": _p13_oracle_sql(),
         "f8_html_extract": _f8_oracle_sql(),
         "url_domain_rollup": _domain_rollup_oracle_sql(),
+        "multimodal_ogg_probe": """
+            SELECT doc_id AS media_id,
+                   'ogg' AS fmt,
+                   'audio' AS kind,
+                   CAST(48000 AS INTEGER) AS samplerate,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                   CAST(5 + doc_id % 20 AS BIGINT) AS n_packets,
+                   CAST(greatest((5 + doc_id % 20) * 960 - 312, 0) * 1000
+                        // 48000 AS BIGINT) AS duration_ms,
+                   TRUE AS ok
+            FROM documents
+        """,
         "multimodal_format_sniff": """
             SELECT doc_id,
                    ['png', 'jpeg', 'gif', 'webp', 'bmp', 'tiff', 'qoi',

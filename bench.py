@@ -125,6 +125,10 @@ HEADLINE = [
     "dedup_semantic",
     "multimodal_tiff_codec",
     "multimodal_qoi_codec",
+    "multimodal_format_sniff",
+    "p13_robots_wildcard",
+    "f8_html_extract",
+    "url_domain_rollup",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

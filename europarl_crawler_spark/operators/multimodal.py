@@ -444,6 +444,21 @@ def _probe_one(body: bytes, fmt: str) -> dict:
     (ISO BMFF box walk, mp4kit)."""
     import struct as _struct
 
+    if fmt == "ogg":
+        from ..functions import oggkit
+
+        p = oggkit.ogg_probe(body)
+        return dict(
+            kind="audio", samplerate=p["samplerate"], channels=p["channels"],
+            n_frames=p["n_packets"], duration_ms=p["duration_ms"],
+        )
+    if fmt in ("png", "jpeg", "gif", "webp", "bmp", "tiff", "qoi", "ppm"):
+        from ..functions import sniff
+
+        sfmt, w, h = sniff.image_dims(body)
+        if sfmt != fmt:
+            raise ValueError(f"probe: bytes sniff as {sfmt!r}, not {fmt!r}")
+        return dict(kind="image", w=w, h=h)
     if fmt == "flac":
         p = flackit.flac_probe(body)
         return dict(
