@@ -3438,7 +3438,7 @@ def q_multimodal_ogg_probe(spark, sf_dir):
             out = {"media_id": [], "bytes": [], "fmt": []}
             for did in pdf["doc_id"]:
                 did = int(did)
-                out["media_id"].append(did)
+                out["media_id"].append(str(did))  # PROBE_SCHEMA id is string
                 out["bytes"].append(
                     oggkit.ogg_opus_synthesize(
                         5 + did % 20, channels=1 + did % 2, seed=did
@@ -3447,9 +3447,10 @@ def q_multimodal_ogg_probe(spark, sf_dir):
                 out["fmt"].append("ogg")
             yield pd.DataFrame(out)
 
-    media = d.mapInPandas(gen, schema="media_id long, bytes binary, fmt string")
+    media = d.mapInPandas(gen, schema="media_id string, bytes binary, fmt string")
     return media_probe(media).select(
-        "media_id", "fmt", "kind", "samplerate", "channels",
+        F.col("media_id").cast("long").alias("media_id"),
+        "fmt", "kind", "samplerate", "channels",
         F.col("n_frames").alias("n_packets"), "duration_ms", "ok",
     )
 

@@ -77,14 +77,14 @@ def test_media_probe_dispatch_ogg_and_images(spark):
 
     px = np.random.RandomState(3).randint(0, 256, (12, 16, 3)).astype(np.uint8)
     rows = [
-        (1, oggkit.ogg_opus_synthesize(7, seed=1), "ogg"),
-        (2, imaging.encode(px, "png"), "png"),
-        (3, imaging.encode(px, "qoi"), "qoi"),
-        (4, b"garbage bytes", "ogg"),  # malformed -> ok=false row
-        (5, imaging.encode(px, "png"), "qoi"),  # lying fmt -> ok=false
+        ("1", oggkit.ogg_opus_synthesize(7, seed=1), "ogg"),
+        ("2", imaging.encode(px, "png"), "png"),
+        ("3", imaging.encode(px, "qoi"), "qoi"),
+        ("4", b"garbage bytes", "ogg"),  # malformed -> ok=false row
+        ("5", imaging.encode(px, "png"), "qoi"),  # lying fmt -> ok=false
     ]
-    df = spark.createDataFrame(rows, "media_id long, bytes binary, fmt string")
-    got = {r["media_id"]: r for r in media_probe(df).collect()}
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    got = {int(r["media_id"]): r for r in media_probe(df).collect()}
     assert got[1]["kind"] == "audio" and got[1]["n_frames"] == 7
     assert (got[2]["kind"], got[2]["w"], got[2]["h"]) == ("image", 16, 12)
     assert got[3]["w"] == 16 and got[3]["ok"]
