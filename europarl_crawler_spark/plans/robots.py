@@ -216,3 +216,24 @@ def apply_robots_gate(frontier_batch: DataFrame, robots: DataFrame) -> DataFrame
         .drop("_rn", "_pattern", "_allow", "_path")
     )
     return decided
+
+
+def parse_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives (RFC 9309 §2.3 allows them anywhere in the
+    file, outside any group) — the discovery hand-off from robots.txt to
+    the sitemap ingester (sources/sitemap.py). Order kept, duplicates
+    dropped, relative values ignored (the spec requires absolute URLs)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if "://" not in val:
+            continue
+        if val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out

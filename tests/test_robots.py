@@ -306,3 +306,16 @@ def test_wildcard_gate_end_to_end(spark):
         "https://h.example/ok/a.pdf",
         "https://h.example/tmpclean",
     }
+
+
+def test_sitemap_directives():
+    from europarl_crawler_spark.plans.robots import parse_sitemaps
+
+    txt = (
+        "Sitemap: https://h/s1.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: https://h/s2.xml  # trailing comment\n"
+        "Sitemap: https://h/s1.xml\n"   # duplicate dropped
+        "Sitemap: /relative.xml\n"      # not absolute: ignored
+    )
+    assert parse_sitemaps(txt) == ["https://h/s1.xml", "https://h/s2.xml"]
