@@ -88,3 +88,44 @@ def test_foreign_extensions_tolerated():
     )
     kind, got = sm.parse_sitemap(blob)
     assert kind == "urlset" and got[0]["loc"] == "https://h/1"
+
+
+def test_discovery_path_sitemap_to_frontier(spark):
+    """End-to-end discovery glue: robots Sitemap directive → sitemap tree
+    walk → canonicalize+hash → exact anti-join vs the seen set — exactly
+    how sitemap-discovered URLs enter the frontier (J2)."""
+    from pyspark.sql import functions as F
+
+    from europarl_crawler_spark.functions.seen import anti_join_seen
+    from europarl_crawler_spark.functions.urlkit import (
+        canonicalize_expr,
+        url_hash_expr,
+    )
+    from europarl_crawler_spark.plans.robots import parse_sitemaps
+
+    robots_txt = "Sitemap: https://h.example/sitemap-index.xml\nUser-agent: *\nDisallow:\n"
+    [idx_url] = parse_sitemaps(robots_txt)
+    kids = {
+        f"{idx_url.rsplit('/', 1)[0]}/s-0.xml": sm.sitemap_xml(
+            [{"loc": f"https://h.example/doc/{i}"} for i in range(0, 10, 2)]
+        ),
+        f"{idx_url.rsplit('/', 1)[0]}/s-1.xml": sm.sitemap_xml(
+            [{"loc": f"https://H.EXAMPLE/doc/{i}"} for i in range(1, 10, 2)]
+        ),
+    }
+    entries = sm.walk_host(sm.sitemap_index_xml(sorted(kids)), kids)
+    cand = (
+        spark.createDataFrame([(e["loc"],) for e in entries], "url string")
+        .select(canonicalize_expr("url").alias("url"))
+        .withColumn("url_hash", url_hash_expr("url"))
+    )
+    # seen: docs 0..4 already crawled (canonical lowercase form)
+    seen = (
+        spark.createDataFrame(
+            [(f"https://h.example/doc/{i}",) for i in range(5)], "url string"
+        )
+        .select(url_hash_expr(canonicalize_expr("url")).alias("url_hash"))
+    )
+    fresh = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    # host case differences canonicalize away: only 5..9 are new
+    assert fresh == {f"https://h.example/doc/{i}" for i in range(5, 10)}
