@@ -94,9 +94,15 @@ def dsir_select(
     tt = tc.agg(F.sum("c").cast("long").alias("nt"))
     rt = rc.agg(F.sum("c").cast("long").alias("nr"))
 
+    # model over the CONSTANT bucket universe: a full-outer tc⟗rc cannot
+    # broadcast (Spark streams both sides of a full outer → sort-merge);
+    # range(n_buckets) as the stream side with both count tables broadcast
+    # keeps the model build shuffle-free and is value-identical (every
+    # observed gram bucket is in rc by construction)
+    universe = docs.sparkSession.range(N_BUCKETS).select(F.col("id").alias("b"))
     model = (
-        tc.select(F.col("b"), F.col("c").alias("ct"))
-        .join(rc.select(F.col("b"), F.col("c").alias("cr")), "b", "full_outer")
+        universe.join(F.broadcast(tc.select("b", F.col("c").alias("ct"))), "b", "left")
+        .join(F.broadcast(rc.select("b", F.col("c").alias("cr"))), "b", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(rt))
     )
