@@ -3413,6 +3413,61 @@ def q_dedup_audio_pairs(spark, sf_dir):
     )
 
 
+def q_multimodal_exif_orient(spark, sf_dir):
+    """EXIF orientation normalization (imaging.apply_orientation — the
+    upright transform every image pipeline applies before hashing, or a
+    rotated duplicate defeats perceptual dedup). Each document's codepoint
+    pixels get an Orientation tag doc_id%8+1 embedded in a REAL APP1
+    payload (exifkit.exif_build, byte order rotating II/MM), re-parsed
+    from the bitstream, and the pixels normalized by the parsed value.
+    Emitted: the oriented first-row sum and a position-weighted checksum —
+    both ORDER-SENSITIVE, so a wrong permutation in any of the 8 cases
+    (or an EXIF parse defect feeding the wrong tag) breaks the hash; the
+    DuckDB oracle replays the permutation as pure index arithmetic over
+    the codepoints."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import exifkit, imaging
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "orientation": [], "ok": [],
+                   "row0_sum": [], "checksum": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                o = did % 8 + 1
+                app1 = exifkit.exif_build(
+                    f"doc {did}", o, "europarl-crawler-spark",
+                    "2021:01:01 00:00:00", 8, 8,
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                parsed = exifkit.exif_parse(app1)
+                oriented = imaging.apply_orientation(
+                    px, int(parsed["orientation"])
+                ).astype(np.int64)
+                flat = oriented.reshape(-1)
+                out["doc_id"].append(did)
+                out["orientation"].append(o)
+                out["ok"].append(bool(parsed["orientation"] == o))
+                out["row0_sum"].append(int(oriented[0].sum()))
+                out["checksum"].append(
+                    int(((np.arange(192) + 1) * flat).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema="doc_id long, orientation int, ok boolean, "
+        "row0_sum long, checksum long",
+    )
+
+
 def q_multimodal_ogg_probe(spark, sf_dir):
     """Ogg Opus container probe (functions/oggkit.py — RFC 3533 page walk
     with the Ogg CRC-32 verified per page + the RFC 7845 OpusHead):
@@ -3567,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_html_extract": q_f8_html_extract,
         "url_domain_rollup": q_url_domain_rollup,
         "multimodal_ogg_probe": q_multimodal_ogg_probe,
+        "multimodal_exif_orient": q_multimodal_exif_orient,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4509,6 +4565,42 @@ FROM c
         "p13_robots_wildcard": _p13_oracle_sql(),
         "f8_html_extract": _f8_oracle_sql(),
         "url_domain_rollup": _domain_rollup_oracle_sql(),
+        "multimodal_exif_orient": """
+            WITH pix AS (
+              SELECT doc_id, o, i,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text,
+                              (((sr * 8 + sc) * 3 + ch) % length(text)) + 1,
+                              1)) % 256
+                     END AS v,
+                     r
+              FROM (
+                SELECT doc_id, text, o, i, r, ch,
+                       CASE o WHEN 1 THEN r WHEN 2 THEN r
+                              WHEN 3 THEN 7 - r WHEN 4 THEN 7 - r
+                              WHEN 5 THEN c WHEN 6 THEN 7 - c
+                              WHEN 7 THEN 7 - c ELSE c END AS sr,
+                       CASE o WHEN 1 THEN c WHEN 2 THEN 7 - c
+                              WHEN 3 THEN 7 - c WHEN 4 THEN c
+                              WHEN 5 THEN r WHEN 6 THEN r
+                              WHEN 7 THEN 7 - r ELSE 7 - r END AS sc
+                FROM (
+                  SELECT doc_id, text,
+                         CAST(doc_id % 8 + 1 AS INTEGER) AS o,
+                         g.i, g.i // 24 AS r, (g.i % 24) // 3 AS c,
+                         g.i % 3 AS ch
+                  FROM documents,
+                       unnest(generate_series(0, 191)) AS g(i))
+              )
+            )
+            SELECT doc_id,
+                   CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+                   TRUE AS ok,
+                   CAST(sum(CASE WHEN r = 0 THEN v ELSE 0 END) AS BIGINT)
+                       AS row0_sum,
+                   CAST(sum((i + 1) * v) AS BIGINT) AS checksum
+            FROM pix GROUP BY doc_id
+        """,
         "multimodal_ogg_probe": """
             SELECT doc_id AS media_id,
                    'ogg' AS fmt,

@@ -577,3 +577,33 @@ def phash64_i(pixels: np.ndarray) -> int:
         if int(block[i]) > med:
             acc |= 1 << i
     return int(np.int64(np.uint64(acc)))
+
+
+def apply_orientation(px: "np.ndarray", orientation: int) -> "np.ndarray":
+    """Normalize pixels to display orientation per the EXIF Orientation tag
+    (1..8) — the upright-transform every training pipeline applies before
+    features/hashing (a rotated duplicate otherwise defeats perceptual
+    dedup). Pure index permutations, so the result is exact and the DuckDB
+    oracle can replay it as integer index arithmetic:
+
+      1 identity            2 flip horizontal      3 rotate 180
+      4 flip vertical       5 transpose (TL-BR)    6 rotate 90 CW
+      7 transverse (TR-BL)  8 rotate 90 CCW
+    """
+    if orientation == 1:
+        return px
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(px, 3)
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(px, 1)
+    raise ValueError(f"exif orientation out of range: {orientation}")

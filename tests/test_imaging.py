@@ -334,3 +334,56 @@ def test_phash64_i_ac_rows_sum_to_zero():
         assert int(m[k].sum()) == 0
     # and the k=0 row is the constant 2^14
     assert (m[0] == imaging.DCTQ_SCALE).all()
+
+
+def test_apply_orientation_all_eight():
+    """Every EXIF orientation case against the explicit index formulas
+    (the same arithmetic the multimodal_exif_orient oracle replays)."""
+    import numpy as np
+
+    from europarl_crawler_spark.functions.imaging import apply_orientation
+
+    N = 8
+    src = np.arange(N * N * 3, dtype=np.int64).reshape(N, N, 3)
+    sr_f = [None,
+            lambda r, c: r, lambda r, c: r,
+            lambda r, c: N - 1 - r, lambda r, c: N - 1 - r,
+            lambda r, c: c, lambda r, c: N - 1 - c,
+            lambda r, c: N - 1 - c, lambda r, c: c]
+    sc_f = [None,
+            lambda r, c: c, lambda r, c: N - 1 - c,
+            lambda r, c: N - 1 - c, lambda r, c: c,
+            lambda r, c: r, lambda r, c: r,
+            lambda r, c: N - 1 - r, lambda r, c: N - 1 - r]
+    for o in range(1, 9):
+        out = apply_orientation(src, o)
+        for r in range(N):
+            for c in range(N):
+                assert (out[r, c] == src[sr_f[o](r, c), sc_f[o](r, c)]).all()
+    # group structure: 2/3/4/5/7 are involutions; 6 and 8 invert each other
+    for o in (2, 3, 4, 5, 7):
+        assert np.array_equal(apply_orientation(apply_orientation(src, o), o), src)
+    assert np.array_equal(apply_orientation(apply_orientation(src, 6), 8), src)
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_orientation(src, 9)
+
+
+def test_orientation_defeats_then_restores_phash():
+    """The operational point: a rotated copy hashes differently until the
+    orientation is normalized, then identically."""
+    import numpy as np
+
+    from europarl_crawler_spark.functions.imaging import (
+        apply_orientation,
+        phash64,
+    )
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    rotated = apply_orientation(px, 6)  # scene stored rotated 90 CW
+    assert phash64(px) != phash64(rotated)
+    # a file storing these pixels would carry Orientation=8 (rotate 90 CCW
+    # to display upright); applying that tag's transform restores the scene
+    assert phash64(apply_orientation(rotated, 8)) == phash64(px)
