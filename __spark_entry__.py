@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
-from europarl_crawler_spark.operators import dedup, lm, sampling, similarity, textstats
+from europarl_crawler_spark.operators import bpe, cluster, dedup, lm, retrieval, sampling, similarity, sketch, textstats
 from europarl_crawler_spark.operators import export as export_ops
 
 # ---------------------------------------------------------------------------
@@ -1871,6 +1871,47 @@ def q_text_vocab_topk(spark, sf_dir):
     return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py; Sennrich et al.
+    2016): 8 merge rounds over the corpus word-frequency table using the
+    fixed-width symbol-id encoding whose literal-replace rewrite is
+    bit-identical in Spark and DuckDB — the oracle replays every round's
+    weighted pair counts, (n DESC, l, r) argmax, and left-to-right merge.
+    The corpus is scanned once; each round is a vocabulary-sized groupBy
+    plus a single-row driver round-trip (merges are sequential by
+    definition)."""
+    return bpe.bpe_train(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per pinned query (operators/retrieval.py): exact
+    integer tf/df/dl/N inputs, one mirrored expression tree per (term, doc),
+    int64-quantized before the per-document sum (the operators/lm.py
+    contract) so every ranked score value-checks. Query terms broadcast;
+    the corpus is touched once for tf."""
+    return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), k=10)
+
+
+def q_sketch_hll_custkeys(spark, sf_dir):
+    """Portable HyperLogLog registers (operators/sketch.py) over orders'
+    customer keys — the mergeable distinct-count sketch, built from the
+    portable hash family so DuckDB recomputes all 256 registers
+    bit-for-bit (comparison-ladder rho, no float in the sketch)."""
+    orders = _t(spark, sf_dir, "orders")
+    return sketch.hll_registers(
+        orders.select(F.col("o_custkey").cast("string").alias("k")), "k"
+    )
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Integer-exact Lloyd k-means assignment (operators/cluster.py): 2
+    rounds from portable hash-stride seeds over 2^20-fixed-point
+    embeddings; the oracle replays seeds, every assignment argmin, and
+    every floor(sum/count) centroid coordinate. Broadcast-centroid plan:
+    per round one projection + one (cell, dim)-keyed groupBy."""
+    return cluster.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, rounds=2)
+
+
 def q_text_perplexity_bucket(spark, sf_dir):
     """CCNet perplexity bucketing (operators/lm.py:perplexity_bucket;
     Wenzek et al. 2020): an interpolated bigram LM trained on a
@@ -3558,7 +3599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
-        "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "multimodal_avi_codec": q_multimodal_avi_codec,
         "multimodal_mp4_codec": q_multimodal_mp4_codec,
         "multimodal_mp3_codec": q_multimodal_mp3_codec,
@@ -3570,7 +3610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "dedup_audio_pairs": q_dedup_audio_pairs,
         "corpus_split": q_corpus_split,
-        "corpus_sample": q_corpus_sample,
         "corpus_importance_sample": q_corpus_importance_sample,  # new in r4
         "dedup_incremental": q_dedup_incremental,  # new in r4
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -3579,9 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export_webdataset": q_corpus_export_webdataset,  # new in r4
         "corpus_sequence_pack": q_corpus_sequence_pack,
         "store_incremental_read": q_store_incremental_read,
-        "store_time_travel": q_store_time_travel,  # new in r4
         "text_paragraph_dedup": q_text_paragraph_dedup,  # new in r4
-        "text_pii_scan": q_text_pii_scan,
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
         "text_repetition": q_text_repetition,  # new in r4
@@ -3591,6 +3628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_curation_full": q_text_curation_full,  # new in r4
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
+        "text_bpe_train": q_text_bpe_train,  # new in r4 (late)
+        "text_bm25_topk": q_text_bm25_topk,  # new in r4 (late)
+        "sketch_hll_custkeys": q_sketch_hll_custkeys,  # new in r4 (late)
+        "emb_kmeans": q_emb_kmeans,  # new in r4 (late)
         # -- lanes whose plan changed this round (need a fresh green row) --
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
@@ -3603,6 +3644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-catalog artifact BENCH/ORACLE_FULL_r04.json
         # (tools/check_oracle.py gates every entry).
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
+        # rotated out of the r4 window for the late-r4 flagship lanes
+        # (each is subsumed by an in-window sibling and keeps its
+        # full-catalog oracle row): sample ⊂ stratified/importance,
+        # pii_scan ⊂ pii_redact, time_travel ⊂ incremental_read,
+        # y4m ⊂ avi/mp4/flac
+        "corpus_sample": q_corpus_sample,
+        "text_pii_scan": q_text_pii_scan,
+        "store_time_travel": q_store_time_travel,
+        "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "image_curation": q_image_curation,
         "text_fingerprint": q_text_fingerprint,
         # late-r4 lanes — r5 gate-window rotation candidates, newest first
@@ -4230,6 +4280,15 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,
+        # full-replay mirrors: the oracle re-runs every BPE merge round /
+        # every quantized BM25 score / every HLL register / every Lloyd
+        # round from scratch (see each operator module's *_sql builder)
+        "text_bpe_train": bpe.bpe_train_sql(rounds=8),
+        "text_bm25_topk": retrieval.bm25_topk_sql(k=10),
+        "sketch_hll_custkeys": sketch.hll_registers_sql(
+            table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
+        ),
+        "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),

@@ -129,6 +129,12 @@ HEADLINE = [
     "p13_robots_wildcard",
     "f8_html_extract",
     "url_domain_rollup",
+    "multimodal_ogg_probe",
+    "multimodal_exif_orient",
+    "text_bpe_train",
+    "text_bm25_topk",
+    "sketch_hll_custkeys",
+    "emb_kmeans",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

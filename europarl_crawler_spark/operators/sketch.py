@@ -1,0 +1,118 @@
+"""Portable HyperLogLog distinct-count sketch (Flajolet et al. 2007) —
+the mergeable cardinality estimator a crawl/curation platform runs
+everywhere (distinct URLs per host, distinct n-grams, vocabulary growth)
+when exact groupBy-distinct is too expensive to ship between stages.
+
+Spark's builtin ``approx_count_distinct`` is HLL++ over xxhash64 and
+DuckDB's ``approx_count_distinct`` is its own HLL — the two never agree,
+so the builtin is rows-only-checkable.  This module builds the sketch
+from the PORTABLE hash family (functions/porthash.py) so the DuckDB
+oracle recomputes every register bit-for-bit — the same
+portable-for-verification / builtin-for-production split the minhash and
+simhash lanes declare.
+
+Register math, exact in both engines:
+
+    h      = poly_hash(key)           ∈ [0, 2^31-1)   (exact int64 algebra)
+    bucket = affine_1(h) % m          (m = 2^p registers, p = 8)
+    w      = affine_2(h) % 2^23       (23 payload bits)
+    rho(w) = 1 + #{t ∈ [0, 23) : w < 2^t}             (= leading zeros + 1;
+             pure integer comparisons, no log/float — w = 0 gives 24)
+    M[b]   = max rho over keys in bucket b            (groupBy max)
+
+The two affine members scramble the raw polynomial hash: Rabin-Karp has no
+avalanche, so SHORT structured keys ("url-1", "url-2", …) leave the raw
+bucket/payload split badly biased (a 5x cardinality underestimate in
+testing); passing h through independent members of the affine family
+restores register uniformity while staying exact int64 algebra.
+
+The lane returns all m registers (dense: missing buckets as 0) — exact
+integers, fully value-checked.  The ESTIMATE alpha_m * m^2 / Σ 2^-M[b]
+(+ linear counting below the 2.5m cut) is a float summary computed from
+the registers; ``hll_estimate`` derives it driver-side from the checked
+registers and pytest pins its accuracy against the exact distinct count.
+
+Plan shape at 100 TB: one projection + one 256-key groupBy max —
+map-side combinable, registers mergeable across shards/epochs by
+element-wise max (the property that makes HLL the right sketch for a
+distributed frontier; the cuckoo/bloom seen-sketches answer membership,
+this answers "how many").
+
+Reference analog: the reference counts distincts exactly in Postgres
+(europarl/db/url.py count queries); at 10^10 URLs those become sketches.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import porthash
+
+P_BITS = 8
+M = 1 << P_BITS  # registers
+W_BITS = 31 - P_BITS  # poly_hash is < 2^31-1; 23 payload bits
+ALPHA = 0.7213 / (1.0 + 1.079 / M)  # standard alpha_256
+
+
+def _rho(w):
+    """1 + leading zeros of w in W_BITS bits — integer compares only."""
+    acc = F.lit(1).cast("long")
+    for t in range(W_BITS):
+        acc = acc + F.when(w < F.lit(1 << t), F.lit(1)).otherwise(F.lit(0))
+    return acc
+
+
+def hll_registers(df: DataFrame, key_col: str = "url") -> DataFrame:
+    """Dense (bucket, r_max) register table, one row per bucket ∈ [0, M)."""
+    spark = df.sparkSession
+    h = porthash.poly_hash(F.col(key_col))
+    bucket = porthash.affine(h, 1) % M
+    w = porthash.affine(h, 2) % F.lit(1 << W_BITS)
+    regs = (
+        df.select(bucket.cast("long").alias("bucket"), _rho(w).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r_max"))
+    )
+    dense = spark.range(M).select(F.col("id").alias("bucket"))
+    return (
+        dense.join(regs, "bucket", "left")
+        .select(
+            "bucket", F.coalesce(F.col("r_max"), F.lit(0)).cast("long").alias("r_max")
+        )
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]]) -> float:
+    """Cardinality estimate from a collected register table (bucket, r_max),
+    with the standard small-range linear-counting correction."""
+    rmax = {b: r for b, r in registers}
+    inv = sum(2.0 ** -rmax.get(b, 0) for b in range(M))
+    est = ALPHA * M * M / inv
+    zeros = sum(1 for b in range(M) if rmax.get(b, 0) == 0)
+    if est <= 2.5 * M and zeros:
+        est = M * math.log(M / zeros)
+    return est
+
+
+def hll_registers_sql(
+    table: str = "urls", key_expr: str = "url"
+) -> str:
+    """DuckDB mirror — same hash, same bucket/payload split, same
+    comparison-ladder rho, same dense left join."""
+    h = porthash.poly_hash_sql(key_expr)
+    rho = "1 + " + " + ".join(
+        f"(CASE WHEN w < {1 << t} THEN 1 ELSE 0 END)" for t in range(W_BITS)
+    )
+    b_sql = porthash.affine_sql("h", 1)
+    w_sql = porthash.affine_sql("h", 2)
+    return f"""
+WITH hs AS (SELECT CAST({h} AS BIGINT) AS h FROM {table}),
+sp AS (SELECT {b_sql} % {M} AS bucket, {w_sql} % {1 << W_BITS} AS w FROM hs),
+regs AS (SELECT bucket, MAX({rho}) AS r_max FROM sp GROUP BY bucket)
+SELECT CAST(r.range AS BIGINT) AS bucket,
+       CAST(COALESCE(regs.r_max, 0) AS BIGINT) AS r_max
+FROM range({M}) r LEFT JOIN regs ON regs.bucket = r.range
+"""

@@ -1,0 +1,75 @@
+"""Portable HLL (operators/sketch.py): register math against a pure-Python
+reference, the element-wise-max merge property (what makes the sketch
+shard-/epoch-mergeable), estimate accuracy across cardinalities, and
+cross-engine register parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from europarl_crawler_spark.functions import porthash
+from europarl_crawler_spark.operators import sketch
+
+
+def _ref_registers(keys):
+    P = porthash.P
+    regs = {}
+    for k in keys:
+        h = porthash.poly_hash_py(k)
+        b = ((porthash.AFFINE_A[1] * h + porthash.AFFINE_B[1]) % P) % sketch.M
+        w = ((porthash.AFFINE_A[2] * h + porthash.AFFINE_B[2]) % P) % (
+            1 << sketch.W_BITS
+        )
+        rho = 1
+        t = 1 << (sketch.W_BITS - 1)
+        while t and not (w & t):
+            rho += 1
+            t >>= 1
+        if w == 0:
+            rho = sketch.W_BITS + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    return {b: regs.get(b, 0) for b in range(sketch.M)}
+
+
+def _spark_regs(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "url string")
+    return {r.bucket: r.r_max for r in sketch.hll_registers(df, "url").collect()}
+
+
+def test_registers_match_reference(spark):
+    keys = [f"https://example.org/doc/{i}" for i in range(3000)]
+    assert _spark_regs(spark, keys) == _ref_registers(keys)
+
+
+def test_merge_is_elementwise_max(spark):
+    a = [f"k{i}" for i in range(1500)]
+    b = [f"k{i}" for i in range(1000, 2500)]
+    ra, rb = _spark_regs(spark, a), _spark_regs(spark, b)
+    runion = _spark_regs(spark, sorted(set(a) | set(b)))
+    assert runion == {k: max(ra[k], rb[k]) for k in ra}
+
+
+@pytest.mark.parametrize("n", [50, 500, 5000])
+def test_estimate_accuracy(spark, n):
+    keys = [f"url-{i}" for i in range(n)]
+    est = sketch.hll_estimate(sorted(_spark_regs(spark, keys).items()))
+    # m=256 -> theoretical RSE ~1.04/16 = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.20
+
+
+def test_duplicates_do_not_move_registers(spark):
+    keys = [f"u{i}" for i in range(400)]
+    assert _spark_regs(spark, keys) == _spark_regs(spark, keys * 5)
+
+
+def test_duckdb_mirror_parity(spark):
+    keys = [f"https://host{i % 7}.example/p/{i}" for i in range(1200)]
+    got = sorted(_spark_regs(spark, keys).items())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE urls AS SELECT * FROM (VALUES %s) t(url)"
+        % ", ".join(f"('{k}')" for k in keys)
+    )
+    ora = [tuple(r) for r in con.execute(sketch.hll_registers_sql()).fetchall()]
+    assert got == sorted(ora)
