@@ -1912,6 +1912,32 @@ def q_emb_kmeans(spark, sf_dir):
     return cluster.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, rounds=2)
 
 
+CM_KEYS = [
+    "hash", "join", "merge", "window", "order", "spark", "the",
+    "zzz_absent_key",  # pins the empty-bucket -> 0 path
+]
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """Apply the just-trained BPE model back to the corpus
+    (operators/bpe.py:bpe_encode_counts): per-document word and BPE-subword
+    counts — the token-budget question answered with the real tokenizer
+    instead of textstats' chars/4 heuristic. The oracle re-trains and
+    re-encodes everything."""
+    return bpe.bpe_encode_counts(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+def q_sketch_countmin_tokens(spark, sf_dir):
+    """Count-min sketch point estimates (operators/sketch.py) for pinned
+    token keys over the corpus token stream — the one-sided (est ≥ exact)
+    heavy-hitter screen; every counter exact integer algebra, mergeable
+    across shards by element-wise add."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(textstats.tokens_expr("text")).alias("tok")
+    )
+    return sketch.countmin_estimates(toks, CM_KEYS)
+
+
 def q_text_perplexity_bucket(spark, sf_dir):
     """CCNet perplexity bucketing (operators/lm.py:perplexity_bucket;
     Wenzek et al. 2020): an interpolated bigram LM trained on a
@@ -3673,6 +3699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_rollup": q_url_domain_rollup,
         "multimodal_ogg_probe": q_multimodal_ogg_probe,
         "multimodal_exif_orient": q_multimodal_exif_orient,
+        "text_bpe_encode": q_text_bpe_encode,
+        "sketch_countmin_tokens": q_sketch_countmin_tokens,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4284,6 +4312,13 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         # every quantized BM25 score / every HLL register / every Lloyd
         # round from scratch (see each operator module's *_sql builder)
         "text_bpe_train": bpe.bpe_train_sql(rounds=8),
+        "text_bpe_encode": bpe.bpe_encode_sql(rounds=8),
+        "sketch_countmin_tokens": sketch.countmin_estimates_sql(
+            CM_KEYS,
+            table="(SELECT tok FROM (SELECT unnest(regexp_split_to_array("
+            "lower(text), '[^a-zA-Z0-9'']+')) AS tok FROM documents) "
+            "WHERE tok != '') tk",
+        ),
         "text_bm25_topk": retrieval.bm25_topk_sql(k=10),
         "sketch_hll_custkeys": sketch.hll_registers_sql(
             table="orders", key_expr="CAST(o_custkey AS VARCHAR)"

@@ -132,8 +132,10 @@ HEADLINE = [
     "multimodal_ogg_probe",
     "multimodal_exif_orient",
     "text_bpe_train",
+    "text_bpe_encode",
     "text_bm25_topk",
     "sketch_hll_custkeys",
+    "sketch_countmin_tokens",
     "emb_kmeans",
 ]
 

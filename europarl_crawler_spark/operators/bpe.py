@@ -75,12 +75,13 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def initial_seqs(words: DataFrame) -> DataFrame:
+def initial_seqs(words: DataFrame, keep_word: bool = False) -> DataFrame:
     """Encode each word as its fixed-width char-id sequence."""
     seq = F.concat_ws(
         SEP, F.transform(F.split(F.col("word"), ""), _char_id)
     )
-    return words.select(seq.alias("seq"), F.col("freq"))
+    cols = ([F.col("word")] if keep_word else []) + [seq.alias("seq"), F.col("freq")]
+    return words.select(*cols)
 
 
 def pair_counts(seqs: DataFrame) -> DataFrame:
@@ -98,6 +99,31 @@ def pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _train_merges(seqs: DataFrame, rounds: int) -> list[tuple]:
+    """The sequential merge loop: one single-row collect per round."""
+    out: list[tuple] = []
+    cur = seqs
+    for r in range(1, rounds + 1):
+        best = (
+            pair_counts(cur)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is a single symbol already
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merged = round_id(r)
+        out.append((r, left, right, merged, n))
+        cur = cur.select(
+            F.replace(
+                F.col("seq"), F.lit(left + SEP + right), F.lit(merged)
+            ).alias("seq"),
+            F.col("freq"),
+        )
+    return out
+
+
 def bpe_train(
     docs: DataFrame,
     rounds: int = 8,
@@ -110,27 +136,8 @@ def bpe_train(
     row (see module doc — merges are sequential by definition)."""
     spark = docs.sparkSession
     seqs = initial_seqs(word_freqs(docs, text_col)).cache()
-    out: list[tuple] = []
-    cur = seqs
     try:
-        for r in range(1, rounds + 1):
-            best = (
-                pair_counts(cur)
-                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break  # every word is a single symbol already
-            left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-            merged = round_id(r)
-            out.append((r, left, right, merged, n))
-            cur = cur.select(
-                F.replace(
-                    F.col("seq"), F.lit(left + SEP + right), F.lit(merged)
-                ).alias("seq"),
-                F.col("freq"),
-            )
+        out = _train_merges(seqs, rounds)
     finally:
         seqs.unpersist()
     schema = T.StructType(
@@ -166,15 +173,58 @@ def decode_merges(merges: list[tuple]) -> list[tuple]:
     return out
 
 
+def bpe_encode_counts(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with the BPE model it just trained: apply the
+    ``rounds`` learned merges to every vocabulary word, then roll the
+    per-word subword counts back up per document — the "how many training
+    tokens is this corpus" question every data pipeline answers before a
+    run.  Output: (doc_id, n_words, n_bpe_tokens).
+
+    Plan: training as in ``bpe_train`` (vocabulary-sized rounds), then ONE
+    projection applying the R literal replaces over the word table, and a
+    word-keyed join from the exploded corpus back to per-word subword
+    counts (vocabulary-sized build side) + doc-keyed sum."""
+    spark = docs.sparkSession
+    words = word_freqs(docs, text_col)
+    seqs = initial_seqs(words, keep_word=True).cache()
+    try:
+        merges = _train_merges(seqs.select("seq", "freq"), rounds)
+        enc = F.col("seq")
+        for _, left, right, merged, _ in merges:
+            enc = F.replace(enc, F.lit(left + SEP + right), F.lit(merged))
+        word_syms = seqs.select(
+            "word", F.size(F.split(enc, SEP)).cast("long").alias("n_syms")
+        )
+        tokd = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_expr(text_col)).alias("word"),
+        )
+        return (
+            tokd.join(word_syms, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_syms").alias("n_bpe_tokens"),
+            )
+        )
+    finally:
+        seqs.unpersist()
+
+
 # ---- DuckDB oracle mirror ----
 
-def bpe_train_sql(
-    rounds: int = 8, table: str = "documents", text_expr: str = "text"
-) -> str:
-    """Generated SQL replaying every round: same tokenizer, same fixed-width
-    encoding, same weighted pair counts, same (n DESC, l, r) argmax, same
-    left-to-right literal replace.  One CTE pair (b{r}: the chosen merge,
-    s{r}: the rewritten sequences) per round."""
+def _round_ctes(
+    rounds: int, table: str, text_expr: str, keep_word: bool
+) -> list[str]:
+    """The shared CTE chain: word freqs, fixed-width encoding, and one
+    (b{r}: chosen merge, s{r}: rewritten sequences) pair per round —
+    same tokenizer, same weighted pair counts, same (n DESC, l, r)
+    argmax, same left-to-right literal replace as the Spark loop."""
     sep = "chr(31)"
     tok = (
         f"SELECT unnest(regexp_split_to_array(lower({text_expr}), "
@@ -184,10 +234,11 @@ def bpe_train_sql(
         "array_to_string([('c' || lpad(CAST(unicode(x) AS VARCHAR), 3, '0')) "
         f"FOR x IN string_split(word, '')], {sep})"
     )
+    wcol = "word, " if keep_word else ""
     parts = [
         f"w AS (SELECT word, count(*) AS freq FROM ({tok}) "
         "WHERE word != '' GROUP BY word)",
-        f"s0 AS (SELECT {enc} AS seq, freq FROM w)",
+        f"s0 AS (SELECT {wcol}{enc} AS seq, freq FROM w)",
     ]
 
     def pair_cte(src: str) -> str:
@@ -204,13 +255,52 @@ def bpe_train_sql(
             "ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
         )
         parts.append(
-            f"s{r} AS (SELECT replace(seq, "
+            f"s{r} AS (SELECT {wcol}replace(seq, "
             f"(SELECT l || {sep} || r FROM b{r}), '{round_id(r)}') AS seq, "
             f"freq FROM s{r-1})"
         )
+    return parts
+
+
+def bpe_train_sql(
+    rounds: int = 8, table: str = "documents", text_expr: str = "text"
+) -> str:
+    """Generated SQL replaying every training round (see ``_round_ctes``)."""
+    parts = _round_ctes(rounds, table, text_expr, keep_word=False)
     selects = [
         f"SELECT {r} AS round, l AS left_sym, r AS right_sym, "
         f"'{round_id(r)}' AS merged_sym, CAST(n AS BIGINT) AS n FROM b{r}"
         for r in range(1, rounds + 1)
     ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def bpe_encode_sql(
+    rounds: int = 8,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``bpe_encode_counts``: the same training CTE chain
+    (word column carried through), then per-word subword counts from the
+    final rewritten sequences rolled up per document."""
+    sep = "chr(31)"
+    parts = _round_ctes(rounds, table, text_expr, keep_word=True)
+    tok = (
+        f"SELECT {id_expr} AS doc_id, unnest(regexp_split_to_array("
+        f"lower({text_expr}), '[^a-zA-Z0-9'']+')) AS word FROM {table}"
+    )
+    parts.append(
+        f"enc AS (SELECT word, CAST(len(string_split(seq, {sep})) AS BIGINT) "
+        f"AS n_syms FROM s{rounds})"
+    )
+    parts.append(
+        f"tokd AS (SELECT doc_id, word FROM ({tok}) WHERE word != '')"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens "
+        "FROM tokd JOIN enc USING (word) GROUP BY doc_id"
+    )

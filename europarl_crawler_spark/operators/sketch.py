@@ -97,6 +97,101 @@ def hll_estimate(registers: list[tuple[int, int]]) -> float:
     return est
 
 
+CM_D = 4  # count-min depth (affine family members 3..6)
+CM_W = 1024  # count-min width
+CM_MEMBERS = (3, 4, 5, 6)
+
+
+def countmin_estimates(
+    df: DataFrame, keys: list[str], key_col: str = "tok"
+) -> DataFrame:
+    """Count-min sketch point estimates (Cormode & Muthukrishnan 2005) for
+    ``keys``: build the d×w counter table from the portable hash family,
+    answer each query with min over the d rows — the one-sided (est ≥
+    exact) frequency estimator used for heavy-hitter screens when an exact
+    per-key groupBy is too wide to materialize.  Exact integer algebra
+    end-to-end; the DuckDB oracle rebuilds every counter.
+
+    Plan shape at 100 TB: one projection computing the d bucket ids per
+    row, then d (row, bucket)-keyed groupBy counts — map-side combinable,
+    d·w result rows total, mergeable across shards by element-wise ADD
+    (vs HLL's max).  Queries join against the d·w table, never the corpus.
+
+    Output: (tok, n_est) for each queried key, BIGINT."""
+    spark = df.sparkSession
+    h = porthash.poly_hash(F.col(key_col))
+    rows = [
+        df.select(
+            F.lit(d).alias("row"),
+            (porthash.affine(h, m) % CM_W).cast("long").alias("bucket"),
+        )
+        for d, m in enumerate(CM_MEMBERS)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionAll(r)
+    table = allrows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    kdf = spark.createDataFrame([(k,) for k in sorted(set(keys))], "tok string")
+    kh = porthash.poly_hash(F.col("tok"))
+    probes = kdf.select(
+        "tok",
+        *[
+            (porthash.affine(kh, m) % CM_W).cast("long").alias(f"b{d}")
+            for d, m in enumerate(CM_MEMBERS)
+        ],
+    )
+    # a missed bucket is a zero counter — coalesce BEFORE the min, or a
+    # single empty row would be skipped (least/LEAST ignore NULLs in both
+    # engines) and the estimate would lose its one-sided-error guarantee
+    # direction for absent keys
+    est = F.least(
+        *[F.coalesce(F.col(f"c{d}"), F.lit(0).cast("long")) for d in range(CM_D)]
+    )
+    joined = probes
+    for d in range(CM_D):
+        t = table.filter(F.col("row") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        joined = joined.join(F.broadcast(t), f"b{d}", "left")
+    return joined.select("tok", est.cast("long").alias("n_est"))
+
+
+def countmin_estimates_sql(
+    keys: list[str], table: str = "toks", key_expr: str = "tok"
+) -> str:
+    """DuckDB mirror: same hashes, same counters, same min-over-rows."""
+    h = porthash.poly_hash_sql(key_expr)
+    kvals = ", ".join(f"('{k}')" for k in sorted(set(keys)))
+    buckets = ", ".join(
+        f"{porthash.affine_sql('h', m)} % {CM_W} AS b{d}"
+        for d, m in enumerate(CM_MEMBERS)
+    )
+    rows_union = " UNION ALL ".join(
+        f"SELECT {d} AS row, b{d} AS bucket FROM hb"
+        for d in range(CM_D)
+    )
+    qh = porthash.poly_hash_sql("tok")
+    joins = " ".join(
+        f"LEFT JOIN (SELECT bucket, cnt FROM cm WHERE row = {d}) t{d} "
+        f"ON t{d}.bucket = qb.b{d}"
+        for d in range(CM_D)
+    )
+    least = ", ".join(f"COALESCE(t{d}.cnt, 0)" for d in range(CM_D))
+    return f"""
+WITH hb AS (SELECT h, {buckets} FROM
+            (SELECT CAST({h} AS BIGINT) AS h FROM {table})),
+cm AS (SELECT row, bucket, count(*) AS cnt FROM ({rows_union}) GROUP BY 1, 2),
+q(tok) AS (VALUES {kvals}),
+qb AS (SELECT tok,
+              {", ".join(f"{porthash.affine_sql(f'CAST({qh} AS BIGINT)', m)} % {CM_W} AS b{d}" for d, m in enumerate(CM_MEMBERS))}
+       FROM q)
+SELECT tok, CAST(COALESCE(LEAST({least}), 0) AS BIGINT) AS n_est
+FROM qb {joins}
+"""
+
+
 def hll_registers_sql(
     table: str = "urls", key_expr: str = "url"
 ) -> str:

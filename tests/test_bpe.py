@@ -126,3 +126,46 @@ def test_apostrophe_tokens_survive_encoding(spark):
     assert got[0][1:3] in {("d", "o"), ("o", "n"), ("n", "'"), ("'", "t")}
     # codepoint 39 encodes as c039 and decodes back
     assert any("'" in (l + rr) for _, l, rr, _, _ in got) or got[0][4] == 4
+
+
+def test_encode_counts_match_manual_replay(spark):
+    words = ["hash"] * 6 + ["has"] * 2 + ["h"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = [tuple(r) for r in bpe.bpe_train(docs, rounds=3).collect()]
+    dec = bpe.decode_merges(merges)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_encode_counts(docs, rounds=3).collect()
+    }
+    # replay each word through the learned merges in python
+    def encode(word):
+        syms = list(word)
+        for _, l, rr, _m, _n in dec:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    res.append(l + rr)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    for i, w in enumerate(words):
+        assert got[i] == (1, encode(w)), (i, w)
+
+
+def test_encode_duckdb_mirror_parity(spark):
+    rows = [(i, t) for i, t in enumerate(
+        ["sort merge join", "hash join hash", "merge sort", "a b ab abc"] * 3
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in bpe.bpe_encode_counts(docs, rounds=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+                % ", ".join("(%d, '%s')" % r for r in rows))
+    ora = sorted(tuple(r) for r in con.execute(bpe.bpe_encode_sql(rounds=4)).fetchall())
+    assert got == ora

@@ -73,3 +73,64 @@ def test_duckdb_mirror_parity(spark):
     )
     ora = [tuple(r) for r in con.execute(sketch.hll_registers_sql()).fetchall()]
     assert got == sorted(ora)
+
+
+# ---- count-min ----
+
+def _cm_ref(keys, queries):
+    P = porthash.P
+    counters: dict[tuple[int, int], int] = {}
+
+    def buckets(k):
+        h = porthash.poly_hash_py(k)
+        return [
+            ((porthash.AFFINE_A[m] * h + porthash.AFFINE_B[m]) % P) % sketch.CM_W
+            for m in sketch.CM_MEMBERS
+        ]
+
+    for k in keys:
+        for d, b in enumerate(buckets(k)):
+            counters[(d, b)] = counters.get((d, b), 0) + 1
+    return {
+        q: min(counters.get((d, b), 0) for d, b in enumerate(buckets(q)))
+        for q in queries
+    }
+
+
+def _cm_spark(spark, keys, queries):
+    df = spark.createDataFrame([(k,) for k in keys], "tok string")
+    return {
+        r.tok: r.n_est
+        for r in sketch.countmin_estimates(df, queries).collect()
+    }
+
+
+def test_countmin_matches_reference(spark):
+    keys = [f"tok{i % 37}" for i in range(4000)]
+    queries = ["tok0", "tok5", "tok36", "never-seen"]
+    assert _cm_spark(spark, keys, queries) == _cm_ref(keys, queries)
+
+
+def test_countmin_one_sided_and_absent_zero(spark):
+    keys = ["a"] * 100 + ["b"] * 7 + ["c"]
+    got = _cm_spark(spark, keys, ["a", "b", "c", "zzz"])
+    assert got["a"] >= 100 and got["b"] >= 7 and got["c"] >= 1
+    assert got["zzz"] == 0  # all four probe buckets empty at this density
+
+
+def test_countmin_duckdb_mirror_parity(spark):
+    keys = [f"w{i % 19}-{i % 3}" for i in range(2500)]
+    queries = ["w0-0", "w18-2", "missing"]
+    got = sorted(_cm_spark(spark, keys, queries).items())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE toks AS SELECT * FROM (VALUES %s) t(tok)"
+        % ", ".join(f"('{k}')" for k in keys)
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            sketch.countmin_estimates_sql(queries, table="toks")
+        ).fetchall()
+    )
+    assert got == ora
