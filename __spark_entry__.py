@@ -2427,6 +2427,76 @@ def q_multimodal_jpeg_exif(spark, sf_dir):
     )
 
 
+def q_multimodal_exif_scrub(spark, sf_dir):
+    """Image-side location-PII scrub (functions/exifkit.py:exif_scrub_gps —
+    the multimodal sibling of text_pii_redact): two-thirds of the corpus
+    gets a real Exif 2.3 GPS IFD (RATIONAL dms triplets, both byte orders),
+    the scrub rebuilds each APP1 from the non-location whitelist, and the
+    clean payload is re-parsed through the same IFD walk. DuckDB predicts
+    every surviving field, both tag counts, and the exact parsed GPS
+    rational sums from the source row — a scrub that leaves any GPS byte
+    reachable, or damages a kept field, breaks the hash match."""
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import exifkit
+
+    d = _codepoint_docs(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                "doc_id": [], "had_gps": [], "n_tags_before": [],
+                "n_tags_after": [], "lat_sum": [], "lon_sum": [],
+                "desc_out": [], "orientation": [], "byte_order": [],
+                "gps_after": [],
+            }
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                gps = None
+                if did % 3:
+                    gps = (
+                        "N" if did % 2 else "S",
+                        [(did % 90, 1), (did % 60, 1), ((did * 37) % 6000, 100)],
+                        "E" if did % 5 % 2 else "W",
+                        [(did % 180, 1), ((did * 7) % 60, 1), ((did * 53) % 6000, 100)],
+                    )
+                app1 = exifkit.exif_build(
+                    description=txt[:96],
+                    orientation=1 + did % 8,
+                    software="europarl-crawler-spark",
+                    datetime=f"2026:08:{did % 28 + 1:02d} 12:00:00",
+                    pixel_x=16,
+                    pixel_y=16,
+                    byte_order="MM" if did % 2 else "II",
+                    gps=gps,
+                )
+                before = exifkit.exif_parse(app1)
+                clean, had = exifkit.exif_scrub_gps(app1)
+                after = exifkit.exif_parse(clean)
+                out["doc_id"].append(did)
+                out["had_gps"].append(had)
+                out["n_tags_before"].append(before["n_tags"])
+                out["n_tags_after"].append(after["n_tags"])
+                out["lat_sum"].append(
+                    sum(before["gps_lat"]) if had else None
+                )
+                out["lon_sum"].append(
+                    sum(before["gps_lon"]) if had else None
+                )
+                out["desc_out"].append(after["description"])
+                out["orientation"].append(after["orientation"])
+                out["byte_order"].append(after["byte_order"])
+                out["gps_after"].append("gps_lat" in after)
+            yield pd.DataFrame(out)
+
+    return d.repartition(32).mapInPandas(
+        batches,
+        schema="doc_id long, had_gps boolean, n_tags_before long, "
+        "n_tags_after long, lat_sum long, lon_sum long, desc_out string, "
+        "orientation int, byte_order string, gps_after boolean",
+    )
+
+
 def q_multimodal_wav_codec(spark, sf_dir):
     """The REAL audio (PCM WAV) lane, oracle-checked end-to-end: 64 int16
     samples derived from each document's text codepoints round-trip through
@@ -3701,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exif_orient": q_multimodal_exif_orient,
         "text_bpe_encode": q_text_bpe_encode,
         "sketch_countmin_tokens": q_sketch_countmin_tokens,
+        "multimodal_exif_scrub": q_multimodal_exif_scrub,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4780,6 +4851,30 @@ FROM c
                    CAST(16 AS INTEGER) AS px_y,
                    CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
                    CAST(7 AS BIGINT) AS n_tags
+            FROM documents
+        """,
+        # the scrub keeps exactly the 7 whitelist tags; the parsed GPS
+        # rational sums before the scrub are exact integers from the
+        # deterministic generator
+        "multimodal_exif_scrub": """
+            SELECT doc_id,
+                   (doc_id % 3) != 0 AS had_gps,
+                   CAST(CASE WHEN doc_id % 3 != 0 THEN 12 ELSE 7 END
+                        AS BIGINT) AS n_tags_before,
+                   CAST(7 AS BIGINT) AS n_tags_after,
+                   CASE WHEN doc_id % 3 != 0 THEN
+                     CAST((doc_id % 90) + (doc_id % 60)
+                          + ((doc_id * 37) % 6000) + 102 AS BIGINT)
+                   END AS lat_sum,
+                   CASE WHEN doc_id % 3 != 0 THEN
+                     CAST((doc_id % 180) + ((doc_id * 7) % 60)
+                          + ((doc_id * 53) % 6000) + 102 AS BIGINT)
+                   END AS lon_sum,
+                   substr(text, 1, 96) AS desc_out,
+                   CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+                   CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END
+                       AS byte_order,
+                   FALSE AS gps_after
             FROM documents
         """,
         # WAV is lossless PCM ⇒ the decoded samples equal the deterministic

@@ -137,6 +137,7 @@ HEADLINE = [
     "sketch_hll_custkeys",
     "sketch_countmin_tokens",
     "emb_kmeans",
+    "multimodal_exif_scrub",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

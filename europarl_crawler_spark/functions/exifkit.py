@@ -43,13 +43,21 @@ TAG_ORIENTATION = 0x0112  # SHORT
 TAG_SOFTWARE = 0x0131  # ASCII
 TAG_DATETIME = 0x0132  # ASCII
 TAG_EXIF_IFD = 0x8769  # LONG (offset of the Exif sub-IFD)
+TAG_GPS_IFD = 0x8825  # LONG (offset of the GPS IFD — the location-PII block)
 TAG_PIXEL_X = 0xA002  # LONG (Exif sub-IFD)
 TAG_PIXEL_Y = 0xA003  # LONG (Exif sub-IFD)
+
+# GPS IFD tags (Exif 2.3 §4.6.6)
+GPS_TAG_LAT_REF = 0x0001  # ASCII 2: 'N'/'S'
+GPS_TAG_LAT = 0x0002  # RATIONAL ×3: deg, min, sec
+GPS_TAG_LON_REF = 0x0003  # ASCII 2: 'E'/'W'
+GPS_TAG_LON = 0x0004  # RATIONAL ×3
 
 _TYPE_ASCII = 2
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
-_TYPE_SIZE = {1: 1, _TYPE_ASCII: 1, _TYPE_SHORT: 2, _TYPE_LONG: 4}
+_TYPE_RATIONAL = 5
+_TYPE_SIZE = {1: 1, _TYPE_ASCII: 1, _TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_RATIONAL: 8}
 
 
 def exif_build(
@@ -60,10 +68,17 @@ def exif_build(
     pixel_x: int,
     pixel_y: int,
     byte_order: str = "II",
+    gps: tuple | None = None,
 ) -> bytes:
     """Build a complete APP1 payload: ``Exif\\x00\\x00`` + TIFF with IFD0
-    (ImageDescription, Orientation, Software, DateTime, ExifIFD pointer)
-    and an Exif sub-IFD (PixelXDimension, PixelYDimension).
+    (ImageDescription, Orientation, Software, DateTime, ExifIFD pointer,
+    optionally a GPSInfo pointer) and an Exif sub-IFD (PixelXDimension,
+    PixelYDimension).
+
+    ``gps`` is (lat_ref, lat_dms, lon_ref, lon_dms) with refs 'N'/'S' and
+    'E'/'W' and each dms a sequence of three (numerator, denominator)
+    RATIONAL pairs — the Exif 2.3 §4.6.6 location block, i.e. the
+    location-PII payload ``exif_scrub_gps`` exists to remove.
 
     ASCII tags are written as UTF-8 + NUL — technically EXIF declares the
     type 7-bit, but UTF-8-in-ASCII is what real files contain and what
@@ -76,12 +91,15 @@ def exif_build(
         raise ValueError(f"exif: orientation must be 1..8, got {orientation}")
     e = "<" if byte_order == "II" else ">"
 
-    # Fixed layout: TIFF header (8) → IFD0 (2 + 5·12 + 4 = 66) → Exif
-    # sub-IFD (2 + 2·12 + 4 = 30) → string data area. Entry counts are
-    # constant, so every offset is computable up front.
+    # Fixed layout: TIFF header (8) → IFD0 (2 + n0·12 + 4) → Exif sub-IFD
+    # (2 + 2·12 + 4 = 30) → GPS IFD when present (2 + 4·12 + 4 = 54) →
+    # data area. Entry counts are constant, so every offset is computable
+    # up front.
+    n0 = 6 if gps is not None else 5
     ifd0_off = 8
-    sub_off = ifd0_off + 2 + 5 * 12 + 4
-    data_off = sub_off + 2 + 2 * 12 + 4
+    sub_off = ifd0_off + 2 + n0 * 12 + 4
+    gps_off = sub_off + 2 + 2 * 12 + 4
+    data_off = gps_off + (2 + 4 * 12 + 4 if gps is not None else 0)
 
     data = bytearray()
 
@@ -98,10 +116,17 @@ def exif_build(
     def entry(tag: int, typ: int, count: int, field: bytes) -> bytes:
         return struct.pack(e + "HHI", tag, typ, count) + field
 
+    def rational_field(pairs) -> bytes:
+        """3 RATIONALs (24 bytes) always live in the data area."""
+        off = data_off + len(data)
+        for num, den in pairs:
+            data.extend(struct.pack(e + "II", num, den))
+        return struct.pack(e + "I", off)
+
     dc, dv = ascii_field(description)
     sc, sv = ascii_field(software)
     tc, tv = ascii_field(datetime)
-    ifd0 = struct.pack(e + "H", 5)
+    ifd0 = struct.pack(e + "H", n0)
     ifd0 += entry(TAG_IMAGE_DESCRIPTION, _TYPE_ASCII, dc, dv)
     ifd0 += entry(
         TAG_ORIENTATION, _TYPE_SHORT, 1, struct.pack(e + "H", orientation) + b"\x00\x00"
@@ -109,6 +134,8 @@ def exif_build(
     ifd0 += entry(TAG_SOFTWARE, _TYPE_ASCII, sc, sv)
     ifd0 += entry(TAG_DATETIME, _TYPE_ASCII, tc, tv)
     ifd0 += entry(TAG_EXIF_IFD, _TYPE_LONG, 1, struct.pack(e + "I", sub_off))
+    if gps is not None:
+        ifd0 += entry(TAG_GPS_IFD, _TYPE_LONG, 1, struct.pack(e + "I", gps_off))
     ifd0 += struct.pack(e + "I", 0)  # next IFD: none
 
     sub = struct.pack(e + "H", 2)
@@ -116,12 +143,34 @@ def exif_build(
     sub += entry(TAG_PIXEL_Y, _TYPE_LONG, 1, struct.pack(e + "I", pixel_y))
     sub += struct.pack(e + "I", 0)
 
+    gps_ifd = b""
+    if gps is not None:
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+        if lat_ref not in ("N", "S") or lon_ref not in ("E", "W"):
+            raise ValueError(f"exif: bad GPS refs {lat_ref!r}/{lon_ref!r}")
+        # rational fields append to the data area in entry order
+        lat_f = rational_field(lat_dms)
+        lon_f = rational_field(lon_dms)
+        gps_ifd = struct.pack(e + "H", 4)
+        gps_ifd += entry(
+            GPS_TAG_LAT_REF, _TYPE_ASCII, 2,
+            lat_ref.encode("ascii") + b"\x00\x00\x00",
+        )
+        gps_ifd += entry(GPS_TAG_LAT, _TYPE_RATIONAL, 3, lat_f)
+        gps_ifd += entry(
+            GPS_TAG_LON_REF, _TYPE_ASCII, 2,
+            lon_ref.encode("ascii") + b"\x00\x00\x00",
+        )
+        gps_ifd += entry(GPS_TAG_LON, _TYPE_RATIONAL, 3, lon_f)
+        gps_ifd += struct.pack(e + "I", 0)
+
     tiff = (
         byte_order.encode("ascii")
         + struct.pack(e + "H", 42)
         + struct.pack(e + "I", ifd0_off)
         + ifd0
         + sub
+        + gps_ifd
         + bytes(data)
     )
     return EXIF_HEADER + tiff
@@ -161,6 +210,9 @@ def _entry_value(tiff: bytes, typ: int, count: int, field: bytes, e: str):
         return list(struct.unpack(e + f"{count}H", raw)) if count > 1 else struct.unpack(e + "H", raw)[0]
     if typ == _TYPE_LONG:
         return list(struct.unpack(e + f"{count}I", raw)) if count > 1 else struct.unpack(e + "I", raw)[0]
+    if typ == _TYPE_RATIONAL:
+        # flat [num, den, num, den, ...] — keeps the exact integers
+        return list(struct.unpack(e + f"{2 * count}I", raw))
     return raw
 
 
@@ -171,6 +223,13 @@ _FRIENDLY = {
     TAG_DATETIME: "datetime",
     TAG_PIXEL_X: "pixel_x",
     TAG_PIXEL_Y: "pixel_y",
+}
+
+_GPS_FRIENDLY = {
+    GPS_TAG_LAT_REF: "gps_lat_ref",
+    GPS_TAG_LAT: "gps_lat",
+    GPS_TAG_LON_REF: "gps_lon_ref",
+    GPS_TAG_LON: "gps_lon",
 }
 
 
@@ -198,18 +257,48 @@ def exif_parse(app1: bytes) -> dict:
     out: dict = {"byte_order": bo.decode("ascii")}
     entries = _read_ifd(tiff, ifd0_off, e)
     sub_entries: list = []
+    gps_entries: list = []
     for tag, typ, count, field in entries:
         if tag == TAG_EXIF_IFD:
             (sub_off,) = struct.unpack(e + "I", field)
             sub_entries = _read_ifd(tiff, sub_off, e)
+            continue
+        if tag == TAG_GPS_IFD:
+            (g_off,) = struct.unpack(e + "I", field)
+            gps_entries = _read_ifd(tiff, g_off, e)
             continue
         if tag in _FRIENDLY:
             out[_FRIENDLY[tag]] = _entry_value(tiff, typ, count, field, e)
     for tag, typ, count, field in sub_entries:
         if tag in _FRIENDLY:
             out[_FRIENDLY[tag]] = _entry_value(tiff, typ, count, field, e)
-    out["n_tags"] = len(entries) + len(sub_entries)
+    for tag, typ, count, field in gps_entries:
+        if tag in _GPS_FRIENDLY:
+            out[_GPS_FRIENDLY[tag]] = _entry_value(tiff, typ, count, field, e)
+    out["n_tags"] = len(entries) + len(sub_entries) + len(gps_entries)
     return out
+
+
+@rejects_malformed("exif")
+def exif_scrub_gps(app1: bytes) -> tuple[bytes, bool]:
+    """Location-PII scrub: parse the APP1 payload and REBUILD it from the
+    surfaced non-location fields only — a whitelist scrub, so the GPS IFD
+    and any unknown/vendor tag (serials, maker notes) are dropped together,
+    the stance image-privacy tooling takes (rebuilding beats in-place tag
+    zeroing, which leaves offsets and data-area ghosts behind).  Returns
+    (clean_app1, had_gps); the clean payload re-parses with the same
+    description/orientation/software/datetime/pixel dims and byte order."""
+    f = exif_parse(app1)
+    clean = exif_build(
+        description=f.get("description", ""),
+        orientation=f.get("orientation", 1),
+        software=f.get("software", ""),
+        datetime=f.get("datetime", ""),
+        pixel_x=f.get("pixel_x", 0),
+        pixel_y=f.get("pixel_y", 0),
+        byte_order=f["byte_order"],
+    )
+    return clean, "gps_lat" in f
 
 
 @rejects_malformed("jpeg")

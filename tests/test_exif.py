@@ -104,3 +104,61 @@ def test_build_validates_inputs():
         exifkit.exif_build("d", 9, "s", "t", 1, 1)
     with pytest.raises(ValueError, match="byte order"):
         exifkit.exif_build("d", 1, "s", "t", 1, 1, byte_order="XX")
+
+
+# ---- GPS IFD + location scrub ----
+
+def _gps():
+    return ("N", [(48, 1), (51, 1), (2999, 100)],
+            "E", [(2, 1), (17, 1), (4034, 100)])
+
+
+def test_gps_roundtrip_both_orders():
+    from europarl_crawler_spark.functions import exifkit
+
+    for bo in ("II", "MM"):
+        a = exifkit.exif_build("d", 3, "s", "t", 8, 8, byte_order=bo, gps=_gps())
+        f = exifkit.exif_parse(a)
+        assert f["gps_lat_ref"] == "N"
+        assert f["gps_lat"] == [48, 1, 51, 1, 2999, 100]
+        assert f["gps_lon_ref"] == "E"
+        assert f["gps_lon"] == [2, 1, 17, 1, 4034, 100]
+        assert f["n_tags"] == 12
+
+
+def test_scrub_removes_gps_keeps_whitelist():
+    from europarl_crawler_spark.functions import exifkit
+
+    a = exifkit.exif_build(
+        "keep me", 5, "sw", "2026:01:01 00:00:00", 32, 16,
+        byte_order="MM", gps=_gps(),
+    )
+    clean, had = exifkit.exif_scrub_gps(a)
+    assert had
+    f = exifkit.exif_parse(clean)
+    assert "gps_lat" not in f and "gps_lat_ref" not in f
+    assert f["n_tags"] == 7
+    assert (f["description"], f["orientation"], f["software"],
+            f["pixel_x"], f["pixel_y"], f["byte_order"]) == (
+        "keep me", 5, "sw", 32, 16, "MM")
+    # no GPS byte survives anywhere in the scrubbed payload
+    import struct
+    assert struct.pack(">II", 2999, 100) not in clean
+    assert struct.pack("<II", 2999, 100) not in clean
+
+
+def test_scrub_without_gps_is_identity():
+    from europarl_crawler_spark.functions import exifkit
+
+    a = exifkit.exif_build("d", 1, "s", "t", 8, 8, byte_order="II")
+    clean, had = exifkit.exif_scrub_gps(a)
+    assert not had and clean == a
+
+
+def test_gps_bad_refs_rejected():
+    from europarl_crawler_spark.functions import exifkit
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exifkit.exif_build("d", 1, "s", "t", 8, 8,
+                           gps=("X", [(1, 1)] * 3, "E", [(1, 1)] * 3))
