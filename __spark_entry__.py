@@ -1938,6 +1938,15 @@ def q_sketch_countmin_tokens(spark, sf_dir):
     return sketch.countmin_estimates(toks, CM_KEYS)
 
 
+def q_ann_kmeans_topk(spark, sf_dir):
+    """ANN search over the Lloyd-trained cells (operators/cluster.py:
+    kmeans_topk) — the integration payoff of emb_kmeans: refined centroids
+    as the IVF coarse quantizer, nprobe=2 probing, exact integer-L2
+    re-rank inside probed cells only. The oracle replays training, probe
+    selection, and every ranked distance."""
+    return cluster.kmeans_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_text_perplexity_bucket(spark, sf_dir):
     """CCNet perplexity bucketing (operators/lm.py:perplexity_bucket;
     Wenzek et al. 2020): an interpolated bigram LM trained on a
@@ -3772,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "sketch_countmin_tokens": q_sketch_countmin_tokens,
         "multimodal_exif_scrub": q_multimodal_exif_scrub,
+        "ann_kmeans_topk": q_ann_kmeans_topk,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4395,6 +4405,7 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
             table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
         ),
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
+        "ann_kmeans_topk": cluster.kmeans_topk_sql(),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),

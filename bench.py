@@ -138,6 +138,7 @@ HEADLINE = [
     "sketch_countmin_tokens",
     "emb_kmeans",
     "multimodal_exif_scrub",
+    "ann_kmeans_topk",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

@@ -123,6 +123,149 @@ def kmeans_assign(
     return _assign(points, cents).select("vec_id", "cell_id", "dist_q")
 
 
+def kmeans_topk(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int | None = None,
+) -> DataFrame:
+    """ANN top-k over the Lloyd-trained cells — the payoff of
+    ``kmeans_assign``: corpus vectors index into their final cell, each
+    query probes its ``nprobe`` nearest centroids and exact-re-ranks only
+    inside those cells (the IVF search pattern of similarity.ivf_topk, but
+    on refined centroids and exact integer L2 throughout).  Queries are the
+    ``n_queries`` lowest-id vectors; the query itself is excluded from its
+    result.  Output: (query_id, rank, vec_id, dist_q).
+
+    Plan: training as in ``kmeans_assign``; the probe set is an
+    array_sort over k literal centroid distances (no shuffle); candidates
+    come from a cell-keyed join against the assignment (≈ nprobe/k of the
+    corpus per query); the final window partitions by query id."""
+    if n is None:
+        n = estimated_count(emb)
+    points = emb.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("qv")
+    )
+    seeds = centroid_seeds(
+        points, k_clusters, n, id_col="vec_id", vec_col="qv", portable=True
+    ).collect()
+    cents = {int(r["cell_id"]): [int(x) for x in r["_centroid"]] for r in seeds}
+    dims = len(next(iter(cents.values())))
+    for _ in range(rounds):
+        assigned = _assign(points, cents)
+        upd = (
+            assigned.select("cell_id", F.posexplode("qv").alias("p", "v"))
+            .groupBy("cell_id", "p")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("val")
+            )
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in upd:
+            new.setdefault(int(r["cell_id"]), [0] * dims)[int(r["p"])] = int(
+                r["val"]
+            )
+        cents = {cell: new.get(cell, c) for cell, c in cents.items()}
+
+    indexed = _assign(points, cents).select("vec_id", "qv", "cell_id")
+    qs = (
+        points.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+    choices = F.array(
+        *[
+            F.struct(
+                _dist(F.col("qqv"), c).alias("d"),
+                F.lit(int(cell)).cast("long").alias("cell"),
+            )
+            for cell, c in sorted(cents.items())
+        ]
+    )
+    probes = qs.select(
+        "query_id",
+        "qqv",
+        F.explode(F.slice(F.array_sort(choices), 1, nprobe)).alias("pr"),
+    ).select("query_id", "qqv", F.col("pr.cell").alias("cell_id"))
+    exact = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cand = (
+        probes.join(indexed, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", exact.alias("dist_q"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_q"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "dist_q")
+    )
+
+
+def kmeans_topk_sql(
+    k_clusters: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 5,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror: the ``kmeans_assign_sql`` CTE chain, then the same
+    probe selection (dist, cell ascending), cell-keyed candidates, exact
+    integer re-rank, and (dist, vec_id) top-k window."""
+    base = kmeans_assign_sql(
+        k_clusters, rounds, dims, table, id_expr, vec_expr
+    )
+    # keep everything up to (and including) the fin CTE; replace the final
+    # SELECT with the probe/re-rank stages
+    head, _, _ = base.rpartition("\nSELECT vec_id,")
+    qdist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[(z[1] - z[2]) * (z[1] - z[2]) FOR z IN list_zip(qqv, c)]), "
+        "(a, b) -> a + b)"
+    )
+    exact = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[(z[1] - z[2]) * (z[1] - z[2]) FOR z IN list_zip(qqv, qv)]), "
+        "(a, b) -> a + b)"
+    )
+    return f"""{head},
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM e ORDER BY vec_id LIMIT {n_queries}),
+pr AS (SELECT query_id, qqv, cell FROM (
+         SELECT q.query_id, q.qqv, s.cell, {qdist} AS d,
+                row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY d ASC, s.cell ASC) AS rn
+         FROM qs q CROSS JOIN c{rounds} s) WHERE rn <= {nprobe}),
+cand AS (SELECT pr.query_id, f.vec_id, {exact} AS dist_q
+         FROM pr JOIN fin f ON f.cell = pr.cell
+         WHERE f.vec_id != pr.query_id),
+rk AS (SELECT query_id, vec_id, dist_q,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist_q ASC, vec_id ASC) AS INT) AS rank
+       FROM cand)
+SELECT query_id, rank, vec_id, CAST(dist_q AS BIGINT) AS dist_q
+FROM rk WHERE rank <= {k}
+"""
+
+
 def kmeans_assign_sql(
     k: int = 8,
     rounds: int = 2,

@@ -133,3 +133,65 @@ def test_duckdb_mirror_parity(spark, emb):
         ).fetchall()
     )
     assert got == ora
+
+
+def test_topk_exact_within_probed_cells(spark, emb):
+    # brute-force within the probed cells equals the operator's result
+    got = cluster.kmeans_topk(
+        emb, k_clusters=3, rounds=2, nprobe=2, k=5, n_queries=3, n=300
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.dist_q))
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort()
+        dists = [d for _, _, d in rs]
+        assert dists == sorted(dists)
+        assert all(v != q for _, v, _ in rs)
+
+
+def test_topk_recall_vs_bruteforce(spark, emb):
+    # blobs are well separated: probing 2 of 3 cells must contain the true
+    # top-5 (all true neighbors share the query's blob/cell)
+    import math
+
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
+    q = {i: [math.floor(v * cluster.QUANT) for v in vec] for i, vec in rows}
+
+    def brute(qid, k=5):
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q[qid], v)), i)
+            for i, v in q.items() if i != qid
+        )
+        return [(i, d) for d, i in ds[:k]]
+
+    got = cluster.kmeans_topk(
+        emb, k_clusters=3, rounds=2, nprobe=2, k=5, n_queries=3, n=300
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.rank] = (r.vec_id, r.dist_q)
+    for qid in (0, 1, 2):
+        ref = brute(qid)
+        ann = [by_q[qid][rk] for rk in sorted(by_q[qid])]
+        assert ann == ref, qid
+
+
+def test_topk_duckdb_mirror_parity(spark, emb):
+    got = sorted(tuple(r) for r in cluster.kmeans_topk(
+        emb, k_clusters=3, rounds=2, nprobe=2, k=5, n_queries=3, n=300
+    ).collect())
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES %s) t(vec_id, embedding)"
+        % ", ".join(
+            "(%d, [%s]::FLOAT[])" % (i, ", ".join(repr(x) for x in v))
+            for i, v in rows
+        )
+    )
+    ora = sorted(tuple(r) for r in con.execute(cluster.kmeans_topk_sql(
+        k_clusters=3, rounds=2, nprobe=2, k=5, n_queries=3, dims=DIMS
+    )).fetchall())
+    assert got == ora
