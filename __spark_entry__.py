@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
-from europarl_crawler_spark.operators import bpe, cluster, dedup, lm, retrieval, sampling, similarity, sketch, textstats
+from europarl_crawler_spark.operators import bpe, cluster, dedup, lm, quantiles, retrieval, sampling, similarity, sketch, textstats
 from europarl_crawler_spark.operators import export as export_ops
 
 # ---------------------------------------------------------------------------
@@ -777,6 +777,18 @@ def q_t1_events_hourly(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+def q_t3_events_quantiles(spark, sf_dir):
+    """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
+    event value per type via cumulative bucket counts on the integer-cent
+    grid — no global sort (the window runs over the bucket table, not the
+    rows), no sketch approximation; both engines compute the identical
+    type-1 quantile (independently cross-checked against DuckDB's own
+    quantile_disc in the probe)."""
+    from europarl_crawler_spark.operators import quantiles
+
+    return quantiles.quantiles_by_group(_t(spark, sf_dir, "events"))
 
 
 def q_t2_events_sessionize(spark, sf_dir):
@@ -3782,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin_tokens": q_sketch_countmin_tokens,
         "multimodal_exif_scrub": q_multimodal_exif_scrub,
         "ann_kmeans_topk": q_ann_kmeans_topk,
+        "t3_events_quantiles": q_t3_events_quantiles,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4406,6 +4419,7 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         ),
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
         "ann_kmeans_topk": cluster.kmeans_topk_sql(),
+        "t3_events_quantiles": quantiles.quantiles_by_group_sql(),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),

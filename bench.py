@@ -139,6 +139,7 @@ HEADLINE = [
     "emb_kmeans",
     "multimodal_exif_scrub",
     "ann_kmeans_topk",
+    "t3_events_quantiles",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
