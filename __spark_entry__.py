@@ -862,6 +862,33 @@ def q_dedup_exact_streaming(spark, sf_dir):
     ).select("content_hash", "keep_id", "n_dups")
 
 
+def q_sketch_hll_streaming(spark, sf_dir):
+    """The SAME HLL registers computed ONLINE (streaming/sketchstream.py):
+    customer keys split into 4 Parquet files, streamed one file per
+    micro-batch through a plain streaming groupBy(bucket).max(rho) — HLL is
+    its own state, so the aggregate equals the batch sketch under any
+    micro-batch split and the lane shares sketch_hll_custkeys' oracle
+    register-for-register."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.sketchstream import drain_hll_registers
+
+    root = tempfile.mkdtemp(prefix="hllstream-")
+    keys_dir = os.path.join(root, "keys")
+    _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    ).repartition(4).write.parquet(keys_dir)
+    return drain_hll_registers(
+        spark,
+        keys_dir,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="hllstream_" + os.path.basename(root).replace("-", "_"),
+        key_col="k",
+        schema="k string",
+    )
+
+
 def q_decontaminate_ngram(spark, sf_dir):
     """Training-vs-eval n-gram decontamination
     (operators/dedup.py:ngram_decontaminate): a deterministic 4% hash sample
@@ -3795,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exif_scrub": q_multimodal_exif_scrub,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "t3_events_quantiles": q_t3_events_quantiles,
+        "sketch_hll_streaming": q_sketch_hll_streaming,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4415,6 +4443,11 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         ),
         "text_bm25_topk": retrieval.bm25_topk_sql(k=10),
         "sketch_hll_custkeys": sketch.hll_registers_sql(
+            table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
+        ),
+        # the streaming twin shares the batch oracle verbatim — HLL's
+        # element-wise-max mergeability makes the result batch-split-invariant
+        "sketch_hll_streaming": sketch.hll_registers_sql(
             table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
         ),
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),

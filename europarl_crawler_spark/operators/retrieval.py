@@ -76,7 +76,18 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_expr(text_col)).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    qt = _query_terms(spark)
+    terms = qt.select("tok").distinct()
+    # restrict the posting rows to query terms BEFORE any term-keyed agg:
+    # df for a term counts all docs containing it, which the term-filtered
+    # tf still holds in full — so the full-vocabulary df aggregation (a
+    # corpus-wide shuffle producing mostly-unused rows at 100 TB) never
+    # exists in the plan
+    tf = (
+        toks.join(F.broadcast(terms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_expr(text_col)).cast("long").alias("dl"),
@@ -86,10 +97,9 @@ def bm25_topk(
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
-    qt = F.broadcast(_query_terms(spark))
     scored = (
-        tf.join(qt, "tok")
-        .join(df_t, "tok")
+        tf.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(df_t), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )

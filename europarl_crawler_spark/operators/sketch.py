@@ -65,14 +65,24 @@ def _rho(w):
     return acc
 
 
-def hll_registers(df: DataFrame, key_col: str = "url") -> DataFrame:
-    """Dense (bucket, r_max) register table, one row per bucket ∈ [0, M)."""
-    spark = df.sparkSession
+def hll_projection(df: DataFrame, key_col: str = "url") -> DataFrame:
+    """The per-row sketch projection (bucket, rho) — shared by the batch
+    lane and the streaming twin (the groupBy-max downstream is identical;
+    HLL's element-wise-max mergeability is what makes the streaming
+    aggregate equal the batch one under ANY micro-batch split)."""
     h = porthash.poly_hash(F.col(key_col))
     bucket = porthash.affine(h, 1) % M
     w = porthash.affine(h, 2) % F.lit(1 << W_BITS)
+    return df.select(
+        bucket.cast("long").alias("bucket"), _rho(w).alias("rho")
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str = "url") -> DataFrame:
+    """Dense (bucket, r_max) register table, one row per bucket ∈ [0, M)."""
+    spark = df.sparkSession
     regs = (
-        df.select(bucket.cast("long").alias("bucket"), _rho(w).alias("rho"))
+        hll_projection(df, key_col)
         .groupBy("bucket")
         .agg(F.max("rho").alias("r_max"))
     )

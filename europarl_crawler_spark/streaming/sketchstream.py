@@ -1,0 +1,66 @@
+"""ONLINE HyperLogLog — the streaming twin of operators/sketch.py's batch
+registers, and the simplest possible stateful streaming operator because
+HLL *is* its own state: the register table merges by element-wise max, so
+a plain streaming groupBy(bucket).max(rho) aggregate (update mode, no
+custom state function) converges to exactly the batch sketch under ANY
+micro-batch split.  That mergeability is the whole reason HLL is the
+distinct-counter of choice for a crawl frontier: per-epoch/per-shard
+sketches union for free.
+
+The lane shares the batch lane's DuckDB oracle verbatim (same registers,
+same SQL) — the streaming machinery is value-checked, not just smoke-run.
+
+Reference analog: the reference counts distincts with Postgres COUNT
+queries per maintenance tick (europarl/db/url.py); the streaming sketch is
+what replaces that at 10^10 URLs/continuous ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import M, hll_projection
+
+
+def streaming_hll_registers(sdf: DataFrame, key_col: str = "url") -> DataFrame:
+    """Streaming register aggregate: (bucket, r_max), update mode."""
+    return (
+        hll_projection(sdf, key_col)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r_max"))
+    )
+
+
+def drain_hll_registers(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    name: str,
+    key_col: str = "url",
+    schema: str = "url string",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-stream keys → streaming register aggregate → memory sink,
+    availableNow; returns the FINAL dense register table (update mode
+    emits a row per changed bucket per batch — registers only ever grow,
+    so the final value per bucket is the max over emissions)."""
+    from .stream import run_available_now
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    regs = streaming_hll_registers(sdf, key_col)
+    run_available_now(regs, name, checkpoint, output_mode="update")
+    drained = (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(F.max("r_max").alias("r_max"))
+    )
+    dense = spark.range(M).select(F.col("id").alias("bucket"))
+    return dense.join(drained, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("r_max"), F.lit(0)).cast("long").alias("r_max"),
+    )

@@ -134,3 +134,28 @@ def test_countmin_duckdb_mirror_parity(spark):
         ).fetchall()
     )
     assert got == ora
+
+
+# ---- streaming twin ----
+
+def test_streaming_registers_equal_batch_under_any_split(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from europarl_crawler_spark.streaming.sketchstream import drain_hll_registers
+
+    keys = [(f"user-{i % 613}",) for i in range(4000)]
+    df = spark.createDataFrame(keys, "url string")
+    batch = {r.bucket: r.r_max for r in sketch.hll_registers(df, "url").collect()}
+    for nfiles, per_trigger in ((1, 1), (5, 1), (5, 3)):
+        d = tmp_path / f"keys{nfiles}_{per_trigger}"
+        df.repartition(nfiles).write.parquet(str(d))
+        got = {
+            r.bucket: r.r_max
+            for r in drain_hll_registers(
+                spark, str(d),
+                checkpoint=str(tmp_path / f"ckpt{nfiles}_{per_trigger}"),
+                name=f"hlls_{nfiles}_{per_trigger}",
+                max_files_per_trigger=per_trigger,
+            ).collect()
+        }
+        assert got == batch, (nfiles, per_trigger)
