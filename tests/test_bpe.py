@@ -7,7 +7,6 @@ the generated DuckDB mirror."""
 from __future__ import annotations
 
 import duckdb
-import pytest
 
 from europarl_crawler_spark.operators import bpe
 
