@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from europarl_crawler_spark.functions import porthash
 from europarl_crawler_spark.functions.rules import RULES, TERMS, BASE_URL, rules_df, term_expr, url_expr
-from europarl_crawler_spark.operators import bpe, cluster, dedup, lm, quantiles, retrieval, sampling, similarity, sketch, textstats
+from europarl_crawler_spark.operators import bpe, chunking, cluster, dedup, lm, quantiles, retrieval, sampling, similarity, sketch, textstats
 from europarl_crawler_spark.operators import export as export_ops
 
 # ---------------------------------------------------------------------------
@@ -1986,6 +1986,19 @@ def q_ann_kmeans_topk(spark, sf_dir):
     return cluster.kmeans_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_corpus_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.py): every document
+    split into 128-token windows with 32-token overlap — exact integer
+    layout (coverage/overlap/tail invariants pytest-pinned), zero-shuffle
+    plan (one projection + explode(sequence)); the oracle recomputes the
+    whole layout."""
+    from europarl_crawler_spark.operators import chunking
+
+    return chunking.chunk_windows(
+        _t(spark, sf_dir, "documents"), window=128, overlap=32
+    )
+
+
 def q_text_perplexity_bucket(spark, sf_dir):
     """CCNet perplexity bucketing (operators/lm.py:perplexity_bucket;
     Wenzek et al. 2020): an interpolated bigram LM trained on a
@@ -2542,6 +2555,59 @@ def q_multimodal_exif_scrub(spark, sf_dir):
         schema="doc_id long, had_gps boolean, n_tags_before long, "
         "n_tags_after long, lat_sum long, lon_sum long, desc_out string, "
         "orientation int, byte_order string, gps_after boolean",
+    )
+
+
+def q_multimodal_corruption_scan(spark, sf_dir):
+    """Corpus-scale corrupted-payload triage — what a real 100 TB image
+    crawl meets constantly: a third of the PNG payloads are truncated to
+    60% and a third get their magic bytes zeroed (both deterministic by
+    doc_id), and the scan classifies every payload by checking the signature
+    FIRST, then attempting the real decode (functions/imaging.py), so the
+    class split never depends on error-message strings. Valid payloads
+    prove the decode actually ran by emitting the decoded mean; DuckDB
+    predicts the verdict AND the mean from the source row. The per-payload
+    try/except is the production shape: one bad record must cost one
+    record, not the task."""
+    import numpy as np
+    import pandas as pd
+
+    from europarl_crawler_spark.functions import imaging
+
+    d = _codepoint_docs(spark, sf_dir)
+    PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "verdict": [], "mean_r": []}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cps = [ord(c) % 256 for c in txt] or [0]
+                vals = [cps[i % len(cps)] for i in range(192)]
+                px = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+                body = imaging.encode(px, "png")
+                if did % 3 == 1:
+                    body = body[: max(12, int(len(body) * 0.6))]
+                elif did % 3 == 2:
+                    body = b"\x00" * 8 + body[8:]
+                if body[:8] != PNG_SIG:
+                    verdict, mean_r = "bad_magic", None
+                else:
+                    try:
+                        dec = imaging.decode(body, 8, 8, "png")
+                        verdict = "ok"
+                        mean_r = round(
+                            float(dec.reshape(-1, 3)[:, 0].astype(np.float64).mean()), 6
+                        )
+                    except Exception:
+                        verdict, mean_r = "corrupt_body", None
+                out["doc_id"].append(did)
+                out["verdict"].append(verdict)
+                out["mean_r"].append(mean_r)
+            yield pd.DataFrame(out)
+
+    return d.repartition(32).mapInPandas(
+        batches, schema="doc_id long, verdict string, mean_r double"
     )
 
 
@@ -3823,6 +3889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "t3_events_quantiles": q_t3_events_quantiles,
         "sketch_hll_streaming": q_sketch_hll_streaming,
+        "corpus_chunk_windows": q_corpus_chunk_windows,
+        "multimodal_corruption_scan": q_multimodal_corruption_scan,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4453,6 +4521,9 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
         "ann_kmeans_topk": cluster.kmeans_topk_sql(),
         "t3_events_quantiles": quantiles.quantiles_by_group_sql(),
+        "corpus_chunk_windows": chunking.chunk_windows_sql(
+            window=128, overlap=32
+        ),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),
@@ -4910,6 +4981,26 @@ FROM c
                    CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
                    CAST(7 AS BIGINT) AS n_tags
             FROM documents
+        """,
+        # verdict class is a pure function of doc_id; the surviving mean
+        # is the png lane's codepoint prediction, NULL for corrupt payloads
+        "multimodal_corruption_scan": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE unicode(substr(text, (i % length(text)) + 1, 1)) % 256
+                     END AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0, 191)) AS i FROM documents)
+            )
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'ok'
+                                   WHEN 1 THEN 'corrupt_body'
+                                   ELSE 'bad_magic' END AS verdict,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN round(avg(CASE WHEN ch = 0 THEN v END), 6)
+                   END AS mean_r
+            FROM px GROUP BY doc_id
         """,
         # the scrub keeps exactly the 7 whitelist tags; the parsed GPS
         # rational sums before the scrub are exact integers from the

@@ -140,6 +140,8 @@ HEADLINE = [
     "multimodal_exif_scrub",
     "ann_kmeans_topk",
     "t3_events_quantiles",
+    "corpus_chunk_windows",
+    "multimodal_corruption_scan",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
