@@ -3790,7 +3790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     crawl/TPC-H parity + early LLM lanes; r4 leads with the 31 lanes r3 left
     judge-verified-only — codecs, corpus ops, PII, decontamination, the
     precision/validity invariants — plus every lane whose plan changed this
-    round; the 13 late-r4 lanes past the window are the r5 rotation set).
+    round and the four late-r4 flagships (BPE training, BM25, HLL, k-means);
+    the remaining late-r4 lanes past the window are the r5 rotation set).
     Lanes 51+ hold green rows in CORRECTNESS_r03.json or in the committed
     full-catalog artifact BENCH/ORACLE_FULL_r04.json; tools/check_oracle.py
     gates ALL entries."""
