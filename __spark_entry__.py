@@ -779,6 +779,25 @@ def q_t1_events_hourly(spark, sf_dir):
     )
 
 
+def q_j12_bucketed_join(spark, sf_dir):
+    """Bucketed co-located fact join (sources/bucketed.py): orders and
+    customer written bucketBy(custkey) with the same bucket count, then
+    joined exchange-free (the write pays the shuffle once; the plan-level
+    no-Exchange property is asserted in tests/test_bucketed.py) and rolled
+    up to market segment with order-independent integer money. The one
+    DECLARED sort-merge join in the catalog that is the point, not a
+    regression — bucketed SMJ without exchange is how the 100 TB epoch
+    tables co-locate frontier ⋈ requests ⋈ documents on url_hash."""
+    from europarl_crawler_spark.sources import bucketed
+
+    return bucketed.bucketed_revenue_by_segment(
+        spark,
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        n_buckets=8,
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -3892,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_streaming": q_sketch_hll_streaming,
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "multimodal_corruption_scan": q_multimodal_corruption_scan,
+        "j12_bucketed_join": q_j12_bucketed_join,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4525,6 +4545,9 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         "corpus_chunk_windows": chunking.chunk_windows_sql(
             window=128, overlap=32
         ),
+        "j12_bucketed_join": __import__(
+            "europarl_crawler_spark.sources.bucketed", fromlist=["b"]
+        ).revenue_by_segment_sql(),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),

@@ -142,6 +142,7 @@ HEADLINE = [
     "t3_events_quantiles",
     "corpus_chunk_windows",
     "multimodal_corruption_scan",
+    "j12_bucketed_join",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
