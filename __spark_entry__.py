@@ -779,6 +779,31 @@ def q_t1_events_hourly(spark, sf_dir):
     )
 
 
+def q_t3_quantiles_streaming(spark, sf_dir):
+    """The SAME exact quantiles computed ONLINE
+    (streaming/sketchstream.py:drain_quantile_counts): events split into 4
+    files, streamed one per micro-batch through a plain streaming
+    groupBy(g, bucket) count — the count table is the quantile state and
+    merges by addition, so the drained table equals the batch one under
+    any split and the lane shares t3_events_quantiles' oracle verbatim."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.sketchstream import drain_quantile_counts
+
+    root = tempfile.mkdtemp(prefix="qstream-")
+    src = os.path.join(root, "events")
+    _t(spark, sf_dir, "events").select("event_type", "value").repartition(
+        4
+    ).write.parquet(src)
+    return drain_quantile_counts(
+        spark,
+        src,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="qstream_" + os.path.basename(root).replace("-", "_"),
+    )
+
+
 def q_j12_bucketed_join(spark, sf_dir):
     """Bucketed co-located fact join (sources/bucketed.py): orders and
     customer written bucketBy(custkey) with the same bucket count, then
@@ -3912,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "multimodal_corruption_scan": q_multimodal_corruption_scan,
         "j12_bucketed_join": q_j12_bucketed_join,
+        "t3_quantiles_streaming": q_t3_quantiles_streaming,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4542,6 +4568,8 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
         "ann_kmeans_topk": cluster.kmeans_topk_sql(),
         "t3_events_quantiles": quantiles.quantiles_by_group_sql(),
+        # streaming twin shares the batch oracle — count tables merge by add
+        "t3_quantiles_streaming": quantiles.quantiles_by_group_sql(),
         "corpus_chunk_windows": chunking.chunk_windows_sql(
             window=128, overlap=32
         ),

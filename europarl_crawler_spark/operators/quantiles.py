@@ -33,18 +33,26 @@ from pyspark.sql.window import Window
 QS = (("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100))
 
 
-def quantiles_by_group(
+def bucket_counts(
     df: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
-    """(group, n, p50, p90, p99) with quantiles on the integer-cent grid."""
+    """(g, vq, c): the per-(group, bucket) count table — the whole state of
+    the quantile computation, mergeable across shards/epochs/micro-batches
+    by ADDING counts (which is why the streaming twin is a plain streaming
+    groupBy count; see streaming/sketchstream.py's drain helpers)."""
     vq = F.floor(F.col(value_col) * F.lit(100.0)).cast("long")
-    counts = (
+    return (
         df.select(F.col(group_col).alias("g"), vq.alias("vq"))
         .groupBy("g", "vq")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def quantiles_from_counts(counts: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """The cumulative walk over a (g, vq, c) table — shared verbatim by the
+    batch and streaming lanes."""
     w = (
         Window.partitionBy("g")
         .orderBy("vq")
@@ -64,6 +72,17 @@ def quantiles_by_group(
         j.groupBy("g")
         .agg(*aggs)
         .select(F.col("g").alias(group_col), "n", *[q[0] for q in QS])
+    )
+
+
+def quantiles_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(group, n, p50, p90, p99) with quantiles on the integer-cent grid."""
+    return quantiles_from_counts(
+        bucket_counts(df, group_col, value_col), group_col
     )
 
 

@@ -64,3 +64,45 @@ def drain_hll_registers(
         "bucket",
         F.coalesce(F.col("r_max"), F.lit(0)).cast("long").alias("r_max"),
     )
+
+
+def drain_quantile_counts(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    name: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    schema: str = "event_type string, value double",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """ONLINE exact quantiles, the count-table analog of the HLL drain:
+    the (group, bucket) count table IS the quantile computation's whole
+    state and merges by adding counts, so a plain streaming groupBy count
+    (update mode — each emission is the latest cumulative count for the
+    key, so the final value per key is the max over emissions) converges
+    to the batch table under any micro-batch split; the cumulative walk
+    then runs on the drained counts.  Returns the same
+    (group, n, p50, p90, p99) frame as the batch lane — oracle shared."""
+    from ..operators.quantiles import bucket_counts, quantiles_from_counts
+    from .stream import run_available_now
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    counts = bucket_counts(sdf, group_col, value_col)
+    run_available_now(counts, name, checkpoint, output_mode="update")
+    drained = (
+        spark.table(name)
+        .groupBy("g", "vq")
+        .agg(F.max("c").alias("c"))
+        # the walk self-joins its input (cum ⋈ n); two branches over the
+        # same memory-sink relation hit a Spark INTERNAL_ERROR on join
+        # resolution — cut the lineage at the (bucket-grid-sized) count
+        # table, which is exactly the state a production job would have
+        # persisted anyway
+        .localCheckpoint(eager=True)
+    )
+    return quantiles_from_counts(drained, group_col)

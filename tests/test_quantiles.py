@@ -98,3 +98,22 @@ def test_agrees_with_duckdb_quantile_disc(ev):
         ).fetchall()
     }
     assert got == ref
+
+
+def test_streaming_counts_equal_batch_under_any_split(spark, ev, tmp_path):
+    from europarl_crawler_spark.streaming.sketchstream import drain_quantile_counts
+
+    batch = sorted(tuple(r) for r in quantiles.quantiles_by_group(ev).collect())
+    for nfiles, per_trigger in ((1, 1), (4, 1), (4, 2)):
+        d = tmp_path / f"ev{nfiles}_{per_trigger}"
+        ev.select("event_type", "value").repartition(nfiles).write.parquet(str(d))
+        got = sorted(
+            tuple(r)
+            for r in drain_quantile_counts(
+                spark, str(d),
+                checkpoint=str(tmp_path / f"qck{nfiles}_{per_trigger}"),
+                name=f"qstr_{nfiles}_{per_trigger}",
+                max_files_per_trigger=per_trigger,
+            ).collect()
+        )
+        assert got == batch, (nfiles, per_trigger)
