@@ -906,6 +906,22 @@ def q_dedup_exact_streaming(spark, sf_dir):
     ).select("content_hash", "keep_id", "n_dups")
 
 
+def q_sketch_hll_by_group(spark, sf_dir):
+    """Per-group HLL (operators/sketch.py:hll_registers_by_group): one
+    sketch per order priority over customer keys — the deployment shape
+    ("distinct URLs per host") as a single (group, bucket)-keyed groupBy
+    max, sparse output, mergeable across shards by per-(group, bucket)
+    max. Every register value-checked."""
+    orders = _t(spark, sf_dir, "orders")
+    return sketch.hll_registers_by_group(
+        orders.select(
+            "o_orderpriority", F.col("o_custkey").cast("string").alias("k")
+        ),
+        group_col="o_orderpriority",
+        key_col="k",
+    )
+
+
 def q_sketch_hll_streaming(spark, sf_dir):
     """The SAME HLL registers computed ONLINE (streaming/sketchstream.py):
     customer keys split into 4 Parquet files, streamed one file per
@@ -3938,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_corruption_scan": q_multimodal_corruption_scan,
         "j12_bucketed_join": q_j12_bucketed_join,
         "t3_quantiles_streaming": q_t3_quantiles_streaming,
+        "sketch_hll_by_group": q_sketch_hll_by_group,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4564,6 +4581,11 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         # element-wise-max mergeability makes the result batch-split-invariant
         "sketch_hll_streaming": sketch.hll_registers_sql(
             table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
+        ),
+        "sketch_hll_by_group": sketch.hll_registers_by_group_sql(
+            group_expr="o_orderpriority",
+            table="orders",
+            key_expr="CAST(o_custkey AS VARCHAR)",
         ),
         "emb_kmeans": cluster.kmeans_assign_sql(k=8, rounds=2),
         "ann_kmeans_topk": cluster.kmeans_topk_sql(),

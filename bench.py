@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_chunk_windows",
     "multimodal_corruption_scan",
     "j12_bucketed_join",
+    "sketch_hll_by_group",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

@@ -2,6 +2,12 @@
 the tokenizer-construction step of every LLM data pipeline, run over the
 corpus the engine just curated.
 
+Word boundaries: merges run WITHIN words only (the word-frequency table
+representation makes cross-word merges impossible by construction), and no
+end-of-word marker is appended — the SentencePiece-style convention.  The
+Sennrich '</w>' variant drops in trivially: append a reserved fixed-width
+id (e.g. 'w000') in ``initial_seqs`` and its mirror; nothing else changes.
+
 Algorithm (classic BPE on the word-frequency table):
   1. tokenize the corpus and aggregate to (word, corpus_frequency) — the
      corpus is touched exactly once; every later round works on the

@@ -95,6 +95,49 @@ def hll_registers(df: DataFrame, key_col: str = "url") -> DataFrame:
     )
 
 
+def hll_registers_by_group(
+    df: DataFrame, group_col: str, key_col: str = "url"
+) -> DataFrame:
+    """Per-GROUP register tables — the realistic deployment shape
+    ("distinct URLs per host", "vocabulary per language"): one 2^p-register
+    sketch per group from a single (group, bucket)-keyed groupBy max.
+    Sparse output (only touched buckets appear — a dense per-group join
+    would manufacture |groups|·M rows); registers merge across shards by
+    (group, bucket)-wise max exactly as the global sketch does."""
+    h = porthash.poly_hash(F.col(key_col))
+    bucket = porthash.affine(h, 1) % M
+    w = porthash.affine(h, 2) % F.lit(1 << W_BITS)
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            bucket.cast("long").alias("bucket"),
+            _rho(w).alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("r_max"))
+        .select(F.col("g").alias(group_col), "bucket", "r_max")
+    )
+
+
+def hll_registers_by_group_sql(
+    group_expr: str, table: str = "urls", key_expr: str = "url"
+) -> str:
+    """DuckDB mirror of ``hll_registers_by_group`` (sparse)."""
+    h = porthash.poly_hash_sql(key_expr)
+    rho = "1 + " + " + ".join(
+        f"(CASE WHEN w < {1 << t} THEN 1 ELSE 0 END)" for t in range(W_BITS)
+    )
+    b_sql = porthash.affine_sql("h", 1)
+    w_sql = porthash.affine_sql("h", 2)
+    return f"""
+WITH hs AS (SELECT {group_expr} AS g, CAST({h} AS BIGINT) AS h FROM {table}),
+sp AS (SELECT g, {b_sql} % {M} AS bucket, {w_sql} % {1 << W_BITS} AS w FROM hs)
+SELECT g AS {group_expr}, CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX({rho}) AS BIGINT) AS r_max
+FROM sp GROUP BY g, bucket
+"""
+
+
 def hll_estimate(registers: list[tuple[int, int]]) -> float:
     """Cardinality estimate from a collected register table (bucket, r_max),
     with the standard small-range linear-counting correction."""

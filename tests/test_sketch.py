@@ -159,3 +159,16 @@ def test_streaming_registers_equal_batch_under_any_split(spark, tmp_path):
             ).collect()
         }
         assert got == batch, (nfiles, per_trigger)
+
+
+def test_grouped_registers_equal_per_group_global(spark):
+    rows = [(f"g{i % 3}", f"key-{i}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "grp string, url string")
+    grouped = {}
+    for r in sketch.hll_registers_by_group(df, "grp", "url").collect():
+        grouped.setdefault(r.grp, {})[r.bucket] = r.r_max
+    for g in ("g0", "g1", "g2"):
+        solo = df.filter(df.grp == g).select("url")
+        dense = {r.bucket: r.r_max for r in sketch.hll_registers(solo, "url").collect()}
+        sparse = {b: v for b, v in dense.items() if v > 0}
+        assert grouped[g] == sparse, g
