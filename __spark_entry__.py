@@ -906,6 +906,14 @@ def q_dedup_exact_streaming(spark, sf_dir):
     ).select("content_hash", "keep_id", "n_dups")
 
 
+def q_text_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf·idf keywords per document (operators/retrieval.py:
+    tfidf_keywords): quantized-integer idf per term, exact integer scores,
+    (score DESC, tok) deterministic cut; one corpus pass + a vocab-sized
+    idf rollup riding the same token-keyed shuffle."""
+    return retrieval.tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_sketch_hll_by_group(spark, sf_dir):
     """Per-group HLL (operators/sketch.py:hll_registers_by_group): one
     sketch per order priority over customer keys — the deployment shape
@@ -3955,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j12_bucketed_join": q_j12_bucketed_join,
         "t3_quantiles_streaming": q_t3_quantiles_streaming,
         "sketch_hll_by_group": q_sketch_hll_by_group,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4574,6 +4583,7 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
             "WHERE tok != '') tk",
         ),
         "text_bm25_topk": retrieval.bm25_topk_sql(k=10),
+        "text_tfidf_keywords": retrieval.tfidf_keywords_sql(k=3),
         "sketch_hll_custkeys": sketch.hll_registers_sql(
             table="orders", key_expr="CAST(o_custkey AS VARCHAR)"
         ),

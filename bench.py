@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_corruption_scan",
     "j12_bucketed_join",
     "sketch_hll_by_group",
+    "text_tfidf_keywords",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

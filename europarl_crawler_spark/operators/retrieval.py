@@ -133,6 +133,83 @@ def bm25_topk(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the
+    keyword-extraction / doc-summarization primitive (and the features a
+    quality classifier or topic mixture starts from).  idf = ln(N/df)
+    quantized to int64 once per TERM (vocabulary-sized), then the
+    per-(doc, term) score is the exact integer tf · idf_q — no float ever
+    aggregates.  Output: (doc_id, rank, tok, score_q).
+
+    Plan: tf = one explode→groupBy (corpus-sized, map-side combinable);
+    df/idf = one vocab-sized rollup of tf; score join is token-keyed on
+    two tables that share the tf shuffle's partitioning; the final window
+    partitions by doc_id (bounded by a document's distinct-term count)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.floor(
+                F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * F.lit(float(SCORE_Q))
+            ).cast("long").alias("idf_q"),
+        )
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_q")).alias("score_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "score_q")
+    )
+
+
+def tfidf_keywords_sql(
+    k: int = 3,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB mirror — same tokenizer, same quantized idf, same cut."""
+    tok = (
+        f"SELECT {id_expr} AS doc_id, unnest(regexp_split_to_array("
+        f"lower({text_expr}), '[^a-zA-Z0-9'']+')) AS tok FROM {table}"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, tok FROM ({tok}) WHERE tok != ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}),
+idf AS (SELECT tok,
+               CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                    * {float(SCORE_Q)!r}) AS BIGINT) AS idf_q
+        FROM tf CROSS JOIN nd GROUP BY tok, n_docs),
+sc AS (SELECT doc_id, tok, CAST(tf * idf_q AS BIGINT) AS score_q
+       FROM tf JOIN idf USING (tok)),
+rk AS (SELECT doc_id, tok, score_q,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_q DESC, tok ASC) AS INT) AS rank
+       FROM sc)
+SELECT doc_id, rank, tok, score_q FROM rk WHERE rank <= {k}
+"""
+
+
 def bm25_topk_sql(
     k: int = 10,
     table: str = "documents",

@@ -98,3 +98,39 @@ def test_duckdb_mirror_parity(docs):
     )
     ora = sorted(tuple(r) for r in con.execute(retrieval.bm25_topk_sql(k=10)).fetchall())
     assert got == ora
+
+
+# ---- tf-idf keywords ----
+
+def test_tfidf_prefers_rare_terms(spark):
+    rows = [
+        (0, "common common rare1 rare1 rare1"),
+        (1, "common common common"),
+        (2, "common rare2"),
+        (3, "common filler other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in retrieval.tfidf_keywords(df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.tok, r.score_q))
+    for d in got:
+        got[d].sort()
+    # rare terms outrank 'common' (df=4 -> idf=0 -> score 0)
+    assert got[0][0][1] == "rare1"
+    assert got[2][0][1] == "rare2"
+    # idf of an every-doc term is exactly 0
+    assert all(s == 0 for _, t, s in got[1] if t == "common")
+
+
+def test_tfidf_duckdb_mirror_parity(spark):
+    rows = [(i, t) for i, t in enumerate(
+        ["alpha beta beta", "alpha gamma", "delta delta delta beta",
+         "alpha alpha epsilon"] * 5
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in retrieval.tfidf_keywords(df, k=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES %s) t(doc_id, text)"
+                % ", ".join("(%d, '%s')" % r for r in rows))
+    ora = sorted(tuple(r) for r in con.execute(retrieval.tfidf_keywords_sql(k=3)).fetchall())
+    assert got == ora
