@@ -50,6 +50,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _stat_value(v):
+    """Footer min/max → a JSON-able, ORDER-PRESERVING scalar: numbers and
+    strings as-is, timestamps/dates as ISO strings (lexicographic ==
+    chronological), undecodable bytes dropped (prune must stay sound)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _cmp_gt(a, b) -> bool:
+    """a > b, but incomparable (mixed-type) bounds NEVER prune a file."""
+    try:
+        return a > b
+    except TypeError:
+        return False
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency failure: another writer advanced the table's
     manifest chain (or committed this exact epoch) between this commit's
@@ -115,12 +143,36 @@ class EpochStore:
         if "_deleted" not in out.columns:
             out = out.withColumn("_deleted", F.lit(False))
         out.write.mode("overwrite").parquet(str(ddir))
-        # row count from parquet footers — metadata-only, no Spark job
+        # row count + per-file column min/max from parquet FOOTERS —
+        # metadata-only, no Spark job. The stats ride in the manifest the
+        # way Iceberg manifests carry per-data-file bounds, and are what
+        # ``scan`` prunes with.
         import pyarrow.parquet as pq
 
-        rows = sum(
-            pq.ParquetFile(p).metadata.num_rows for p in ddir.glob("*.parquet")
-        )
+        rows = 0
+        file_stats: dict[str, dict[str, list]] = {}
+        for p in sorted(ddir.glob("*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            rows += md.num_rows
+            fstat: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if "." in col.path_in_schema:
+                        continue  # nested field — no top-level bound
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None:
+                        continue
+                    cur = fstat.get(col.path_in_schema)
+                    if cur is None:
+                        fstat[col.path_in_schema] = [mn, mx]
+                    else:
+                        cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
+            file_stats[p.name] = fstat
         manifest = {
             "table": table,
             "epoch": epoch,
@@ -128,7 +180,8 @@ class EpochStore:
             "kind": kind,
             "keys": list(keys) if keys else None,
             "rows": rows,
-            "files": len(list(ddir.glob("*.parquet"))),
+            "files": len(file_stats),
+            "file_stats": file_stats,
         }
         self._mdir(table).mkdir(parents=True, exist_ok=True)
         # commit point: CAS on the parent...
@@ -205,6 +258,116 @@ class EpochStore:
             else:
                 out = out.repartition(target_partitions)
         return self.overwrite(table, out, epoch, keys)
+
+    def rewrite_sorted(
+        self,
+        table: str,
+        spark: SparkSession,
+        epoch: int,
+        x_col: str,
+        x_bounds: tuple[int, int],
+        y_col: str,
+        y_bounds: tuple[int, int],
+        n_files: int,
+    ) -> dict:
+        """Iceberg ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(x, y)')`` analog: compact the table into ``n_files`` files
+        clustered by the Morton interleave of (x, y), so the per-file
+        min/max bounds the commit records become a usable index on BOTH
+        columns (consumed by ``scan``). Bounds are the layout's fixed grid
+        spec, not data-sniffed — see operators/zorder.py."""
+        from ..operators import zorder
+
+        resolved = self.read(table, spark).drop("_epoch", "_deleted")
+        laid = zorder.zorder_layout(
+            resolved, x_col, x_bounds, y_col, y_bounds, shard_bits=1
+        )
+        out = (
+            laid.repartitionByRange(int(n_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "_zshard")
+        )
+        return self.overwrite(table, out, epoch, self._keys(table))
+
+    # -- stat-pruned scans ---------------------------------------------------
+
+    def prune_files(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        as_of: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(surviving data-file paths, total live files) for the predicate
+        ``lo <= col <= hi`` against the manifests' per-file bounds — the
+        Iceberg manifest-pruning step as a visible number. Files without a
+        recorded bound for ``col`` survive (pruning must never be the
+        component that drops a row)."""
+        lo, hi = _stat_value(lo), _stat_value(hi)
+        ms = [
+            m
+            for m in self.manifests(table)
+            if as_of is None or m["epoch"] <= as_of
+        ]
+        base_idx = max(
+            (i for i, m in enumerate(ms) if m["kind"] == "base"), default=None
+        )
+        live = ms if base_idx is None else ms[base_idx:]
+        kept, total = [], 0
+        for m in live:
+            ddir = self.root / table / f"epoch={m['epoch']}"
+            stats = m.get("file_stats") or {}
+            for p in sorted(ddir.glob("*.parquet")):
+                total += 1
+                b = stats.get(p.name, {}).get(col)
+                if b is not None:
+                    fmin, fmax = b
+                    if (hi is not None and _cmp_gt(fmin, hi)) or (
+                        lo is not None and _cmp_gt(lo, fmax)
+                    ):
+                        continue
+                kept.append(str(p))
+        return kept, total
+
+    def scan(
+        self,
+        table: str,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """``read`` + filter ``lo <= col <= hi``, but files whose footer
+        bounds exclude the range are never opened. Sound for append tables
+        and single-snapshot (post-compaction) keyed tables; when unresolved
+        keyed DELTAS are live it falls back to the full merge-on-read
+        resolve — pruning before latest-wins could resurrect a superseded
+        row whose newer version sits in a pruned file."""
+        ms = self.manifests(table)
+        if as_of is not None:
+            ms = [m for m in ms if m["epoch"] <= as_of]
+        base_idx = max(
+            (i for i, m in enumerate(ms) if m["kind"] == "base"), default=None
+        )
+        live = ms if base_idx is None else ms[base_idx:]
+        keyed_deltas = self._keys(table) and any(
+            m["kind"] == "delta" for m in live
+        )
+        c = F.col(col)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (c <= F.lit(hi))
+        if keyed_deltas:
+            return self.read(table, spark, as_of=as_of).filter(pred)
+        kept, _total = self.prune_files(table, col, lo, hi, as_of=as_of)
+        if not kept:
+            return self.read(table, spark, as_of=as_of).filter(pred).limit(0)
+        df = spark.read.option("mergeSchema", "true").parquet(*kept)
+        return df.filter(~F.col("_deleted")).filter(pred)
 
     def expire(self, table: str) -> dict:
         """Iceberg ``expire_snapshots`` analog: physically drop every epoch

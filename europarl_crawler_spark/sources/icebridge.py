@@ -138,6 +138,31 @@ def emit_expire(catalog: str, table: str, older_than_ts: str) -> str:
     )
 
 
+def emit_rewrite_zorder(
+    catalog: str, table: str, x_col: str, y_col: str, target_file_mb: int = 512
+) -> str:
+    """EpochStore.rewrite_sorted → rewrite_data_files sort strategy with a
+    Z-order sort order: same Morton clustering operators/zorder.py computes
+    by hand, done by Iceberg's own rewrite action in production."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => 'db.{table}', "
+        f"strategy => 'sort', "
+        f"sort_order => 'zorder({x_col}, {y_col})', "
+        f"options => map('target-file-size-bytes','{target_file_mb * 1024 * 1024}'))"
+    )
+
+
+def emit_pruned_scan(catalog: str, table: str, col: str, lo, hi) -> str:
+    """EpochStore.scan → a plain filtered SELECT: on real Iceberg the
+    manifest min/max pruning EpochStore.prune_files emulates happens inside
+    the table scan automatically — the statement is just the predicate."""
+    return (
+        f"SELECT * FROM {_qualify(catalog, table)} "
+        f"WHERE {col} >= {lo!r} AND {col} <= {hi!r}"
+    )
+
+
 def emit_time_travel(catalog: str, table: str, snapshot_id: int) -> str:
     """EpochStore.read(as_of=N) → VERSION AS OF (epoch ↦ snapshot id via the
     epoch→snapshot map kept in table properties at commit time)."""

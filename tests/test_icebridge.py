@@ -43,6 +43,13 @@ def test_delete_merge_and_maintenance_calls():
     assert "crawl.system.expire_snapshots" in e and "TIMESTAMP '2026-01-01" in e
     ch = ib.emit_changelog("crawl", "url_state", 7, "url_changes")
     assert "create_changelog_view" in ch and "'start-snapshot-id','7'" in ch
+    z = ib.emit_rewrite_zorder("crawl", "documents", "host_hash", "fetch_day")
+    assert "strategy => 'sort'" in z
+    assert "sort_order => 'zorder(host_hash, fetch_day)'" in z
+    p = ib.emit_pruned_scan("crawl", "documents", "host_hash", 0, 8191)
+    assert p == (
+        "SELECT * FROM crawl.db.documents WHERE host_hash >= 0 AND host_hash <= 8191"
+    )
 
 
 def test_time_travel_select():
@@ -61,6 +68,7 @@ def test_dml_parses_under_spark_sql_parser(spark):
         ib.emit_overwrite("c", "t", "s"),
         ib.emit_time_travel("c", "t", 1),
         ib.emit_create("c", "t", "k BIGINT, v STRING", ["k"]),
+        ib.emit_pruned_scan("c", "t", "k", 0, 10),
     ]:
         parser.parsePlan(sql)  # raises ParseException on bad grammar
 
