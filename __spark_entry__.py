@@ -823,6 +823,131 @@ def q_j12_bucketed_join(spark, sf_dir):
     )
 
 
+def q_j13_asof_throttle(spark, sf_dir):
+    """J13: as-of join (operators/asof.py) — every 'click' request joins
+    the throttle state ('error' event value) in effect for its user AT
+    REQUEST TIME, the reference's judge-against-state-at-fetch-time
+    semantics (robots/backoff snapshots, downloader/worker.py). Spark has
+    no ASOF JOIN; this is the union → one key-shuffle → partitioned
+    running-window composition — no candidate-pair blowup, no global
+    window. 24 h tolerance exercises the stale-state NULL-out. Oracle:
+    DuckDB's NATIVE ASOF LEFT JOIN over the identically-deduped sides —
+    two independent implementations of the contract."""
+    from europarl_crawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        left, right, key="user_id", value_cols=["value"], tolerance_s=86400
+    )
+
+
+def q_j14_range_ip_asn(spark, sf_dir):
+    """J14: range-containment join (operators/rangejoin.py) — synthetic
+    host addresses land in the CIDR/ASN-style range that owns them
+    (per-ASN politeness: the reference's per-host TokenBucket one level
+    up). Naive inequality join forces BroadcastNestedLoopJoin —
+    O(points × intervals); the fixed-width bin blocking turns it into an
+    equi hash join on floor(x/w) with exact containment re-checked, so
+    the plan survives an interval side too big to broadcast. Oracle runs
+    the naive inequality join in DuckDB — independent semantics, same
+    rows. Contiguity of the synthetic ranges makes row preservation
+    (every host exactly once) part of what the count check proves."""
+    from europarl_crawler_spark.operators import rangejoin as rj
+
+    ips = _t(spark, sf_dir, "customer").select(
+        "c_custkey", rj.ip_of_key("c_custkey").alias("host_ip")
+    )
+    ranges = spark.createDataFrame(rj.asn_ranges_py(), "asn long, lo long, hi long")
+    joined = rj.interval_join_binned(
+        ips, ranges, point_col="host_ip", start_col="lo", end_col="hi",
+        bin_width=1 << 24,
+    )
+    return joined.groupBy("asn", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.min("host_ip").alias("ip_min"),
+        F.max("host_ip").alias("ip_max"),
+    )
+
+
+def q_store_zorder_scan(spark, sf_dir):
+    """Z-order maintenance + stat-pruned scan (operators/zorder.py,
+    sources/epochstore.py:rewrite_sorted/scan): the Iceberg
+    rewrite_data_files(sort_order => 'zorder(x, y)') analog. Orders land
+    in an epoch table, get rewritten into 16 files clustered by the
+    Morton interleave of two full-range scrambled dims, and a 1/8-space
+    slice on x is answered by a scan that OPENS ONLY the files whose
+    footer min/max overlap the slice — the lane RAISES if the prune kept
+    everything (file skipping is part of the contract, driver-visible,
+    not just a pytest). Values: the scan must equal the plain filter the
+    oracle runs — pruning may cost speed, never rows."""
+    import tempfile
+
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey") * F.lit(2654435761), F.lit(65536)).alias("x"),
+        F.pmod(F.col("o_orderkey") * F.lit(104729), F.lit(65536)).alias("y"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    store = EpochStore(tempfile.mkdtemp(prefix="zscan-lane-"))
+    store.overwrite("orders", o, 1)
+    store.rewrite_sorted(
+        "orders", spark, 2, "x", (0, 65535), "y", (0, 65535), n_files=16
+    )
+    kept, total = store.prune_files("orders", "x", 0, 8191)
+    if not 0 < len(kept) < total:
+        raise AssertionError(
+            f"z-order prune regressed: kept {len(kept)}/{total} files for a "
+            "1/8-space slice"
+        )
+    return (
+        store.scan("orders", spark, "x", 0, 8191)
+        .groupBy(F.shiftright(F.col("y"), 13).alias("y_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+        )
+    )
+
+
+def q_j15_skew_salted(spark, sf_dir):
+    """J15: salted replicate join (operators/skew.py) — the JOIN-side
+    skew lever (the frontier's per-(host, salt) prune is the agg-side
+    one): big side sub-keyed by a deterministic row hash, dimension
+    replicated per salt, so one hot key spreads over n_salts tasks
+    instead of bottoming out one straggler. Result is contract-equal to
+    the plain join (oracle runs exactly that in DuckDB); the salt's
+    spread and the plan shape are pinned in tests/test_skew.py."""
+    from europarl_crawler_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents")
+    )
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)))
+    )
+    return (
+        salted_join(ev, dim, "user_id", n_salts=8)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -3964,6 +4089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_quantiles_streaming": q_t3_quantiles_streaming,
         "sketch_hll_by_group": q_sketch_hll_by_group,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        "j13_asof_throttle": q_j13_asof_throttle,
+        "j14_range_ip_asn": q_j14_range_ip_asn,
+        "store_zorder_scan": q_store_zorder_scan,
+        "j15_skew_salted": q_j15_skew_salted,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4608,6 +4737,55 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         "j12_bucketed_join": __import__(
             "europarl_crawler_spark.sources.bucketed", fromlist=["b"]
         ).revenue_by_segment_sql(),
+        # DuckDB's NATIVE ASOF LEFT JOIN vs the Spark union+running-window
+        # composition — two independent implementations of the same contract
+        "j13_asof_throttle": __import__(
+            "europarl_crawler_spark.operators.asof", fromlist=["a"]
+        ).asof_join_sql(
+            "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+            "SELECT user_id, ts, max(value) AS value FROM events "
+            "WHERE event_type = 'error' GROUP BY 1, 2",
+            key="user_id",
+            value_cols=["value"],
+            left_cols=["event_id", "user_id", "ts"],
+            tolerance_s=86400,
+        ),
+        # the scan-equals-filter contract: pruning may cost speed, never rows
+        "store_zorder_scan": """
+WITH o AS (
+  SELECT o_orderkey,
+         (o_custkey * 2654435761) % 65536 AS x,
+         (o_orderkey * 104729) % 65536 AS y,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT y >> 13 AS y_band, count(*) AS n_orders, sum(cents) AS sum_cents,
+       min(x) AS x_min, max(x) AS x_max
+FROM o WHERE x BETWEEN 0 AND 8191 GROUP BY 1
+""",
+        # the plain join the salted rewrite must be contract-equal to
+        "j15_skew_salted": """
+WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+SELECT d.tier, count(*) AS n_events,
+       sum(CAST(floor(e.value * 100.0) AS BIGINT)) AS sum_cents
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1
+""",
+        # naive inequality join in DuckDB vs the binned equi-join in Spark
+        "j14_range_ip_asn": (
+            lambda rj: f"""
+WITH ranges AS ({rj.asn_ranges_sql()}),
+ips AS (SELECT c_custkey, {rj.ip_of_key_sql('c_custkey')} AS host_ip FROM customer)
+SELECT r.asn, r.lo, r.hi, count(*) AS n_hosts,
+       min(i.host_ip) AS ip_min, max(i.host_ip) AS ip_max
+FROM ips i JOIN ranges r ON r.lo <= i.host_ip AND i.host_ip < r.hi
+GROUP BY 1, 2, 3
+"""
+        )(
+            __import__(
+                "europarl_crawler_spark.operators.rangejoin", fromlist=["r"]
+            )
+        ),
         # full-model mirror: the oracle retrains the bigram LM from the same
         # hash split and recomputes every quantized token cost (lm.py)
         "text_perplexity_bucket": lm.perplexity_bucket_sql(),

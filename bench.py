@@ -145,6 +145,10 @@ HEADLINE = [
     "j12_bucketed_join",
     "sketch_hll_by_group",
     "text_tfidf_keywords",
+    "j13_asof_throttle",
+    "j14_range_ip_asn",
+    "j15_skew_salted",
+    "store_zorder_scan",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
