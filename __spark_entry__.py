@@ -948,6 +948,36 @@ def q_j15_skew_salted(spark, sf_dir):
     )
 
 
+def q_store_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning diff (sources/epochstore.py:snapshot_diff):
+    key → added/changed/deleted between two RESOLVED snapshots — works
+    across compactions where the CDC delta replay (read_changes) must
+    refuse. Same 3-epoch fixture as store_time_travel (e1: even doc_ids;
+    e2: every 3rd upserted with '-v2'; e3: every 10th tombstoned);
+    diff(1→3) must classify exactly: added = odd multiples of 3 not
+    killed by e3, deleted = evens hit by e3, changed = even multiples
+    of 3 that survived. One full-outer key join, struct null-safe
+    compare — no window, no collect. Oracle derives the same three sets
+    from the arithmetic directly."""
+    import tempfile
+
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = EpochStore(tempfile.mkdtemp(prefix="diff-query-"))
+    store.merge("docs", d.filter(F.col("doc_id") % 2 == 0), 1, keys=["doc_id"])
+    store.merge(
+        "docs",
+        d.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat("text", F.lit("-v2"))
+        ),
+        2,
+        keys=["doc_id"],
+    )
+    store.delete("docs", d.filter(F.col("doc_id") % 10 == 0), 3, keys=["doc_id"])
+    return store.snapshot_diff("docs", spark, 1, 3)
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4093,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j14_range_ip_asn": q_j14_range_ip_asn,
         "store_zorder_scan": q_store_zorder_scan,
         "j15_skew_salted": q_j15_skew_salted,
+        "store_snapshot_diff": q_store_snapshot_diff,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4762,6 +4793,19 @@ WITH o AS (
 SELECT y >> 13 AS y_band, count(*) AS n_orders, sum(cents) AS sum_cents,
        min(x) AS x_min, max(x) AS x_max
 FROM o WHERE x BETWEEN 0 AND 8191 GROUP BY 1
+""",
+        # diff(1→3) of the 3-epoch fixture, derived arithmetically
+        "store_snapshot_diff": """
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 2 <> 0 THEN 'added'      -- e2 insert, survived e3
+         WHEN doc_id % 10 = 0 THEN 'deleted'    -- e3 tombstone on an e1 row
+         ELSE 'changed'                         -- e2 '-v2' upsert of an e1 row
+       END AS _diff
+FROM documents
+WHERE (doc_id % 3 = 0 AND doc_id % 2 <> 0 AND doc_id % 10 <> 0)  -- added
+   OR (doc_id % 2 = 0 AND doc_id % 10 = 0)                       -- deleted
+   OR (doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 10 <> 0)   -- changed
 """,
         # the plain join the salted rewrite must be contract-equal to
         "j15_skew_salted": """

@@ -454,6 +454,47 @@ class EpochStore:
             )
         return df.filter(~F.col("_deleted"))
 
+    def snapshot_diff(
+        self,
+        table: str,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int,
+    ) -> DataFrame:
+        """STATE diff between two snapshots: key → 'added' | 'deleted' |
+        'changed' (unchanged keys are absent). Unlike ``read_changes``
+        (which replays delta files and therefore refuses to cross a
+        compaction), this compares the two RESOLVED states — it works
+        across base rewrites and answers the dataset-versioning question
+        a training pipeline actually asks: "what moved between the
+        snapshot I trained on and today's?"
+
+        Plan shape: one full-outer join on the table keys, values packed
+        into structs compared with null-safe equality — no window, no
+        collect; cost is two snapshot reads + one key shuffle."""
+        keys = self._keys(table)
+        if not keys:
+            raise ValueError(
+                f"snapshot_diff({table}) needs a keyed table — append logs "
+                "have no identity to diff on"
+            )
+        a = self.read(table, spark, as_of=from_epoch).drop("_epoch", "_deleted")
+        b = self.read(table, spark, as_of=to_epoch).drop("_epoch", "_deleted")
+        vals = [c for c in a.columns if c not in keys]
+        a2 = a.select(*keys, F.struct(*vals).alias("_va"))
+        b2 = b.select(*keys, F.struct(*vals).alias("_vb"))
+        j = a2.join(b2, on=keys, how="full_outer")
+        status = (
+            F.when(F.col("_va").isNull(), F.lit("added"))
+            .when(F.col("_vb").isNull(), F.lit("deleted"))
+            .when(~F.col("_va").eqNullSafe(F.col("_vb")), F.lit("changed"))
+        )
+        return (
+            j.withColumn("_diff", status)
+            .where(F.col("_diff").isNotNull())
+            .select(*keys, "_diff")
+        )
+
     def read_changes(
         self,
         table: str,

@@ -258,3 +258,22 @@ def test_compact_file_count_immune_to_session_shuffle_conf(spark, store):
         assert store.read("t2", spark).count() == 32
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_snapshot_diff_classifies_and_crosses_compaction(spark, store):
+    store.merge("t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]), 1, keys=["k"])
+    store.merge("t", _df(spark, [(2, "B"), (4, "d")]), 2, keys=["k"])
+    store.delete("t", _df(spark, [(3, "c")]), 3, keys=["k"])
+    # compaction between the two snapshots — read_changes refuses this
+    # window, snapshot_diff must not care (it compares resolved states)
+    store.compact("t", spark, 4)
+    got = {(r.k, r._diff) for r in store.snapshot_diff("t", spark, 1, 4).collect()}
+    assert got == {(2, "changed"), (3, "deleted"), (4, "added")}
+    # unchanged key 1 absent; empty diff when nothing moved
+    assert store.snapshot_diff("t", spark, 4, 4).count() == 0
+
+
+def test_snapshot_diff_requires_keys(spark, store):
+    store.append("log", _df(spark, [(1, "a")]), 1)
+    with pytest.raises(ValueError):
+        store.snapshot_diff("log", spark, 1, 1)
