@@ -978,6 +978,25 @@ def q_store_snapshot_diff(spark, sf_dir):
     return store.snapshot_diff("docs", spark, 1, 3)
 
 
+def q_dedup_crossmodal_groups(spark, sf_dir):
+    """Cross-modal duplicate groups (operators/dedup.py:crossmodal_groups):
+    image-near-dup edges (banded ahash hamming ≤ 16, the dedup_image_pairs
+    plan) UNION text-near-dup edges (5-gram Jaccard ≥ 0.4, the
+    dedup_ngram_jaccard plan) → one connected-components pass. Transitive
+    by design: A≈B visually and B≈C textually puts A,C in one group — the
+    rule a scraped image+caption corpus needs, where re-encoded images and
+    rewritten captions each defeat one modality. Oracle recomputes BOTH
+    edge sets (hash bits through the codec algebra, shingles with the df
+    cap) and closes them with the recursive CTE."""
+    from europarl_crawler_spark.operators import dedup, imagedup
+
+    sig = _image_ahash_sig(spark, sf_dir)
+    image_pairs = imagedup.hamming_near_pairs(sig, max_hamming=16)
+    d = _t(spark, sf_dir, "documents")
+    text_pairs = dedup.ngram_jaccard_pairs(d, n=5, threshold=0.4, df_cap=100)
+    return dedup.crossmodal_groups(image_pairs, text_pairs)
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4124,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_scan": q_store_zorder_scan,
         "j15_skew_salted": q_j15_skew_salted,
         "store_snapshot_diff": q_store_snapshot_diff,
+        "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -5467,6 +5487,34 @@ FROM c
               SELECT id_a AS src, id_b AS dst FROM p
               UNION
               SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+            )
+            SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+        """,
+        # cross-modal groups: BOTH edge sets recomputed (hash bits through
+        # the codec algebra, shingles with the df cap), unioned, closed by
+        # the same recursive-CTE reachability as the unimodal group lanes
+        "dedup_crossmodal_groups": f"""
+            WITH RECURSIVE {_AHASH_BITS_SQL}, ip AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                            AS INTEGER) AS hamming
+                FROM bits a JOIN bits b
+                  ON a.blk = b.blk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              WHERE hamming <= 16
+            ), tp AS (
+              SELECT id_a, id_b FROM ({shingle_sql}) s
+            ), u AS (
+              SELECT id_a, id_b FROM ip UNION SELECT id_a, id_b FROM tp
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM u
+              UNION
+              SELECT id_b, id_a FROM u
             ), reach(id, r) AS (
               SELECT src, src FROM edges
               UNION

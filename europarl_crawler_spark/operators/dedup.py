@@ -430,6 +430,32 @@ def simhash_near_pairs(
     )
 
 
+def crossmodal_groups(
+    image_pairs: DataFrame,
+    text_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cross-modal duplicate groups: a pair is a duplicate if its IMAGES
+    are near-dups OR its TEXTS are — the LAION-style curation rule, since
+    scraped image+caption pairs recur with re-encoded images (visual edge
+    fires, text may not) and with rewritten boilerplate captions around
+    the same image (and vice versa). The edge sets union (dedup'd: the
+    same pair found by both modalities is one edge) and the SAME
+    connected-components kernel as the unimodal lanes labels the result —
+    transitively: A≈B by image and B≈C by caption puts A and C in one
+    group, which is exactly the semantics a keep-one-representative
+    pipeline needs. Cost on top of the two pair scans: one distinct +
+    the O(log d) CC rounds of :func:`near_dup_groups`."""
+    edges = (
+        image_pairs.select(F.col(id_a), F.col(id_b))
+        .unionByName(text_pairs.select(F.col(id_a), F.col(id_b)))
+        .distinct()
+    )
+    return near_dup_groups(edges, id_a=id_a, id_b=id_b, max_iter=max_iter)
+
+
 def keep_one_per_group(docs: DataFrame, group_col: str, id_col: str = "doc_id") -> DataFrame:
     """Canonical dedup materialization: keep the min-id row per group."""
     w = Window.partitionBy(group_col).orderBy(F.asc(id_col))

@@ -324,3 +324,15 @@ def test_substring_dedup_duckdb_mirror(spark):
         for r in con.execute(dedup.exact_substring_dedup_sql()).fetchall()
     }
     assert got == want
+
+
+def test_crossmodal_groups_transitive_across_modalities(spark):
+    # A≈B by image, B≈C by text → one group; D-E only in one modality;
+    # the duplicated (B,C) edge found by both modalities counts once
+    img = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    txt = spark.createDataFrame([(2, 3), (7, 8)], "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.group_id)
+        for r in dedup.crossmodal_groups(img, txt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
