@@ -997,6 +997,73 @@ def q_dedup_crossmodal_groups(spark, sf_dir):
     return dedup.crossmodal_groups(image_pairs, text_pairs)
 
 
+def _asof_throttle_oracle() -> str:
+    """Shared by j13_asof_throttle (batch) and t4_asof_streaming (online):
+    DuckDB's native ASOF LEFT JOIN over identically-deduped sides — the
+    streaming twin is pinned to the exact batch contract, value for value."""
+    from europarl_crawler_spark.operators.asof import asof_join_sql
+
+    return asof_join_sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+        "SELECT user_id, ts, max(value) AS value FROM events "
+        "WHERE event_type = 'error' GROUP BY 1, 2",
+        key="user_id",
+        value_cols=["value"],
+        left_cols=["event_id", "user_id", "ts"],
+        tolerance_s=86400,
+    )
+
+
+def q_t4_asof_streaming(spark, sf_dir):
+    """The SAME as-of enrichment computed ONLINE
+    (streaming/asofstream.py): control updates and requests stream
+    through one applyInPandasWithState keyed by user, state = the latest
+    control row (the running window's carry, O(1) per key). Input files
+    are time-ordered (the operator's documented CDC contract — arrival
+    order is the one thing a stream cannot reconstruct); under it the
+    emitted rows equal the batch asof_join exactly, so this lane shares
+    j13's DuckDB ASOF JOIN oracle verbatim — the stateful streaming
+    operator is value-checked, not smoke-run."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.asofstream import (
+        drain_asof,
+        write_time_ordered,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        F.lit(1).alias("side"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+    )
+    right = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            F.lit(0).alias("side"),
+            F.lit(0).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            "value",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="asofstream-")
+    src = os.path.join(root, "src")
+    write_time_ordered(right.unionByName(left), src, n_files=4)
+    return drain_asof(
+        spark,
+        src,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="asofstream_" + os.path.basename(root).replace("-", "_"),
+        tolerance_s=86400,
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4144,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j15_skew_salted": q_j15_skew_salted,
         "store_snapshot_diff": q_store_snapshot_diff,
         "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
+        "t4_asof_streaming": q_t4_asof_streaming,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
@@ -4790,17 +4858,10 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         ).revenue_by_segment_sql(),
         # DuckDB's NATIVE ASOF LEFT JOIN vs the Spark union+running-window
         # composition — two independent implementations of the same contract
-        "j13_asof_throttle": __import__(
-            "europarl_crawler_spark.operators.asof", fromlist=["a"]
-        ).asof_join_sql(
-            "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
-            "SELECT user_id, ts, max(value) AS value FROM events "
-            "WHERE event_type = 'error' GROUP BY 1, 2",
-            key="user_id",
-            value_cols=["value"],
-            left_cols=["event_id", "user_id", "ts"],
-            tolerance_s=86400,
-        ),
+        "j13_asof_throttle": _asof_throttle_oracle(),
+        # the streaming twin shares it VERBATIM (batch/online equivalence
+        # under the time-ordered-arrival contract is a checked value)
+        "t4_asof_streaming": _asof_throttle_oracle(),
         # the scan-equals-filter contract: pruning may cost speed, never rows
         "store_zorder_scan": """
 WITH o AS (
