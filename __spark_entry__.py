@@ -4096,86 +4096,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query catalog. ORDER MATTERS for the driver's correctness gate, which
     value-checks the FIRST 50 entries only: rounds rotate lanes through that
     window so every lane accrues a driver-recorded green row (r3 gated the
-    crawl/TPC-H parity + early LLM lanes; r4 leads with the 31 lanes r3 left
-    judge-verified-only — codecs, corpus ops, PII, decontamination, the
-    precision/validity invariants — plus every lane whose plan changed this
-    round and the four late-r4 flagships (BPE training, BM25, HLL, k-means);
-    the remaining late-r4 lanes past the window are the r5 rotation set).
+    crawl/TPC-H parity + early LLM lanes; r4's window leads with the
+    invariants + codec/corpus/text flagships r3 left judge-verified-only and
+    closes with every lane born this round — bucketed join, streaming
+    quantiles, grouped HLL, tf-idf, as-of batch+streaming, range join,
+    salted skew join, Z-order scan, snapshot diff, cross-modal groups; the
+    remaining lanes past the window are the r5 rotation set).
     Lanes 51+ hold green rows in CORRECTNESS_r03.json or in the committed
     full-catalog artifact BENCH/ORACLE_FULL_r04.json; tools/check_oracle.py
     gates ALL entries."""
     return {
-        # -- r4 gate window: previously driver-ungated lanes first ---------
+        # -- r4 gate window (FINAL, end-of-round curation): the 50 lanes
+        # the external driver value-checks. Composition: the three
+        # empty-set invariants, one codec lane per real bitstream family,
+        # the corpus/text/sketch flagships r3 left judge-verified-only,
+        # and EVERY lane new this round (bucketed join, streaming
+        # quantiles, grouped HLL, tf-idf, as-of batch+streaming, range
+        # join, salted skew join, Z-order scan, snapshot diff,
+        # cross-modal groups). Displaced to 51+ with documented
+        # subsumption: see the rotation comment below.
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
         "ann_ivf_valid": q_ann_ivf_valid,
         "multimodal_png_codec": q_multimodal_png_codec,
-        "multimodal_png_meta": q_multimodal_png_meta,  # new in r4
         "multimodal_jpeg_codec": q_multimodal_jpeg_codec,
-        "multimodal_jpeg_meta": q_multimodal_jpeg_meta,  # new in r4
-        "multimodal_jpeg_exif": q_multimodal_jpeg_exif,  # new in r4
-        "multimodal_jpeg_variants": q_multimodal_jpeg_variants,  # new in r4
+        "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
+        "multimodal_jpeg_exif": q_multimodal_jpeg_exif,
         "multimodal_gif_codec": q_multimodal_gif_codec,
         "multimodal_webp_codec": q_multimodal_webp_codec,
         "multimodal_wav_codec": q_multimodal_wav_codec,
-        "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
-        "multimodal_avi_codec": q_multimodal_avi_codec,
         "multimodal_mp4_codec": q_multimodal_mp4_codec,
         "multimodal_mp3_codec": q_multimodal_mp3_codec,
-        "multimodal_flac_codec": q_multimodal_flac_codec,  # new in r4
+        "multimodal_flac_codec": q_multimodal_flac_codec,
         "multimodal_media_probe": q_multimodal_media_probe,
-        "multimodal_binary_meta": q_multimodal_binary_meta,
-        "video_frame_ahash": q_video_frame_ahash,
         "dedup_video_pairs": q_dedup_video_pairs,
-        "audio_fingerprint": q_audio_fingerprint,
         "dedup_audio_pairs": q_dedup_audio_pairs,
-        "corpus_split": q_corpus_split,
-        "corpus_importance_sample": q_corpus_importance_sample,  # new in r4
-        "dedup_incremental": q_dedup_incremental,  # new in r4
+        "corpus_importance_sample": q_corpus_importance_sample,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mixture_repeat": q_corpus_mixture_repeat,
-        "corpus_export_manifest": q_corpus_export_manifest,
-        "corpus_export_webdataset": q_corpus_export_webdataset,  # new in r4
+        "corpus_export_webdataset": q_corpus_export_webdataset,
         "corpus_sequence_pack": q_corpus_sequence_pack,
         "store_incremental_read": q_store_incremental_read,
-        "text_paragraph_dedup": q_text_paragraph_dedup,  # new in r4
+        "text_paragraph_dedup": q_text_paragraph_dedup,
         "text_pii_redact": q_text_pii_redact,
         "text_vocab_topk": q_text_vocab_topk,
-        "text_repetition": q_text_repetition,  # new in r4
-        "text_c4_filters": q_text_c4_filters,  # new in r4
-        "text_perplexity_bucket": q_text_perplexity_bucket,  # new in r4
-        "text_quality_classifier": q_text_quality_classifier,  # new in r4
-        "text_curation_full": q_text_curation_full,  # new in r4
+        "text_repetition": q_text_repetition,
+        "text_c4_filters": q_text_c4_filters,
+        "text_perplexity_bucket": q_text_perplexity_bucket,
+        "text_quality_classifier": q_text_quality_classifier,
+        "text_curation_full": q_text_curation_full,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "text_bpe_train": q_text_bpe_train,  # new in r4 (late)
-        "text_bm25_topk": q_text_bm25_topk,  # new in r4 (late)
-        "sketch_hll_custkeys": q_sketch_hll_custkeys,  # new in r4 (late)
-        "emb_kmeans": q_emb_kmeans,  # new in r4 (late)
-        # -- lanes whose plan changed this round (need a fresh green row) --
+        "text_bpe_train": q_text_bpe_train,
+        "text_bm25_topk": q_text_bm25_topk,
+        "sketch_hll_custkeys": q_sketch_hll_custkeys,
+        "emb_kmeans": q_emb_kmeans,
+        "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,
+        "dedup_image_phash": q_dedup_image_phash,
+        "j12_bucketed_join": q_j12_bucketed_join,
+        "t3_quantiles_streaming": q_t3_quantiles_streaming,
+        "sketch_hll_by_group": q_sketch_hll_by_group,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "j13_asof_throttle": q_j13_asof_throttle,
+        "t4_asof_streaming": q_t4_asof_streaming,
+        "j14_range_ip_asn": q_j14_range_ip_asn,
+        "j15_skew_salted": q_j15_skew_salted,
+        "store_zorder_scan": q_store_zorder_scan,
+        "store_snapshot_diff": q_store_snapshot_diff,
+        "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
+        # ---- end of the driver's 50-lane window (#50 = dedup_crossmodal_groups)
+        # Everything below EITHER holds a green driver row in
+        # CORRECTNESS_r03.json OR a value-checked row in the committed
+        # full-catalog artifact BENCH/ORACLE_FULL_r04.json
+        # (tools/check_oracle.py gates every entry, every run).
+        # Rotated out for the session-new operator lanes — each is
+        # subsumed by an in-window sibling exercising the same machinery:
+        # caption_align/curation_full (r3 driver rows; r4 plan change is
+        # bench+oracle-evidenced), video_frame_ahash ⊂ dedup_video_pairs,
+        # audio_fingerprint ⊂ dedup_audio_pairs, jpeg_variants ⊂
+        # jpeg_codec, avi ⊂ mp4 (same MJPEG walk), adpcm ⊂ wav (same
+        # RIFF kit), corpus_split ⊂ stratified (same id_hash), 
+        # export_manifest ⊂ export_webdataset, png_meta ⊂ jpeg_meta,
+        # binary_meta ⊂ media_probe.
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
-        "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,  # new in r4
-        "dedup_image_phash": q_dedup_image_phash,  # new in r4 (gated)
-        # ---- end of the driver's 50-lane window (dedup_image_phash = #50)
-        # Everything below EITHER holds a green driver row in
-        # CORRECTNESS_r03.json OR is a late-r4 lane queued for the r5 gate
-        # window; ALL lanes hold value-checked rows in the committed
-        # full-catalog artifact BENCH/ORACLE_FULL_r04.json
-        # (tools/check_oracle.py gates every entry).
+        "video_frame_ahash": q_video_frame_ahash,
+        "audio_fingerprint": q_audio_fingerprint,
+        "multimodal_jpeg_variants": q_multimodal_jpeg_variants,
+        "multimodal_avi_codec": q_multimodal_avi_codec,
+        "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
+        "corpus_split": q_corpus_split,
+        "corpus_export_manifest": q_corpus_export_manifest,
+        "multimodal_png_meta": q_multimodal_png_meta,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
-        # rotated out of the r4 window for the late-r4 flagship lanes
-        # (each is subsumed by an in-window sibling and keeps its
-        # full-catalog oracle row): sample ⊂ stratified/importance,
-        # pii_scan ⊂ pii_redact, time_travel ⊂ incremental_read,
-        # y4m ⊂ avi/mp4/flac
         "corpus_sample": q_corpus_sample,
         "text_pii_scan": q_text_pii_scan,
         "store_time_travel": q_store_time_travel,
         "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "image_curation": q_image_curation,
         "text_fingerprint": q_text_fingerprint,
-        # late-r4 lanes — r5 gate-window rotation candidates, newest first
         "text_substring_dedup": q_text_substring_dedup,
         "t2_events_sessionize": q_t2_events_sessionize,
         "p12_politeness_audit": q_p12_politeness_audit,
@@ -4201,17 +4222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_streaming": q_sketch_hll_streaming,
         "corpus_chunk_windows": q_corpus_chunk_windows,
         "multimodal_corruption_scan": q_multimodal_corruption_scan,
-        "j12_bucketed_join": q_j12_bucketed_join,
-        "t3_quantiles_streaming": q_t3_quantiles_streaming,
-        "sketch_hll_by_group": q_sketch_hll_by_group,
-        "text_tfidf_keywords": q_text_tfidf_keywords,
-        "j13_asof_throttle": q_j13_asof_throttle,
-        "j14_range_ip_asn": q_j14_range_ip_asn,
-        "store_zorder_scan": q_store_zorder_scan,
-        "j15_skew_salted": q_j15_skew_salted,
-        "store_snapshot_diff": q_store_snapshot_diff,
-        "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
-        "t4_asof_streaming": q_t4_asof_streaming,
         # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
