@@ -1064,6 +1064,64 @@ def q_t4_asof_streaming(spark, sf_dir):
     )
 
 
+def q_t5_interval_join_streaming(spark, sf_dir):
+    """Native stream-stream INTERVAL join (streaming/stream.py:
+    interval_join_streams) — the temporal join Spark DOES ship, beside
+    the as-of twin it doesn't: each 'view' probe pairs with every
+    same-user 'purchase' confirm within an hour after it (S4 HEAD
+    probe ↔ confirming GET; fetch ↔ retry). Both sides watermarked so
+    join state can evict at scale; the bounded replay uses a
+    wider-than-the-corpus allowance (40 days) so eviction timing cannot
+    drop late files — inner-join emissions are then split-invariant and
+    the lane shares a plain DuckDB inequality-join oracle."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.stream import drain_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="ivjoin-")
+    pdir, cdir = os.path.join(root, "probes"), os.path.join(root, "confirms")
+    ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    ).repartition(3).write.parquet(pdir)
+    ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).repartition(3).write.parquet(cdir)
+    return drain_interval_join(
+        spark,
+        pdir,
+        cdir,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="ivjoin_" + os.path.basename(root).replace("-", "_"),
+        window_s=3600,
+        watermark="40 days",
+    )
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    """Dataset datasheet — the release card a corpus ships with: per
+    (split, lang), document count, whitespace-token mass, char mass, and
+    min/max doc length. Composes the deterministic hash split
+    (sampling.split_assign — same weights as corpus_split) with the
+    tokenizer the token-count lanes pin, as ONE map-side-combinable
+    groupBy over a pure projection: zero extra shuffles beyond the
+    aggregation's own, no second pass over text. Oracle recomputes the
+    split arithmetic and tokenizer bit-identically."""
+    from europarl_crawler_spark.operators import sampling
+    from europarl_crawler_spark.operators.textstats import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = sampling.split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr("text"))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4179,6 +4237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RIFF kit), corpus_split ⊂ stratified (same id_hash), 
         # export_manifest ⊂ export_webdataset, png_meta ⊂ jpeg_meta,
         # binary_meta ⊂ media_probe.
+        "t5_interval_join_streaming": q_t5_interval_join_streaming,
+        "corpus_datasheet": q_corpus_datasheet,
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
         "video_frame_ahash": q_video_frame_ahash,
@@ -4897,6 +4957,25 @@ FROM documents
 WHERE (doc_id % 3 = 0 AND doc_id % 2 <> 0 AND doc_id % 10 <> 0)  -- added
    OR (doc_id % 2 = 0 AND doc_id % 10 = 0)                       -- deleted
    OR (doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 10 <> 0)   -- changed
+""",
+        # split arithmetic + tokenizer recomputed bit-identically
+        "corpus_datasheet": f"""
+SELECT {sampling.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1})} AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(len({_TOKENIZE_SQL.format(col="text")})) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1, 2
+""",
+        # the batch inequality join the streaming interval join must equal
+        "t5_interval_join_streaming": """
+SELECT p.user_id, p.event_id AS probe_id, c.event_id AS confirm_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT) AS lag_s
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 3600 SECOND
+WHERE p.event_type = 'view' AND c.event_type = 'purchase'
 """,
         # the plain join the salted rewrite must be contract-equal to
         "j15_skew_salted": """

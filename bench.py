@@ -151,14 +151,15 @@ HEADLINE = [
     "store_zorder_scan",
     "store_snapshot_diff",
     "dedup_crossmodal_groups",
+    "corpus_datasheet",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
 # three empty-set invariants (dedup_lsh_precision, ann_lsh_valid,
 # ann_ivf_valid — 0-row correctness checks, not workloads), the streaming
 # twins (dedup_exact_streaming, dedup_image_pairs_streaming,
-# sketch_hll_streaming, t3_quantiles_streaming, t4_asof_streaming —
-# identical
+# sketch_hll_streaming, t3_quantiles_streaming, t4_asof_streaming,
+# t5_interval_join_streaming — identical
 # compute to their benched batch twins plus harness overhead), fingerprint
 # sub-lanes subsumed by their benched dedup-pair composites
 # (dedup_image_ahash, image_resize_hash, video_frame_ahash,

@@ -147,7 +147,11 @@ def write_time_ordered(df: DataFrame, dest: str, n_files: int = 4) -> None:
     """Materialize the union input as ``n_files`` parquet files covering
     CONTIGUOUS, INCREASING time ranges, with strictly increasing mtimes —
     the event-time-ordered arrival the operator's contract requires
-    (Spark's file source picks up files in modification-time order)."""
+    (Spark's file source picks up files in modification-time order).
+
+    TEST/LANE FIXTURE ONLY (driver-side materialization): in production
+    the ordered source is the real CDC log / Kafka partition, which
+    already delivers per-key event-time order — nothing is collected."""
     import os
     import time
 

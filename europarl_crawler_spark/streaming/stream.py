@@ -257,3 +257,79 @@ def foreach_batch_merge(sdf: DataFrame, store, table: str, keys: list[str], chec
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_streams(
+    probes: DataFrame,
+    confirms: DataFrame,
+    key: str = "user_id",
+    window_s: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native stream-stream INTERVAL join — the one temporal join Spark
+    ships (the as-of twin lives in asofstream.py precisely because Spark
+    does NOT ship that one): pair every probe with each same-key confirm
+    landing within ``window_s`` seconds AFTER it. Crawl shape: a HEAD
+    probe (S4) paired with the GET that confirmed it, a fetch paired with
+    its retry — "did the follow-up happen, and how fast".
+
+    Both sides are watermarked so the state store can EVICT: a probe
+    older than watermark + window can never match a future confirm and
+    is dropped — without the time bound the join state grows without
+    limit, which is why Spark refuses unbounded stream-stream joins in
+    append mode. Inner join: emitted pairs are exactly the batch
+    inequality join's rows under ANY micro-batch split (late data inside
+    the watermark allowance included), so the lane shares a plain DuckDB
+    inequality-join oracle."""
+    p = probes.select(
+        F.col(key).alias("p_key"),
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = confirms.select(
+        F.col(key).alias("c_key"),
+        F.col("event_id").alias("confirm_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {int(window_s)} SECONDS"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_key").alias(key),
+        "probe_id",
+        "confirm_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("lag_s"),
+    )
+
+
+def drain_interval_join(
+    spark,
+    probes_dir: str,
+    confirms_dir: str,
+    checkpoint: str,
+    name: str,
+    key: str = "user_id",
+    window_s: int = 600,
+    watermark: str = "1 hour",
+    schema: str = "event_id long, user_id long, ts timestamp",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-stream both sides → watermarked interval join → memory sink,
+    availableNow; returns the drained pair set."""
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(probes_dir)
+    )
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(confirms_dir)
+    )
+    joined = interval_join_streams(
+        ps, cs, key=key, window_s=window_s, watermark=watermark
+    )
+    run_available_now(joined, name, checkpoint, output_mode="append")
+    return spark.table(name)
