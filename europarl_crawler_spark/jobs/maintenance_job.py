@@ -11,6 +11,7 @@ twin of the reference's ``eurocli`` maintenance commands
     (caption text lane)                      → text-features
     (crawler shutdown cleanup, D4)           → shutdown-compact
     (Iceberg rewrite_data_files analog)      → compact-table
+    (rewrite_data_files sort=zorder analog)  → rewrite-zorder
     (Iceberg expire_snapshots analog)        → expire
 
 Usage:
@@ -77,6 +78,21 @@ def main(argv=None) -> dict:
     )
     ct.add_argument("--table", required=True)
     ct.add_argument("--target-partitions", type=int, default=None)
+    zo = sub.add_parser(
+        "rewrite-zorder",
+        help="rewrite one table clustered by the Morton interleave of two "
+        "columns (Iceberg rewrite_data_files sort strategy zorder(x, y): "
+        "makes the manifests' per-file min/max a usable index on BOTH "
+        "columns for EpochStore.scan)",
+    )
+    zo.add_argument("--table", required=True)
+    zo.add_argument("--x-col", required=True)
+    zo.add_argument("--x-lo", type=int, required=True)
+    zo.add_argument("--x-hi", type=int, required=True)
+    zo.add_argument("--y-col", required=True)
+    zo.add_argument("--y-lo", type=int, required=True)
+    zo.add_argument("--y-hi", type=int, required=True)
+    zo.add_argument("--n-files", type=int, default=64)
     ex = sub.add_parser(
         "expire",
         help="drop epochs superseded by the newest base snapshot (Iceberg "
@@ -131,6 +147,19 @@ def main(argv=None) -> dict:
         out = store.compact(
             args.table, spark, nxt, target_partitions=args.target_partitions
         )
+    elif args.cmd == "rewrite-zorder":
+        nxt = (store.latest(args.table) or 0) + 1
+        out = store.rewrite_sorted(
+            args.table,
+            spark,
+            nxt,
+            args.x_col,
+            (args.x_lo, args.x_hi),
+            args.y_col,
+            (args.y_lo, args.y_hi),
+            n_files=args.n_files,
+        )
+        out = {k: v for k, v in out.items() if k != "file_stats"}
     elif args.cmd == "expire":
         out = store.expire(args.table)
     out = {"cmd": args.cmd, **out}

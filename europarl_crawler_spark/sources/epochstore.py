@@ -298,13 +298,20 @@ class EpochStore:
         lo=None,
         hi=None,
         as_of: int | None = None,
+        extra: list[tuple] | None = None,
     ) -> tuple[list[str], int]:
         """(surviving data-file paths, total live files) for the predicate
-        ``lo <= col <= hi`` against the manifests' per-file bounds — the
-        Iceberg manifest-pruning step as a visible number. Files without a
-        recorded bound for ``col`` survive (pruning must never be the
-        component that drops a row)."""
-        lo, hi = _stat_value(lo), _stat_value(hi)
+        ``lo <= col <= hi`` — conjoined with any ``extra`` (col, lo, hi)
+        predicates — against the manifests' per-file bounds: the Iceberg
+        manifest-pruning step as a visible number. A file is dropped if
+        ANY conjunct's range misses its bounds (conjunction prunes the
+        intersection — with a Z-ordered layout, an (x AND y) probe keeps
+        only the files whose RECTANGLE overlaps both ranges, strictly
+        fewer than either dimension alone). Files without a recorded
+        bound for a column survive that conjunct (pruning must never be
+        the component that drops a row)."""
+        preds = [(col, lo, hi)] + [tuple(e) for e in (extra or [])]
+        preds = [(c, _stat_value(l), _stat_value(h)) for c, l, h in preds]
         ms = [
             m
             for m in self.manifests(table)
@@ -320,14 +327,20 @@ class EpochStore:
             stats = m.get("file_stats") or {}
             for p in sorted(ddir.glob("*.parquet")):
                 total += 1
-                b = stats.get(p.name, {}).get(col)
-                if b is not None:
-                    fmin, fmax = b
-                    if (hi is not None and _cmp_gt(fmin, hi)) or (
-                        lo is not None and _cmp_gt(lo, fmax)
-                    ):
+                fstat = stats.get(p.name, {})
+                dropped = False
+                for c, l, h in preds:
+                    b = fstat.get(c)
+                    if b is None:
                         continue
-                kept.append(str(p))
+                    fmin, fmax = b
+                    if (h is not None and _cmp_gt(fmin, h)) or (
+                        l is not None and _cmp_gt(l, fmax)
+                    ):
+                        dropped = True
+                        break
+                if not dropped:
+                    kept.append(str(p))
         return kept, total
 
     def scan(
@@ -338,10 +351,12 @@ class EpochStore:
         lo=None,
         hi=None,
         as_of: int | None = None,
+        extra: list[tuple] | None = None,
     ) -> DataFrame:
-        """``read`` + filter ``lo <= col <= hi``, but files whose footer
-        bounds exclude the range are never opened. Sound for append tables
-        and single-snapshot (post-compaction) keyed tables; when unresolved
+        """``read`` + filter ``lo <= col <= hi`` (AND any ``extra``
+        (col, lo, hi) conjuncts), but files whose footer bounds exclude
+        the range are never opened. Sound for append tables and
+        single-snapshot (post-compaction) keyed tables; when unresolved
         keyed DELTAS are live it falls back to the full merge-on-read
         resolve — pruning before latest-wins could resurrect a superseded
         row whose newer version sits in a pruned file."""
@@ -355,15 +370,17 @@ class EpochStore:
         keyed_deltas = self._keys(table) and any(
             m["kind"] == "delta" for m in live
         )
-        c = F.col(col)
         pred = F.lit(True)
-        if lo is not None:
-            pred = pred & (c >= F.lit(lo))
-        if hi is not None:
-            pred = pred & (c <= F.lit(hi))
+        for c, l, h in [(col, lo, hi)] + [tuple(e) for e in (extra or [])]:
+            if l is not None:
+                pred = pred & (F.col(c) >= F.lit(l))
+            if h is not None:
+                pred = pred & (F.col(c) <= F.lit(h))
         if keyed_deltas:
             return self.read(table, spark, as_of=as_of).filter(pred)
-        kept, _total = self.prune_files(table, col, lo, hi, as_of=as_of)
+        kept, _total = self.prune_files(
+            table, col, lo, hi, as_of=as_of, extra=extra
+        )
         if not kept:
             return self.read(table, spark, as_of=as_of).filter(pred).limit(0)
         df = spark.read.option("mergeSchema", "true").parquet(*kept)

@@ -122,3 +122,51 @@ def test_scan_append_table_prunes_across_epochs(spark):
     kept, total = store.prune_files("log", "v", 1000, 2000)
     assert total == 2 and len(kept) == 1
     assert store.scan("log", spark, "v", 1000, 2000).count() == 100
+
+
+def test_conjunction_prunes_strictly_more(spark):
+    store = EpochStore(tempfile.mkdtemp(prefix="zorder2-"))
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(n)],
+        "id long, x long, y long",
+    )
+    store.overwrite("pts", df, 1)
+    store.rewrite_sorted("pts", spark, 2, "x", (0, 999), "y", (0, 999), n_files=16)
+    kept_x, total = store.prune_files("pts", "x", 0, 249)
+    kept_xy, _ = store.prune_files("pts", "x", 0, 249, extra=[("y", 0, 249)])
+    # the z-layout makes the (x AND y) rectangle keep strictly fewer files
+    assert len(kept_xy) < len(kept_x) < total
+    got = sorted(
+        r.id
+        for r in store.scan(
+            "pts", spark, "x", 0, 249, extra=[("y", 0, 249)]
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in store.read("pts", spark)
+        .filter(F.col("x").between(0, 249) & F.col("y").between(0, 249))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_maintenance_job_rewrite_zorder(spark):
+    from europarl_crawler_spark.jobs import maintenance_job
+
+    store = EpochStore(tempfile.mkdtemp(prefix="zorder3-"))
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(2000)],
+        "id long, x long, y long",
+    )
+    store.overwrite("pts", df, 1)
+    out = maintenance_job.main(
+        ["--store", str(store.root), "rewrite-zorder", "--table", "pts",
+         "--x-col", "x", "--x-lo", "0", "--x-hi", "999",
+         "--y-col", "y", "--y-lo", "0", "--y-hi", "999",
+         "--n-files", "8"]
+    )
+    assert out["kind"] == "base" and out["rows"] == 2000
+    kept, total = store.prune_files("pts", "x", 0, 99)
+    assert 0 < len(kept) < total
