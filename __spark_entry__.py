@@ -1122,6 +1122,73 @@ def q_corpus_datasheet(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """KMV bottom-k overlap sketch (operators/sketch.py:kmv_sketch) — the
+    estimator HLL can't be: |A ∩ B| and Jaccard between two key sets
+    without shipping either (train↔eval overlap rate, URL overlap between
+    crawl epochs). Sets = customers ordering URGENT vs HIGH. The sketch is
+    the k=128 smallest portable hashes per set, built with the frontier's
+    two-level salt prune (no per-set global sort of all rows — windows run
+    per (set, salt) then over ≤ k·salts survivors); every sketch entry and
+    every estimate integer is recomputed bit-for-bit by the oracle, and the
+    exact counts ride in the same row so the estimate error is visible."""
+    from europarl_crawler_spark.operators.sketch import (
+        KMV_K,
+        kmv_sketch,
+        kmv_stats,
+    )
+    from europarl_crawler_spark.functions import porthash
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_orderpriority") == "2-HIGH")
+    tagged = (
+        a.select(F.lit("A").alias("set_id"), F.col("o_custkey").alias("key"))
+        .unionByName(
+            b.select(F.lit("B").alias("set_id"), F.col("o_custkey").alias("key"))
+        )
+    )
+    all3 = tagged.unionByName(tagged.select(F.lit("U").alias("set_id"), "key"))
+    sk = kmv_sketch(all3, key_col="key", set_col="set_id").persist()
+    st = kmv_stats(sk)
+
+    def one(sid, prefix):
+        return st.where(F.col("set_id") == sid).select(
+            F.col("size").alias(f"size_{prefix}"),
+            F.col("kth").alias(f"kth_{prefix}"),
+            F.col("est").alias(f"est_{prefix}"),
+        )
+
+    u = sk.where(F.col("set_id") == "U").select("h")
+    ka = sk.where(F.col("set_id") == "A").select("h")
+    kb = sk.where(F.col("set_id") == "B").select("h")
+    jn = (
+        u.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("jacc_num"))
+    )
+    ad = a.select("o_custkey").distinct()
+    bd = b.select("o_custkey").distinct()
+    exact = (
+        ad.agg(F.count(F.lit(1)).alias("n_a_exact"))
+        .crossJoin(bd.agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .crossJoin(
+            ad.join(bd, "o_custkey").agg(F.count(F.lit(1)).alias("n_inter_exact"))
+        )
+    )
+    row = (
+        one("A", "a")
+        .crossJoin(one("B", "b"))
+        .crossJoin(one("U", "u"))
+        .crossJoin(jn)
+        .crossJoin(exact)
+    )
+    return row.withColumn(
+        "inter_est",
+        F.floor(F.col("jacc_num") * F.col("est_u") / F.col("size_u")).cast("long"),
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4239,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binary_meta ⊂ media_probe.
         "t5_interval_join_streaming": q_t5_interval_join_streaming,
         "corpus_datasheet": q_corpus_datasheet,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
         "video_frame_ahash": q_video_frame_ahash,
@@ -4968,6 +5036,52 @@ SELECT {sampling.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1})} AS s
        CAST(max(length(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY 1, 2
 """,
+        # every KMV sketch entry and estimate integer recomputed in SQL
+        "sketch_kmv_overlap": (
+            lambda sk, ph: f"""
+WITH s AS (
+  SELECT 'A' AS set_id, o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'B', o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  UNION ALL
+  SELECT 'U', o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+d AS (SELECT DISTINCT set_id, {sk.kmv_hash_sql("key")} AS h FROM s),
+r AS (SELECT set_id, h, row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn FROM d),
+sk AS (SELECT set_id, h FROM r WHERE rn <= {sk.KMV_K}),
+est AS (
+  SELECT set_id, size, kth,
+         CASE WHEN size < {sk.KMV_K} THEN size
+              ELSE CAST(floor((size - 1) * {ph.P} / kth) AS BIGINT) END AS est
+  FROM (SELECT set_id, count(*) AS size, max(h) AS kth FROM sk GROUP BY 1)
+),
+jn AS (
+  SELECT count(*) AS jacc_num FROM sk u
+  WHERE u.set_id = 'U'
+    AND EXISTS (SELECT 1 FROM sk a WHERE a.set_id = 'A' AND a.h = u.h)
+    AND EXISTS (SELECT 1 FROM sk b WHERE b.set_id = 'B' AND b.h = u.h)
+),
+ex AS (
+  SELECT
+    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_a_exact,
+    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderpriority = '2-HIGH') AS n_b_exact,
+    (SELECT count(*) FROM
+       (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+       JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') b
+       USING (o_custkey)) AS n_inter_exact
+)
+SELECT ea.size AS size_a, ea.kth AS kth_a, ea.est AS est_a,
+       eb.size AS size_b, eb.kth AS kth_b, eb.est AS est_b,
+       eu.size AS size_u, eu.kth AS kth_u, eu.est AS est_u,
+       jn.jacc_num, ex.n_a_exact, ex.n_b_exact, ex.n_inter_exact,
+       CAST(floor(jn.jacc_num * eu.est / eu.size) AS BIGINT) AS inter_est
+FROM est ea, est eb, est eu, jn, ex
+WHERE ea.set_id = 'A' AND eb.set_id = 'B' AND eu.set_id = 'U'
+"""
+        )(
+            __import__("europarl_crawler_spark.operators.sketch", fromlist=["s"]),
+            __import__("europarl_crawler_spark.functions.porthash", fromlist=["p"]),
+        ),
         # the batch inequality join the streaming interval join must equal
         "t5_interval_join_streaming": """
 SELECT p.user_id, p.event_id AS probe_id, c.event_id AS confirm_id,

@@ -264,3 +264,114 @@ SELECT CAST(r.range AS BIGINT) AS bucket,
        CAST(COALESCE(regs.r_max, 0) AS BIGINT) AS r_max
 FROM range({M}) r LEFT JOIN regs ON regs.bucket = r.range
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketch — set OVERLAP estimation
+# ---------------------------------------------------------------------------
+# The sketch family HLL cannot provide: HLL answers |A| but not |A ∩ B|
+# (register max loses membership). KMV (Bar-Yossef et al. 2002; the
+# DataSketches "theta" family) keeps each set's k SMALLEST portable hashes:
+#
+#     est(|A|)      = (k-1) * P // h_k          (h_k = k-th smallest hash;
+#                      exact size when the sketch holds the whole set)
+#     K(A ∪ B)      = k smallest of K(A) ∪ K(B) (mergeable: the k smallest
+#                      of a union are always within each side's k smallest)
+#     Jaccard ρ     = |{h ∈ K(A∪B) : h ∈ K(A) ∧ h ∈ K(B)}| / |K(A∪B)|
+#     est(|A ∩ B|)  = ρ * est(|A ∪ B|)
+#
+# Crawl/curation uses: train↔eval corpus overlap rate (the decontamination
+# DENOMINATOR), URL overlap between two crawl epochs, host-set overlap
+# between two frontiers — all without shipping either set.  Everything
+# before the final divisions is exact int64 algebra on the portable hash
+# family, so the DuckDB oracle reproduces every sketch entry and every
+# estimate integer bit-for-bit.
+
+KMV_K = 128
+KMV_MEMBER = 50  # unused affine member (hll: 1-2, countmin: 3-6, sampling: 40s)
+
+
+def kmv_hash(key_col: str):
+    """Portable uniform hash in [0, P) for KMV ordering."""
+    return F.pmod(
+        porthash.affine(
+            porthash.poly_hash(F.col(key_col).cast("string")), KMV_MEMBER
+        ),
+        F.lit(porthash.P),
+    )
+
+
+def kmv_hash_sql(key_expr: str) -> str:
+    h = porthash.poly_hash_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"({porthash.affine_sql(h, KMV_MEMBER)} % {porthash.P})"
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    k: int = KMV_K,
+    n_salts: int = 8,
+) -> DataFrame:
+    """(set_id, h): per set, the k smallest DISTINCT portable hashes.
+
+    Scale shape — the frontier's two-level prune, not a per-set sort of
+    everything: distinct (map-side combinable), then k smallest per
+    (set, salt) in parallel windows, then k smallest of the ≤ k·n_salts
+    survivors. Correct because the k smallest of a set are always within
+    the union of each salt-shard's k smallest."""
+    from pyspark.sql.window import Window
+
+    d = (
+        df.select(F.col(set_col).alias("set_id"), kmv_hash(key_col).alias("h"))
+        .distinct()
+    )
+    salt = F.pmod(F.col("h"), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(F.col("set_id"), salt).orderBy("h")
+    pruned = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("set_id").orderBy("h")
+    return (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2")
+    )
+
+
+def kmv_stats(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(set_id, size, kth, est): integer KMV cardinality estimate —
+    ``(k-1)·P // kth`` when the sketch is full, the exact size when the
+    sketch holds the whole set (size < k)."""
+    return sketch.groupBy("set_id").agg(
+        F.count(F.lit(1)).alias("size"), F.max("h").alias("kth")
+    ).select(
+        "set_id",
+        "size",
+        "kth",
+        F.when(
+            F.col("size") < k, F.col("size")
+        ).otherwise(
+            F.floor((F.col("size") - 1) * F.lit(porthash.P) / F.col("kth")).cast("long")
+        ).alias("est"),
+    )
+
+
+def kmv_stats_sql(sets_sql: str, key_expr: str, k: int = KMV_K) -> str:
+    """DuckDB mirror: ``sets_sql`` must yield (set_id, {key_expr}); emits
+    (set_id, size, kth, est) identically to kmv_sketch → kmv_stats.
+    (No salt pass needed — two-level pruning returns exactly the k
+    smallest, which ORDER BY h LIMIT k computes directly.)"""
+    return f"""
+SELECT set_id, size, kth,
+       CASE WHEN size < {k} THEN size
+            ELSE CAST(floor((size - 1) * {porthash.P} / kth) AS BIGINT)
+       END AS est
+FROM (
+  SELECT set_id, count(*) AS size, max(h) AS kth FROM (
+    SELECT set_id, h, row_number() OVER (PARTITION BY set_id ORDER BY h) AS r
+    FROM (SELECT DISTINCT set_id, {kmv_hash_sql(key_expr)} AS h FROM ({sets_sql}))
+  ) WHERE r <= {k} GROUP BY set_id
+)"""
