@@ -1189,6 +1189,41 @@ def q_sketch_kmv_overlap(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_streaming(spark, sf_dir):
+    """The SAME KMV bottom-k sketch computed ONLINE
+    (streaming/sketchstream.py:drain_kmv_sketch): per-(set, salt)
+    bounded top-k state — exact under any micro-batch split because once
+    a group holds k hashes, larger arrivals can never enter the k-min
+    and pruned hashes can never re-enter. Emits the A/B sketches
+    themselves (set_id, h), pinned entry-for-entry by the same ranked
+    CTE the batch overlap lane's oracle uses."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.sketchstream import drain_kmv_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    tagged = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.lit("A").alias("set_id"), F.col("o_custkey").cast("string").alias("key"))
+        .unionByName(
+            o.where(F.col("o_orderpriority") == "2-HIGH").select(
+                F.lit("B").alias("set_id"),
+                F.col("o_custkey").cast("string").alias("key"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="kmvstream-")
+    src = os.path.join(root, "keys")
+    tagged.repartition(4).write.parquet(src)
+    return drain_kmv_sketch(
+        spark,
+        src,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="kmvstream_" + os.path.basename(root).replace("-", "_"),
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4307,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_interval_join_streaming": q_t5_interval_join_streaming,
         "corpus_datasheet": q_corpus_datasheet,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "sketch_kmv_streaming": q_sketch_kmv_streaming,
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
         "video_frame_ahash": q_video_frame_ahash,
@@ -5082,6 +5118,19 @@ WHERE ea.set_id = 'A' AND eb.set_id = 'B' AND eu.set_id = 'U'
             __import__("europarl_crawler_spark.operators.sketch", fromlist=["s"]),
             __import__("europarl_crawler_spark.functions.porthash", fromlist=["p"]),
         ),
+        # the streaming twin's sketch rows, entry for entry
+        "sketch_kmv_streaming": (
+            lambda sk: f"""
+WITH s AS (
+  SELECT 'A' AS set_id, o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'B', o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+d AS (SELECT DISTINCT set_id, {sk.kmv_hash_sql("key")} AS h FROM s),
+r AS (SELECT set_id, h, row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn FROM d)
+SELECT set_id, h FROM r WHERE rn <= {sk.KMV_K}
+"""
+        )(__import__("europarl_crawler_spark.operators.sketch", fromlist=["s"])),
         # the batch inequality join the streaming interval join must equal
         "t5_interval_join_streaming": """
 SELECT p.user_id, p.event_id AS probe_id, c.event_id AS confirm_id,

@@ -152,6 +152,7 @@ HEADLINE = [
     "store_snapshot_diff",
     "dedup_crossmodal_groups",
     "corpus_datasheet",
+    "sketch_kmv_overlap",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the

@@ -106,3 +106,79 @@ def drain_quantile_counts(
         .localCheckpoint(eager=True)
     )
     return quantiles_from_counts(drained, group_col)
+
+
+# ---------------------------------------------------------------------------
+# ONLINE KMV — streaming twin of operators/sketch.py:kmv_sketch
+# ---------------------------------------------------------------------------
+
+
+def drain_kmv_sketch(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    name: str,
+    k: int = 128,
+    n_salts: int = 8,
+    schema: str = "set_id string, key string",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-stream (set_id, key) → stateful bottom-k per (set, salt) →
+    memory sink → final k-min per set. EXACT under any micro-batch split:
+    once a (set, salt) group holds k hashes, any larger arrival can never
+    enter the k-min — so the pruned state is bounded AND lossless, and the
+    k smallest over the union of all emissions equal the batch sketch
+    (every true k-min hash is retained and re-emitted to the end)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import porthash
+    from ..operators.sketch import kmv_hash
+    from .stream import run_available_now
+
+    out_t = T.StructType(
+        [
+            T.StructField("set_id", T.StringType(), False),
+            T.StructField("h", T.LongType(), False),
+        ]
+    )
+    state_t = T.StructType(
+        [T.StructField("hs", T.ArrayType(T.LongType()), False)]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        s = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        hs = sorted(s)[:k]
+        state.update((hs,))
+        yield pd.DataFrame({"set_id": [key[0]] * len(hs), "h": hs})
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    keyed = sdf.select(
+        "set_id", kmv_hash("key").alias("h")
+    ).withColumn("salt", F.pmod(F.col("h"), F.lit(int(n_salts))))
+    st = keyed.groupBy("set_id", "salt").applyInPandasWithState(
+        fn,
+        outputStructType=out_t,
+        stateStructType=state_t,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_available_now(st, name, checkpoint, output_mode="update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("set_id").orderBy("h")
+    return (
+        spark.table(name)
+        .select("set_id", "h")
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

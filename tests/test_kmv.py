@@ -78,3 +78,31 @@ def test_jaccard_numerator_tracks_true_overlap(spark):
     kb = sk.where(F.col("set_id") == "B").select("h")
     jn = u.join(ka, "h", "left_semi").join(kb, "h", "left_semi").count()
     assert abs(jn / KMV_K - 1 / 3) < 0.15
+
+
+def test_streaming_kmv_equals_batch_under_splits(spark, tmp_path):
+    import os
+
+    from europarl_crawler_spark.streaming.sketchstream import drain_kmv_sketch
+
+    keys = [(("A" if k % 3 else "B"), str(k * 17)) for k in range(3000)]
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(keys, "set_id string, key string").repartition(
+        5
+    ).write.parquet(src)
+    got = sorted(
+        (r.set_id, r.h)
+        for r in drain_kmv_sketch(
+            spark, src, str(tmp_path / "ck"), "kmv_s1", k=64
+        ).collect()
+    )
+    batch = sorted(
+        (r.set_id, r.h)
+        for r in kmv_sketch(
+            spark.createDataFrame(keys, "set_id string, key string"),
+            "key",
+            "set_id",
+            k=64,
+        ).collect()
+    )
+    assert got == batch
