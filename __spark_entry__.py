@@ -1224,6 +1224,28 @@ def q_sketch_kmv_streaming(spark, sf_dir):
     )
 
 
+def q_t6_windowed_streaming(spark, sf_dir):
+    """T11 as a VALUE-CHECKED lane: tumbling-hour watermarked aggregation
+    drained from a 4-file stream (streaming/stream.py:
+    drain_windowed_counts). Update-mode emissions are monotone, so
+    max-per-window over the drain equals the batch GROUP BY — counts and
+    exact integer cents, oracle = the plain hourly rollup."""
+    import os
+    import tempfile
+
+    from europarl_crawler_spark.streaming.stream import drain_windowed_counts
+
+    root = tempfile.mkdtemp(prefix="winstream-")
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    return drain_windowed_counts(
+        spark,
+        src,
+        checkpoint=os.path.join(root, "ckpt"),
+        name="winstream_" + os.path.basename(root).replace("-", "_"),
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4343,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "sketch_kmv_streaming": q_sketch_kmv_streaming,
+        "t6_windowed_streaming": q_t6_windowed_streaming,
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
         "video_frame_ahash": q_video_frame_ahash,
@@ -5131,6 +5154,13 @@ r AS (SELECT set_id, h, row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn
 SELECT set_id, h FROM r WHERE rn <= {sk.KMV_K}
 """
         )(__import__("europarl_crawler_spark.operators.sketch", fromlist=["s"])),
+        # the plain hourly rollup the watermarked drain must equal
+        "t6_windowed_streaming": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2
+""",
         # the batch inequality join the streaming interval join must equal
         "t5_interval_join_streaming": """
 SELECT p.user_id, p.event_id AS probe_id, c.event_id AS confirm_id,

@@ -333,3 +333,43 @@ def drain_interval_join(
     )
     run_available_now(joined, name, checkpoint, output_mode="append")
     return spark.table(name)
+
+
+def drain_windowed_counts(
+    spark,
+    src_dir: str,
+    checkpoint: str,
+    name: str,
+    watermark: str = "40 days",
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Tumbling-hour windowed aggregation drained from a file stream (the
+    T11 watermark surface as a value-checked catalog lane, not just a
+    pytest): counts and exact integer cents per (hour, type). Update-mode
+    emissions are monotone (counts/sums only grow as batches arrive), so
+    the final value per window is the max over emissions — the same
+    merge-by-monotone-max trick the HLL register drain uses. The bounded
+    replay passes a wider-than-corpus watermark so eviction timing cannot
+    drop a late file; production uses a real allowance and accepts the
+    documented drop-after-watermark contract."""
+    cents = F.round(F.col("value") * F.lit(100)).cast("long")
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    agg = (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    run_available_now(agg, name, checkpoint, output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy(F.col("win.start").alias("hour"), "event_type")
+        .agg(F.max("n").alias("n"), F.max("cents").alias("cents"))
+    )
