@@ -510,6 +510,34 @@ def q_p12_politeness_audit(spark, sf_dir):
     ).select("host_key", "request_id", "prev_request_id", "gap_us")
 
 
+def q_p14_asof_throttle_audit(spark, sf_dir):
+    """P14: politeness audited against the TIME-VARYING interval
+    (plans/politeness.py:asof_throttle_audit) — p12 with the fixed
+    threshold replaced by the throttle timeline: a 429 tightens the
+    host's interval to 7200 s, a success relaxes it to 1800 s, each
+    taking effect 1 µs AFTER its trigger (a request is never judged
+    against the state it itself created). The as-of join attaches the
+    interval in effect at each request; gaps below it are violations.
+    Oracle: the same lag window + DuckDB's native ASOF JOIN."""
+    from europarl_crawler_spark.plans.politeness import asof_throttle_audit
+
+    r = _requests(spark, sf_dir)
+    updates = (
+        r.where(F.col("status_code").isin(200, 429))
+        .select(
+            "host_key",
+            (F.col("requested_at") + F.expr("INTERVAL 1 MICROSECOND")).alias("uts"),
+            F.when(F.col("status_code") == 429, 7200)
+            .otherwise(1800)
+            .cast("long")
+            .alias("interval_secs"),
+        )
+        .groupBy("host_key", "uts")
+        .agg(F.max("interval_secs").alias("interval_secs"))
+    )
+    return asof_throttle_audit(r, updates, default_interval_secs=1800)
+
+
 def q_o9_adaptive_refresh(spark, sf_dir):
     """O9 (beyond O8): change-rate-adaptive revisit scheduling
     (plans/frontier.py:adaptive_refresh — Cho & Garcia-Molina 2003 ratio
@@ -4366,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "sketch_kmv_streaming": q_sketch_kmv_streaming,
         "t6_windowed_streaming": q_t6_windowed_streaming,
+        "p14_asof_throttle_audit": q_p14_asof_throttle_audit,
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
         "video_frame_ahash": q_video_frame_ahash,
@@ -5160,6 +5189,33 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1, 2
+""",
+        # the same lag window + DuckDB's native ASOF JOIN on the timeline
+        "p14_asof_throttle_audit": f"""
+WITH r AS {_REQUESTS_SQL},
+u0 AS (
+  SELECT host_key, requested_at + INTERVAL 1 MICROSECOND AS uts,
+         CASE WHEN status_code = 429 THEN 7200 ELSE 1800 END AS interval_secs
+  FROM r WHERE status_code IN (200, 429)
+),
+u AS (SELECT host_key, uts, max(interval_secs) AS interval_secs
+      FROM u0 GROUP BY 1, 2),
+g AS (
+  SELECT host_key, request_id, requested_at,
+         epoch_us(requested_at) - LAG(epoch_us(requested_at)) OVER w AS gap_us
+  FROM r
+  WINDOW w AS (PARTITION BY host_key ORDER BY requested_at ASC, request_id ASC)
+),
+j AS (
+  SELECT g.host_key, g.request_id, g.gap_us, u.interval_secs
+  FROM g ASOF LEFT JOIN u
+    ON g.host_key = u.host_key AND g.requested_at >= u.uts
+)
+SELECT host_key, request_id, gap_us,
+       CAST(coalesce(interval_secs, 1800) AS BIGINT) AS eff_interval_s
+FROM j
+WHERE gap_us IS NOT NULL
+  AND gap_us < CAST(coalesce(interval_secs, 1800) AS BIGINT) * 1000000
 """,
         # the batch inequality join the streaming interval join must equal
         "t5_interval_join_streaming": """

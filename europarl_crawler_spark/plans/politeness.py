@@ -341,3 +341,67 @@ def budget_audit(requests, politeness, epoch_secs: float,
         ).alias("budget"),
     )
     return j.filter(F.col("n") > F.col("budget"))
+
+
+def asof_throttle_audit(
+    requests,
+    updates,
+    default_interval_secs: int,
+    host_col: str = "host_key",
+    ts_col: str = "requested_at",
+    id_col: str = "request_id",
+    update_ts_col: str = "uts",
+    interval_col: str = "interval_secs",
+):
+    """Politeness audit against the TIME-VARYING per-host interval — the
+    judge-against-state-at-request-time refinement of ``politeness_audit``
+    (which audits one fixed interval): each request's gap to the previous
+    same-host request is compared to the interval IN EFFECT at its own
+    timestamp, looked up from a (host, effective-ts, interval) update log
+    with the as-of join (operators/asof.py — throttle tightens after a
+    429, relaxes after a success; the reference's TokenBucket interval as
+    a timeline instead of a scalar).
+
+    ``updates`` must be unique per (host, effective-ts) — pre-aggregate
+    ties (the lane takes max: the tighter interval wins a tie). Hosts or
+    times before the first update audit against ``default_interval_secs``.
+
+    Plan shape: one host-keyed lag window (same as politeness_audit) +
+    the as-of join's single key shuffle. Exact int64 microsecond gaps;
+    interval seconds stay integers — no float time math anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    g = (
+        requests.select(host_col, id_col, ts_col)
+        .withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "gap_us", F.expr(f"timestampdiff(MICROSECOND, _prev, {ts_col})")
+        )
+        .drop("_prev")
+    )
+    enriched = asof_join(
+        g,
+        updates,
+        key=host_col,
+        left_ts=ts_col,
+        right_ts=update_ts_col,
+        value_cols=[interval_col],
+    )
+    eff = F.coalesce(
+        F.col(f"asof_{interval_col}"), F.lit(int(default_interval_secs))
+    ).cast("long")
+    return (
+        enriched.withColumn("eff_interval_s", eff)
+        .where(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") < F.col("eff_interval_s") * F.lit(1000000))
+        )
+        .select(host_col, id_col, "gap_us", "eff_interval_s")
+    )

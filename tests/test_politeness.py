@@ -173,3 +173,40 @@ def test_distributed_update_matches_tokenbucket(spark):
     }
     for h in hosts:
         assert got_b.get(h, 0) == want[h], h
+
+
+def test_asof_throttle_audit_time_varying_interval(spark):
+    import datetime as dt
+
+    from europarl_crawler_spark.plans.politeness import asof_throttle_audit
+
+    T = dt.datetime
+    # host 1: gap 60 s audited at default 30 s → OK; then a 429 at :70
+    # tightens to 600 s → the :100 request (gap 30 s) violates; host 2
+    # never updates → default applies
+    reqs = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 0, 0, 0)),
+            (1, 11, T(2024, 1, 1, 0, 1, 0)),
+            (1, 12, T(2024, 1, 1, 0, 1, 10)),  # the 429
+            (1, 13, T(2024, 1, 1, 0, 1, 40)),  # gap 30 s < 600 → violation
+            (2, 20, T(2024, 1, 1, 0, 0, 0)),
+            (2, 21, T(2024, 1, 1, 0, 0, 10)),  # gap 10 s < default 30
+        ],
+        "host_key long, request_id long, requested_at timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 1, 10, 1), 600)],
+        "host_key long, uts timestamp, interval_secs long",
+    )
+    got = {
+        (r.host_key, r.request_id): (r.gap_us, r.eff_interval_s)
+        for r in asof_throttle_audit(reqs, updates, 30).collect()
+    }
+    # request 12 (gap 10 s) violates the DEFAULT (its own update takes
+    # effect 1 µs later); request 13 violates the tightened interval
+    assert got == {
+        (1, 12): (10_000_000, 30),
+        (1, 13): (30_000_000, 600),
+        (2, 21): (10_000_000, 30),
+    }
