@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_crossmodal_groups",
     "corpus_datasheet",
     "sketch_kmv_overlap",
+    "p14_asof_throttle_audit",
 ]
 
 # Catalog lanes NOT in HEADLINE (deliberate, not silent truncation): the
