@@ -1255,9 +1255,10 @@ def q_sketch_kmv_streaming(spark, sf_dir):
 def q_t6_windowed_streaming(spark, sf_dir):
     """T11 as a VALUE-CHECKED lane: tumbling-hour watermarked aggregation
     drained from a 4-file stream (streaming/stream.py:
-    drain_windowed_counts). Update-mode emissions are monotone, so
-    max-per-window over the drain equals the batch GROUP BY — counts and
-    exact integer cents, oracle = the plain hourly rollup."""
+    drain_windowed_counts). Update-mode emissions merge by LAST emission
+    per (window, type) — batch-id tagged in foreachBatch — which equals
+    the batch GROUP BY for ANY event values, negative included; counts
+    and exact integer cents, oracle = the plain hourly rollup."""
     import os
     import tempfile
 
@@ -5097,7 +5098,8 @@ WITH o AS (
          CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
   FROM orders
 )
-SELECT y >> 13 AS y_band, count(*) AS n_orders, sum(cents) AS sum_cents,
+SELECT y >> 13 AS y_band, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
        min(x) AS x_min, max(x) AS x_max
 FROM o WHERE x BETWEEN 0 AND 8191 GROUP BY 1
 """,
@@ -5230,7 +5232,7 @@ WHERE p.event_type = 'view' AND c.event_type = 'purchase'
         "j15_skew_salted": """
 WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
 SELECT d.tier, count(*) AS n_events,
-       sum(CAST(floor(e.value * 100.0) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(e.value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events e JOIN dim d USING (user_id)
 GROUP BY 1
 """,
@@ -5385,9 +5387,9 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY u, doc_id
+         CAST(SUM(n_tokens) OVER (ORDER BY u, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         - n_tokens AS start_offset
+         - n_tokens AS BIGINT) AS start_offset
   FROM t
 )
 SELECT doc_id, n_tokens, start_offset,

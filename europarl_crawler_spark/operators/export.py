@@ -130,7 +130,7 @@ def manifest_sql(
     chk = checksum_sql(id_expr)
     return (
         f"SELECT {split} AS split, {shard} AS shard, "
-        f"COUNT(*) AS n_docs, SUM({chk}) AS id_checksum "
+        f"COUNT(*) AS n_docs, CAST(SUM({chk}) AS BIGINT) AS id_checksum "
         f"FROM {table} GROUP BY 1, 2"
     )
 
@@ -290,7 +290,7 @@ def webdataset_manifest_sql(
     return (
         f"SELECT {shard_assign_sql(n_shards, id_expr)} AS shard, "
         f"COUNT(*) AS n_samples, "
-        f"SUM({kh}) % {P} AS key_checksum, "
-        f"SUM({ch}) % {P} AS caption_checksum "
+        f"CAST(SUM({kh}) % {P} AS BIGINT) AS key_checksum, "
+        f"CAST(SUM({ch}) % {P} AS BIGINT) AS caption_checksum "
         f"FROM {table} GROUP BY 1"
     )

@@ -118,5 +118,5 @@ def pagerank_sql(
         )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT node, rank FROM r{n_iter}"
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}"
     )

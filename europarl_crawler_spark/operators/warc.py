@@ -298,7 +298,7 @@ def warc_manifest_sql(n_shards: int, table: str = "documents") -> str:
     return (
         f"SELECT {export_ops.shard_assign_sql(n_shards)} AS shard, "
         f"COUNT(*) AS n_records, "
-        f"SUM({uh}) % {P} AS url_checksum, "
-        f"SUM({ph}) % {P} AS payload_checksum "
+        f"CAST(SUM({uh}) % {P} AS BIGINT) AS url_checksum, "
+        f"CAST(SUM({ph}) % {P} AS BIGINT) AS payload_checksum "
         f"FROM {table} GROUP BY 1"
     )

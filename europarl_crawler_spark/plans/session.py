@@ -37,6 +37,12 @@ def get_spark(
         # Fat binary rows also mean smaller input splits than the 128 MiB default
         # would suggest; at cluster scale this is tuned to executor memory.
         .config("spark.sql.files.maxPartitionBytes", "67108864")
+        # INT96 (the Spark default) carries no parquet footer min/max, so
+        # timestamp columns would be invisible to manifest stat-pruning —
+        # and Iceberg forbids INT96 outright. TIMESTAMP_MICROS gives real
+        # column statistics (tz-aware via pyarrow; normalized naive-UTC in
+        # EpochStore._stat_value) and is the Iceberg-compatible encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -60,7 +60,17 @@ def _stat_value(v):
         return None
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        # One convention for both sides of the compare: Spark writes
+        # UTC-adjusted parquet timestamps, so pyarrow footer stats come
+        # back tz-aware while caller predicates are usually naive UTC.
+        # An aware ISO string ('…+00:00') sorts above the equal naive one
+        # and would wrongly prune at exact boundary equality — convert
+        # aware → UTC then strip tzinfo so every value stringifies naive.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, bytes):
         try:

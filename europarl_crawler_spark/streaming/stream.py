@@ -26,7 +26,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -350,12 +350,16 @@ def drain_windowed_counts(
     """Tumbling-hour windowed aggregation drained from a file stream (the
     T11 watermark surface as a value-checked catalog lane, not just a
     pytest): counts and exact integer cents per (hour, type). Update-mode
-    emissions are monotone (counts/sums only grow as batches arrive), so
-    the final value per window is the max over emissions — the same
-    merge-by-monotone-max trick the HLL register drain uses. The bounded
-    replay passes a wider-than-corpus watermark so eviction timing cannot
-    drop a late file; production uses a real allowance and accepts the
-    documented drop-after-watermark contract."""
+    emissions are merged by LAST emission per (window, type) — each
+    foreachBatch tags its rows with the micro-batch id and the drain keeps
+    the row with the highest id per key. (An earlier version merged with
+    max(), which is only correct while every value is nonnegative — sum
+    monotone; a negative event value would have silently surfaced an
+    intermediate, too-high sum. Last-emission-wins is correct for any
+    values, matching what an idempotent-upsert sink would hold.) The
+    bounded replay passes a wider-than-corpus watermark so eviction timing
+    cannot drop a late file; production uses a real allowance and accepts
+    the documented drop-after-watermark contract."""
     cents = F.round(F.col("value") * F.lit(100)).cast("long")
     sdf = (
         spark.readStream.schema(schema)
@@ -367,9 +371,31 @@ def drain_windowed_counts(
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
     )
-    run_available_now(agg, name, checkpoint, output_mode="update")
+    emissions_dir = checkpoint.rstrip("/") + "_emissions"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(emissions_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = Window.partitionBy("win", "event_type").orderBy(
+        F.col("_batch").desc()
+    )
     return (
-        spark.table(name)
-        .groupBy(F.col("win.start").alias("hour"), "event_type")
-        .agg(F.max("n").alias("n"), F.max("cents").alias("cents"))
+        spark.read.parquet(emissions_dir)
+        .withColumn("_rn", F.row_number().over(last))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n", "cents"
+        )
     )

@@ -92,3 +92,59 @@ def test_foreach_batch_merge_replay_idempotent(spark, requests_dir, tmp_path):
     assert [m["epoch"] for m in store.manifests("reqmerge")] == epochs_first + [
         epochs_first[-1] + 1
     ]
+
+
+def test_drain_windowed_counts_negative_values(spark, tmp_path):
+    """Last-emission-wins merge: with NEGATIVE event values the per-window
+    sum is non-monotone across micro-batch emissions, so the old
+    max-over-emissions merge would return an intermediate, too-high sum.
+    Feed 4 single-file micro-batches whose later files subtract value from
+    an already-emitted window and pin the drain to the batch GROUP BY."""
+    import pandas as pd
+
+    src = tmp_path / "neg_events"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # 4 files = 4 micro-batches (maxFilesPerTrigger=1). File 0 puts +10.00
+    # into hour 0; files 1-3 each subtract from that SAME hour, so every
+    # later emission for the window is smaller than an earlier one.
+    vals = [10.0, -3.0, -4.0, -2.5]
+    for i, v in enumerate(vals):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i],
+                "ts": [pd.Timestamp(2024, 1, 1, 0, 5 + i)],
+                "user_id": [1],
+                "event_type": ["view"],
+                "value": [v],
+                "props": [None],
+            }
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}"), mode="overwrite"
+        )
+    # flatten: move part files up so each file is its own source file
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil
+
+    n = 0
+    for sub in sorted(src.iterdir()):
+        for p in sorted(sub.glob("*.parquet")):
+            shutil.copy(p, flat / f"{sub.name}.parquet")
+            n += 1
+    assert n == 4
+    got = S.drain_windowed_counts(
+        spark,
+        str(flat),
+        checkpoint=str(tmp_path / "ckpt"),
+        name="negwin",
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    # batch truth: 4 events, cents = 1000 - 300 - 400 - 250 = 50
+    assert row["n"] == 4
+    assert row["cents"] == 50

@@ -170,3 +170,35 @@ def test_maintenance_job_rewrite_zorder(spark):
     assert out["kind"] == "base" and out["rows"] == 2000
     kept, total = store.prune_files("pts", "x", 0, 99)
     assert 0 < len(kept) < total
+
+
+def test_timestamp_prune_boundary_tz_normalized(spark):
+    """ADVICE r4: Spark writes UTC-adjusted parquet timestamps, so pyarrow
+    footer stats come back tz-AWARE while a caller's naive predicate bound
+    stringifies without the '+00:00' suffix. At exact boundary equality
+    the aware string sorts greater and _cmp_gt would wrongly prune the
+    file. _stat_value now normalizes both sides to naive UTC: a predicate
+    whose hi equals the file's max (and whose lo equals the min) must keep
+    the file, and scan() must return the boundary rows."""
+    import datetime as dt
+
+    store = EpochStore(tempfile.mkdtemp(prefix="tsprune-"))
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, lo), (2, hi)], "k long, ts timestamp"
+    ).coalesce(1)
+    store.append("t", df, 1)
+    (fstat,) = store.manifests("t")[-1]["file_stats"].values()
+    # recorded bounds must be naive ISO strings (no tz suffix)
+    assert "ts" in fstat, fstat
+    assert "+" not in fstat["ts"][0] and "+" not in fstat["ts"][1]
+    # exact-boundary predicate: naive bounds equal to the file's min/max
+    kept, total = store.prune_files("t", "ts", lo, hi)
+    assert total == 1 and len(kept) == 1
+    assert store.scan("t", spark, "ts", lo, hi).count() == 2
+    # and a genuinely disjoint window still prunes
+    kept2, _ = store.prune_files(
+        "t", "ts", dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+    )
+    assert kept2 == []

@@ -13,6 +13,7 @@ every entry.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import sys
 from pathlib import Path
@@ -45,6 +46,75 @@ def _norm(v):
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _tag(v):
+    """Coarse Python-type tag. The external driver's value hash is
+    TYPE-sensitive — DuckDB SUM(BIGINT)→HUGEINT→Decimal hashes differently
+    from Spark's int64 even when the values print identically — so the mimic
+    must compare type signatures, not just str()-coerced values (the r4
+    blind spot: 4 gated lanes passed here and failed the driver)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, decimal.Decimal):
+        return "DEC"
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "d"
+    if isinstance(v, (bytes, bytearray)):
+        return "y"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, (list, tuple)):
+        return "l"
+    if isinstance(v, dict):
+        return "m"
+    return type(v).__name__
+
+
+def type_signature(rows, cols):
+    """Per-column set of non-null type tags, keyed by column name."""
+    sig = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            t = _tag(v)
+            if t:
+                sig[c].add(t)
+    return sig
+
+
+def dtype_problems(spark_df, duck_arrow, spark_rows, spark_cols,
+                   duck_rows, duck_cols):
+    """Hard dtype checks mirroring the driver's type-sensitive hash:
+    1. no decimal/hugeint column may reach an oracle final projection;
+    2. no decimal column may reach a Spark final projection;
+    3. per-column Python type signatures must agree across engines."""
+    import pyarrow as pa
+
+    probs = []
+    for field in duck_arrow.schema:
+        if pa.types.is_decimal(field.type):
+            probs.append(f"oracle col '{field.name}' is {field.type} "
+                         f"(decimal/hugeint — cast to BIGINT/DOUBLE in the SQL)")
+    for name, dt in spark_df.dtypes:
+        if dt.startswith("decimal"):
+            probs.append(f"spark col '{name}' is {dt} (cast in the plan)")
+    ssig = type_signature(spark_rows, spark_cols)
+    dsig = type_signature(duck_rows, duck_cols)
+    for c in sorted(set(ssig) & set(dsig)):
+        if ssig[c] and dsig[c] and ssig[c] != dsig[c]:
+            probs.append(
+                f"col '{c}' type signature spark={sorted(ssig[c])} "
+                f"duck={sorted(dsig[c])}"
+            )
+    return probs
 
 
 def main():
@@ -86,6 +156,7 @@ def main():
             print(f"{name}: {results[name]}")
             continue
         try:
+            duck_arrow = con.execute(oracles[name]).fetch_arrow_table()
             cur = con.execute(oracles[name])
             duck_cols = [d[0] for d in cur.description]
             duck_rows = cur.fetchall()
@@ -93,7 +164,12 @@ def main():
             results[name] = f"ORACLE ERROR: {e}"
             print(name, results[name][:500])
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
+        dtype_bad = dtype_problems(
+            df, duck_arrow, spark_rows, spark_cols, duck_rows, duck_cols
+        )
+        if dtype_bad:
+            results[name] = f"DTYPE MISMATCH {dtype_bad}"
+        elif sorted(spark_cols) != sorted(duck_cols):
             results[name] = f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
         elif len(spark_rows) != len(duck_rows):
             results[name] = f"ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
