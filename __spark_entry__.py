@@ -359,12 +359,17 @@ def q_j2_anti_seen(spark, sf_dir):
 def q_j2_anti_seen_cuckoo(spark, sf_dir):
     """J2 via the deletable cuckoo seen-sketch backend (functions/cuckoo.py,
     north_rule "bloom/cuckoo URL-seen"): candidates and seen set are keyed on
-    the portable Rabin-Karp hash of (dates, rule_id); a sharded cuckoo filter
-    built distributed (build_cuckoo) pre-filters the exact anti-join
-    (seen.anti_join_seen). The sketch can only create false POSITIVES, which
-    the exact recheck absorbs, so the result is bit-identical to the plain
-    hash-keyed anti-join — which is exactly what the oracle recomputes."""
-    from europarl_crawler_spark.functions.cuckoo import build_cuckoo
+    the portable Rabin-Karp hash of (dates, rule_id); an EXECUTOR-RESIDENT
+    shard store (CuckooShardStore — shard tables as files, probes routed by
+    pmod(hash, n_shards) so each task loads only its shard, never the whole
+    filter in any process; the r5 residency fix for 10^10-URL frontiers)
+    pre-filters the exact anti-join (seen.anti_join_seen). The sketch can
+    only create false POSITIVES, which the exact recheck absorbs, so the
+    result is bit-identical to the plain hash-keyed anti-join — which is
+    exactly what the oracle recomputes."""
+    import tempfile
+
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
     from europarl_crawler_spark.functions.seen import anti_join_seen
 
     combos = _combos(spark, sf_dir).withColumn(
@@ -380,7 +385,9 @@ def q_j2_anti_seen_cuckoo(spark, sf_dir):
     seen = combos.filter(
         (F.col("rule_id") % 2 == 0) & (F.dayofmonth("dates") % 2 == 0)
     ).select("key_hash")
-    sketch = build_cuckoo(seen, "key_hash", n_shards=4)
+    sketch = CuckooShardStore.build(
+        seen, tempfile.mkdtemp(prefix="cuckoo-store-"), "key_hash", n_shards=4
+    )
     return anti_join_seen(combos, seen, sketch, hash_col="key_hash").select(
         "dates", "rule_id", "rulename"
     )

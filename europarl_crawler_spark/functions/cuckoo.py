@@ -338,3 +338,277 @@ def build_cuckoo(
         for r in built
     }
     return ShardedCuckoo(n_shards, shards)
+
+
+# ---------------------------------------------------------------------------
+# Executor-resident shard store — the 10^10-URL residency fix
+# ---------------------------------------------------------------------------
+
+# Per-process probe cache: (shard file path, mtime_ns) -> uint16 table.
+# mtime-keyed so a driver-side shard rewrite (delta maintenance) invalidates
+# executor copies on the next probe; bounded LRU so a task that happens to
+# own several shards never grows past _CACHE_MAX tables.
+_SHARD_CACHE: dict[tuple, np.ndarray] = {}
+_CACHE_MAX = 8
+
+
+def _load_shard_table(path) -> np.ndarray:
+    import os
+
+    key = (str(path), os.stat(path).st_mtime_ns)
+    t = _SHARD_CACHE.get(key)
+    if t is None:
+        t = np.load(path)
+        stale = [k for k in _SHARD_CACHE if k[0] == key[0]]
+        for k in stale:
+            del _SHARD_CACHE[k]
+        while len(_SHARD_CACHE) >= _CACHE_MAX:
+            del _SHARD_CACHE[next(iter(_SHARD_CACHE))]
+        _SHARD_CACHE[key] = t
+    return t
+
+
+class CuckooShardStore:
+    """Sharded cuckoo seen-sketch whose shards live in FILES, not in any
+    process: ``root/shard_{sid:05d}.npy`` (one uint16 table each) plus
+    ``root/meta.json`` ({n_shards, stamp}).
+
+    This is the scale-safe residency for the north_rule's 10^10-URL
+    frontier, replacing the r4 design that concatenated every shard's
+    table on the driver and broadcast the whole ~20-25 GB filter to every
+    executor. Here:
+
+    - **probe** (`tag_maybe`): candidates are repartitioned by
+      ``pmod(url_hash, n_shards)`` and each ``mapInPandas`` task loads
+      ONLY the shard tables its partition actually contains (mtime-keyed
+      per-process LRU, cap ``_CACHE_MAX``). Peak memory per task is
+      O(shards_in_partition x frontier/n_shards) — with one shard per
+      partition, O(frontier/n_shards), ~25 GB/1024 ≈ 25 MB at 10^10 URLs
+      and 1024 shards.
+    - **maintain** (`add_many`/`delete_many`): the per-epoch delta is
+      grouped by shard on the driver and each touched shard is
+      load→modify→atomic-rename'd one at a time — driver peak is ONE
+      shard table, never the filter.
+    - **build** (`CuckooShardStore.build`): the distributed bulk build
+      writes each shard's table to its file FROM THE EXECUTOR that built
+      it; only (shard, n_buckets, n_keys) stats cross to the driver.
+
+    ``root`` must be storage every task can reach — a local dir under
+    local[*] (this sandbox), shared/object storage on a cluster (exactly
+    where Iceberg manifests would live; the npy-per-shard layout maps 1:1
+    onto object-store keys). The filter remains strictly a pre-filter for
+    the exact anti-join: lost/corrupt shard files can only surface as
+    extra maybe-seen rechecks, never wrong results.
+    """
+
+    def __init__(self, root):
+        import json
+        from pathlib import Path
+
+        self.root = Path(root)
+        with open(self.root / "meta.json") as fh:
+            meta = json.load(fh)
+        self.n_shards = int(meta["n_shards"])
+        self.stamp = meta.get("stamp")
+
+    # -- layout --------------------------------------------------------------
+
+    def _shard_path(self, sid: int):
+        return self.root / f"shard_{sid:05d}.npy"
+
+    def _write_meta(self) -> None:
+        import json
+        import os
+
+        tmp = self.root / "meta.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_shards": self.n_shards, "stamp": self.stamp}, fh)
+        os.replace(tmp, self.root / "meta.json")
+
+    def set_stamp(self, stamp) -> None:
+        self.stamp = stamp
+        self._write_meta()
+
+    def _filter(self, sid: int) -> CuckooFilter:
+        p = self._shard_path(sid)
+        if not p.exists():
+            return CuckooFilter(64)
+        t = _load_shard_table(p)
+        return CuckooFilter(t.shape[0], t.copy())
+
+    def _write_shard(self, sid: int, filt: CuckooFilter) -> None:
+        import os
+
+        p = self._shard_path(sid)
+        tmp = str(p) + f".tmp-{os.getpid()}"
+        np.save(tmp, filt.table)
+        os.replace(tmp + ".npy", p)
+
+    @property
+    def size(self) -> int:
+        """Total stored fingerprints — streams shard-at-a-time (tests/ops
+        introspection; O(one shard) peak like every other driver path)."""
+        total = 0
+        for sid in range(self.n_shards):
+            p = self._shard_path(sid)
+            if p.exists():
+                total += int(np.count_nonzero(_load_shard_table(p)))
+        return total
+
+    # -- distributed build ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        root,
+        hash_col: str = "url_hash",
+        n_shards: int = 16,
+        load: float = 0.84,
+    ) -> "CuckooShardStore":
+        """Bulk-build from a DataFrame of int64 hashes, executor-write.
+
+        ``repartition(n_shards, pmod(hash, n_shards))`` sends each shard's
+        rows to one partition; the partition builds its shards with the
+        vectorized placement and writes each table STRAIGHT to
+        ``root/shard_XXXXX.npy`` (tmp + atomic rename — idempotent under
+        task retry: a re-run rewrites the same bytes). Only per-shard
+        stats return to the driver."""
+        import json
+        import os
+        from pathlib import Path
+
+        rootp = Path(root)
+        rootp.mkdir(parents=True, exist_ok=True)
+        for old in rootp.glob("shard_*.npy"):
+            old.unlink()
+        root_s = str(rootp)
+
+        rows = seen.select(
+            F.col(hash_col).alias("h"),
+            F.pmod(F.col(hash_col), F.lit(n_shards)).alias("s"),
+        ).repartition(n_shards, "s")
+
+        def part(it):
+            import pandas as pd
+
+            chunks: dict[int, list[np.ndarray]] = {}
+            for pdf in it:
+                sh = pdf["s"].to_numpy(dtype=np.int64)
+                hv = pdf["h"].to_numpy(dtype=np.int64)
+                for sid in np.unique(sh):
+                    chunks.setdefault(int(sid), []).append(hv[sh == sid])
+            for sid, parts_ in chunks.items():
+                vals = np.concatenate(parts_)
+                filt = CuckooFilter.sized(len(vals), load=load)
+                filt.add_many(vals)
+                p = os.path.join(root_s, f"shard_{sid:05d}.npy")
+                tmp = p + f".tmp-{os.getpid()}"
+                np.save(tmp, filt.table)
+                os.replace(tmp + ".npy", p)
+                yield pd.DataFrame(
+                    {
+                        "shard": [sid],
+                        "n_buckets": [filt.n_buckets],
+                        "n_keys": [len(vals)],
+                    }
+                )
+
+        stats = rows.mapInPandas(
+            part, schema="shard int, n_buckets long, n_keys long"
+        ).collect()
+        with open(rootp / "meta.json", "w") as fh:
+            json.dump({"n_shards": int(n_shards), "stamp": None}, fh)
+        store = cls(rootp)
+        store._built_stats = {int(r["shard"]): int(r["n_keys"]) for r in stats}
+        return store
+
+    # -- probe ---------------------------------------------------------------
+
+    def tag_maybe(self, candidates: DataFrame, hash_col: str) -> DataFrame:
+        """candidates + boolean ``_maybe`` column, shard-local probe.
+
+        The one shuffle is the candidate repartition by shard — the price
+        of never holding more than one shard per task; at 10^10 URLs that
+        shuffle is O(candidates) while the r4 broadcast was O(filter) PER
+        EXECUTOR. Row order within partitions is irrelevant downstream
+        (the caller filters on _maybe and unions)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        n_shards = self.n_shards
+        root_s = str(self.root)
+        out_schema = T.StructType(
+            candidates.schema.fields
+            + [T.StructField("_maybe", T.BooleanType())]
+        )
+        cols = candidates.columns
+
+        def probe(it):
+            import os
+
+            for pdf in it:
+                h = pdf[hash_col].to_numpy(dtype=np.int64)
+                maybe = np.zeros(len(h), dtype=bool)
+                s = np.mod(h, n_shards)
+                for sid in np.unique(s):
+                    p = os.path.join(root_s, f"shard_{int(sid):05d}.npy")
+                    if not os.path.exists(p):
+                        continue  # empty shard: nothing inserted => all new
+                    t = _load_shard_table(p)
+                    filt = CuckooFilter(t.shape[0], t)
+                    m = s == sid
+                    maybe[m] = filt.might_contain(h[m])
+                out = pdf.copy()
+                out["_maybe"] = pd.Series(maybe, index=pdf.index)
+                yield out
+
+        return (
+            candidates.repartition(
+                n_shards, F.pmod(F.col(hash_col), F.lit(n_shards))
+            ).mapInPandas(probe, schema=out_schema)
+        )
+
+    # -- driver-side maintenance (delta-bounded) -----------------------------
+
+    def _touched(self, hashes) -> "dict[int, np.ndarray]":
+        h = np.asarray(hashes, dtype=np.int64)
+        s = np.mod(h, self.n_shards)
+        return {int(sid): h[s == sid] for sid in np.unique(s)}
+
+    def add_many(self, hashes) -> None:
+        """Insert an epoch's delta: one touched shard resident at a time.
+        Raises RuntimeError on shard overflow (caller rebuilds, same
+        contract as ShardedCuckoo)."""
+        for sid, vals in self._touched(hashes).items():
+            filt = self._filter(sid)
+            if filt.n_buckets == 64 and not self._shard_path(sid).exists():
+                filt = CuckooFilter.sized(max(len(vals), 64))
+            filt.add_many(vals)
+            self._write_shard(sid, filt)
+
+    def delete_many(self, hashes) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        s = np.mod(h, self.n_shards)
+        for sid in np.unique(s):
+            m = s == sid
+            filt = self._filter(int(sid))
+            out[m] = filt.delete_many(h[m])
+            self._write_shard(int(sid), filt)
+        return out
+
+    def might_contain(self, hashes) -> np.ndarray:
+        """Driver-side probe (tests / small arrays) — shard-at-a-time; the
+        data-plane path is :meth:`tag_maybe`."""
+        h = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        s = np.mod(h, self.n_shards)
+        for sid in np.unique(s):
+            p = self._shard_path(int(sid))
+            if not p.exists():
+                continue
+            t = _load_shard_table(p)
+            m = s == sid
+            out[m] = CuckooFilter(t.shape[0], t).might_contain(h[m])
+        return out

@@ -110,13 +110,20 @@ def anti_join_seen(
     if sketch is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
 
-    obj = sketch  # captured whole (numpy-backed, pickles cheaply per shard)
+    if hasattr(sketch, "tag_maybe"):
+        # executor-resident shard store (functions/cuckoo.CuckooShardStore):
+        # candidates route to their shard's partition and each task loads
+        # ONLY its shards from files — no whole-filter broadcast, per-task
+        # memory O(frontier / n_shards). The scale path at 10^10 URLs.
+        tagged = sketch.tag_maybe(candidates, hash_col)
+    else:
+        obj = sketch  # captured whole (numpy-backed; the small-sketch path)
 
-    @pandas_udf("boolean")
-    def maybe_seen(h: pd.Series) -> pd.Series:
-        return pd.Series(obj.might_contain(h.to_numpy(dtype=np.int64)))
+        @pandas_udf("boolean")
+        def maybe_seen(h: pd.Series) -> pd.Series:
+            return pd.Series(obj.might_contain(h.to_numpy(dtype=np.int64)))
 
-    tagged = candidates.withColumn("_maybe", maybe_seen(F.col(hash_col)))
+        tagged = candidates.withColumn("_maybe", maybe_seen(F.col(hash_col)))
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
     rechecked = (
         tagged.filter(F.col("_maybe"))

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
-from ..functions.cuckoo import build_cuckoo, load_sharded, save_sharded
+from ..functions.cuckoo import CuckooShardStore
 from ..functions.rules import rules_df
 from ..functions.seen import anti_join_seen, build_bloom
 from ..sources import schema as S
@@ -132,18 +132,29 @@ class CrawlEngine:
 
     def _build_cuckoo(self, frontier: DataFrame):
         """Load-or-(re)build the incremental seen sketch (seen_sketch=
-        "cuckoo"). A checkpoint written by ``shutdown_compact`` (stamped
-        with the frontier commit it reflects) is loaded instead of
-        rebuilding when its stamp matches the CURRENT frontier head — at a
-        10^10-URL frontier the rebuild is a full-table scan, the load is a
-        file read. Any stamp mismatch (epochs committed since) falls back
-        to the build; the sketch sizes at load 0.21 (~4.7× headroom) so
-        per-epoch increments fit for many epochs between rebuilds."""
+        "cuckoo"). A checkpoint stamped by ``save_sketch`` (with the
+        frontier commit it reflects) is loaded instead of rebuilding when
+        its stamp matches the CURRENT frontier head — at a 10^10-URL
+        frontier the rebuild is a full-table scan, the load is a meta.json
+        read. Any stamp mismatch (epochs committed since) falls back to
+        the build; the sketch sizes at load 0.21 (~4.7× headroom) so
+        per-epoch increments fit for many epochs between rebuilds.
+
+        The sketch is a :class:`~europarl_crawler_spark.functions.cuckoo.
+        CuckooShardStore`: shard tables live as files under the store
+        root (executor-resident probes, driver peak = ONE shard —
+        O(frontier/n_shards) per task, never the whole filter in any
+        process; the r4 design broadcast the concatenated filter, ~25 GB
+        at 10^10 URLs)."""
         loaded = self._load_sketch()
         if loaded is not None:
             return loaded
-        return build_cuckoo(
-            frontier, "url_id", n_shards=self.config.cuckoo_shards, load=0.21
+        return CuckooShardStore.build(
+            frontier,
+            self._sketch_dir() / "store",
+            "url_id",
+            n_shards=self.config.cuckoo_shards,
+            load=0.21,
         )
 
     def _sketch_dir(self):
@@ -151,23 +162,20 @@ class CrawlEngine:
 
     def _load_sketch(self):
         e = self.store.latest("frontier")
-        if e is None:
+        d = self._sketch_dir() / "store"
+        if e is None or not (d / "meta.json").exists():
             return None
-        p = self._sketch_dir() / f"frontier-{e:08d}.npz"
-        return load_sharded(p) if p.exists() else None
+        st = CuckooShardStore(d)
+        return st if st.stamp == e else None
 
     def save_sketch(self) -> None:
-        """Checkpoint the in-memory sketch, stamped with the frontier commit
-        it reflects; older checkpoints are dropped (only the head-matching
-        stamp is ever loadable)."""
+        """Stamp the shard store with the frontier commit it reflects —
+        the shard files ARE the checkpoint (maintenance rewrites them
+        atomically per shard); only a matching stamp is ever loadable."""
         e = self.store.latest("frontier")
         if self._cuckoo is None or e is None:
             return
-        d = self._sketch_dir()
-        d.mkdir(parents=True, exist_ok=True)
-        for old in d.glob("frontier-*.npz"):
-            old.unlink()
-        save_sharded(self._cuckoo, d / f"frontier-{e:08d}.npz")
+        self._cuckoo.set_stamp(e)
 
     def bootstrap(self, days: DataFrame) -> None:
         """Initial load: seed-day domain (reference table bootstrap +

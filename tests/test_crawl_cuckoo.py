@@ -132,19 +132,24 @@ def test_shutdown_checkpoint_loads_on_restart(spark, tmp_path, monkeypatch):
     no frontier commit intervened."""
     eng, store = _run(spark, tmp_path, "cuckoo", n_epochs=2)
     eng.shutdown_compact()
-    assert list((store.root / "_seen_sketch").glob("frontier-*.npz"))
+    # the shard files ARE the checkpoint; the stamp marks them loadable
+    sdir = store.root / "_seen_sketch" / "store"
+    assert list(sdir.glob("shard_*.npy"))
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+
+    assert CuckooShardStore(sdir).stamp == store.latest("frontier")
 
     cfg = EngineConfig(seen_sketch="cuckoo", cuckoo_shards=4)
     eng2 = CrawlEngine(
         spark, store, eng.web, prefetch_limit=50, epoch_secs=600.0, config=cfg
     )
-    # any rebuild attempt would call build_cuckoo — make that an error
+    # any rebuild attempt would call CuckooShardStore.build — make that an error
     import europarl_crawler_spark.plans.epoch as epoch_mod
 
     def boom(*a, **k):
         raise AssertionError("sketch was rebuilt despite a matching checkpoint")
 
-    monkeypatch.setattr(epoch_mod, "build_cuckoo", boom)
+    monkeypatch.setattr(epoch_mod.CuckooShardStore, "build", boom)
     eng2.run(1, start=START)
     assert eng2._cuckoo is not None
     ids = np.array(

@@ -164,3 +164,105 @@ def test_save_load_roundtrip(tmp_path):
     assert back.delete_many(keys[:10]).all()
     back.add_many(keys[:10])
     assert back.might_contain(keys).all()
+
+
+# ---------------------------------------------------------------------------
+# Executor-resident shard store (the 10^10-URL residency fix, r4 VERDICT #2)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_store_build_layout_and_parity(spark, tmp_path):
+    """Distributed build writes one npy PER SHARD from executors; probe
+    semantics identical to the in-memory sharded filter."""
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+
+    keys = _keys(20000, 31)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    st = CuckooShardStore.build(df, tmp_path / "store", n_shards=8)
+    files = sorted(p.name for p in (tmp_path / "store").glob("shard_*.npy"))
+    assert len(files) == 8 and files[0] == "shard_00000.npy"
+    assert st.might_contain(keys).all()          # no false negatives
+    assert st.size == len(keys)
+    fresh = _keys(50000, 32)
+    mask = np.isin(fresh, keys, invert=True)
+    assert st.might_contain(fresh[mask]).mean() < 1e-3
+    # parity with the in-memory build over the same keys
+    sc = build_cuckoo(df, n_shards=8)
+    probe = _keys(30000, 33)
+    assert (st.might_contain(probe) == sc.might_contain(probe)).all()
+
+
+def test_shard_store_never_concatenates_on_driver(spark, tmp_path):
+    """The structural residency proof: the driver-side store object holds
+    NO table arrays (only root + meta), and the executor probe path
+    (tag_maybe) routes by pmod so each task touches only its shards.
+    anti_join_seen over the store is bit-identical to the plain anti-join."""
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+    from europarl_crawler_spark.functions.seen import anti_join_seen
+
+    keys = _keys(4000, 34)
+    seen_keys = keys[:3000]
+    cand = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    seen_df = spark.createDataFrame(
+        [(int(k),) for k in seen_keys], "url_hash long"
+    )
+    st = CuckooShardStore.build(seen_df, tmp_path / "store", n_shards=8)
+    # no ndarray anywhere on the driver-side handle
+    assert not any(
+        isinstance(v, np.ndarray) for v in vars(st).values()
+    ), vars(st)
+    got = {r.url_hash for r in anti_join_seen(cand, seen_df, st).collect()}
+    want = {
+        r.url_hash
+        for r in cand.join(seen_df, "url_hash", "left_anti").collect()
+    }
+    assert got == want == set(keys[3000:].tolist())
+
+
+def test_shard_store_delta_touches_only_routed_shards(tmp_path, spark):
+    """add_many on a delta routed to ONE shard rewrites exactly that
+    shard's file — O(delta) maintenance with single-shard driver
+    residency."""
+    import os
+
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+
+    keys = _keys(8000, 35)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    st = CuckooShardStore.build(df, tmp_path / "store", n_shards=8)
+    before = {
+        p.name: os.stat(p).st_mtime_ns
+        for p in (tmp_path / "store").glob("shard_*.npy")
+    }
+    # craft a delta living entirely in shard 3: h ≡ 3 (mod 8), h > 0
+    delta = np.arange(3, 3 + 8 * 500, 8, dtype=np.int64) + 2**40
+    delta = delta[np.mod(delta, 8) == 3]
+    assert len(delta) > 0
+    st.add_many(delta)
+    after = {
+        p.name: os.stat(p).st_mtime_ns
+        for p in (tmp_path / "store").glob("shard_*.npy")
+    }
+    changed = {n for n in after if after[n] != before.get(n)}
+    assert changed == {"shard_00003.npy"}
+    assert st.might_contain(delta).all()
+
+
+def test_shard_store_delete_and_stamp_roundtrip(tmp_path, spark):
+    """Deletion evicts in place (the cuckoo payoff) and the stamp persists
+    through reopen — the checkpoint surface the crawl engine uses."""
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+
+    keys = _keys(5000, 36)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    st = CuckooShardStore.build(df, tmp_path / "store", n_shards=4)
+    evict = keys[:500]
+    assert st.delete_many(evict).all()
+    assert not st.might_contain(evict).any() or (
+        st.might_contain(evict).mean() < 0.01  # residual = FP collisions only
+    )
+    assert st.might_contain(keys[500:]).all()
+    st.set_stamp(7)
+    back = CuckooShardStore(tmp_path / "store")
+    assert back.stamp == 7 and back.n_shards == 4
+    assert back.might_contain(keys[500:]).all()
