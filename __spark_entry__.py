@@ -1282,6 +1282,58 @@ def q_t6_windowed_streaming(spark, sf_dir):
     )
 
 
+def q_t7_crawl_streaming(spark, sf_dir):
+    """The crawl LOOP itself as a Structured Streaming pipeline (r4 VERDICT
+    next-round #6; streaming/crawlstream.py): each parquet file arriving on
+    the source dir is one frontier drain batch; foreachBatch runs the epoch
+    body — per-(batch, host) priority window truncated at the politeness
+    budget, deterministic fetch-status classification with the dead-letter
+    classes of plans/fetch.DEAD_LETTER — and MERGEs into an EpochStore
+    through the exactly-once batch_merge_sink (T8). Output = the merged
+    request log read back from the store. Every derived column is modular
+    integer arithmetic on the portable (dates|rule_id) hash, so the DuckDB
+    oracle replays the whole loop as plain SQL; trigger grouping and
+    replay cannot change the answer (batch is data-derived, merge is
+    keyed). Reference analog: the continuous crawler loop,
+    jobs/crawler.py:47-99."""
+    import os
+    import shutil
+    import tempfile
+
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+    from europarl_crawler_spark.streaming.crawlstream import (
+        stream_crawl_epochs,
+    )
+
+    root = tempfile.mkdtemp(prefix="crawlstream-")
+    urls = _combos(spark, sf_dir).select(
+        porthash.poly_hash(
+            F.concat(
+                F.col("dates").cast("string"),
+                F.lit("|"),
+                F.col("rule_id").cast("string"),
+            )
+        ).alias("url_id"),
+        F.col("rule_id").cast("long").alias("host"),
+    )
+    flat = os.path.join(root, "batches")
+    os.makedirs(flat)
+    for b in range(4):
+        sub = os.path.join(root, f"b{b}")
+        urls.filter(F.pmod(F.col("url_id"), F.lit(4)) == b).coalesce(
+            1
+        ).write.parquet(sub)
+        for p in sorted(os.listdir(sub)):
+            if p.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(sub, p), os.path.join(flat, f"b{b}.parquet")
+                )
+    store = EpochStore(os.path.join(root, "store"))
+    return stream_crawl_epochs(
+        spark, flat, store, checkpoint=os.path.join(root, "ckpt")
+    )
+
+
 def q_t3_events_quantiles(spark, sf_dir):
     """Distributed exact quantiles (operators/quantiles.py): P50/P90/P99 of
     event value per type via cumulative bucket counts on the integer-cent
@@ -4383,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_scan": q_store_zorder_scan,
         "store_snapshot_diff": q_store_snapshot_diff,
         "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
+        "t7_crawl_streaming": q_t7_crawl_streaming,
         # ---- end of the driver's 50-lane window (#50 = dedup_crossmodal_groups)
         # Everything below EITHER holds a green driver row in
         # CORRECTNESS_r03.json OR a value-checked row in the committed
@@ -5198,6 +5251,30 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1, 2
+""",
+        # the streaming crawl loop replayed as plain SQL: same portable
+        # hash, same modular batch/status arithmetic, same per-(batch,
+        # host) priority window + budget truncation
+        "t7_crawl_streaming": f"""
+WITH u AS (
+  SELECT {porthash.poly_hash_sql(
+      "CAST(dates AS VARCHAR) || '|' || CAST(rule_id AS VARCHAR)"
+  )} AS url_id,
+         CAST(rule_id AS BIGINT) AS host
+  FROM {_combos_sql()} AS c),
+d AS (
+  SELECT url_id, host,
+         ((url_id % 4) + 4) % 4 AS batch,
+         CAST(row_number() OVER (
+             PARTITION BY ((url_id % 4) + 4) % 4, host
+             ORDER BY url_id) AS BIGINT) AS drain_seq,
+         ((url_id % 10) + 10) % 10 AS code
+  FROM u)
+SELECT url_id, host, batch, drain_seq,
+       CASE code WHEN 0 THEN 404 WHEN 1 THEN 503 WHEN 2 THEN 429
+            ELSE 200 END AS status_code,
+       (code = 1 OR code = 2) AS dead_letter
+FROM d WHERE drain_seq <= 5
 """,
         # the same lag window + DuckDB's native ASOF JOIN on the timeline
         "p14_asof_throttle_audit": f"""
