@@ -256,6 +256,18 @@ def main(argv=None) -> None:
         fetched.unpersist()
     dt = time.perf_counter() - t0
 
+    # UNTIMED politeness audit over the full request log this leg wrote:
+    # no (epoch, host) group may exceed the budget table handed to
+    # priority_drain — the log-side proof of the north_rule's "same
+    # politeness budget" claim at bench scale (plans/politeness.py:
+    # budget_table_audit). Recorded per trial row in BENCH/BASELINE.md.
+    from ..plans.politeness import budget_table_audit
+
+    violations = 0
+    if args.epochs > 0:
+        log = store.read("requests", spark, schema=S.REQUESTS)
+        violations = budget_table_audit(log, budgets).count()
+
     print(
         json.dumps(
             {
@@ -266,6 +278,7 @@ def main(argv=None) -> None:
                 "urls_fetched": int(fetched_total),
                 "wall_sec": round(dt, 3),
                 "urls_per_sec": round(fetched_total / dt, 2),
+                "politeness_violations": int(violations),
                 "stages": stage_secs,
             }
         ),

@@ -343,6 +343,25 @@ def budget_audit(requests, politeness, epoch_secs: float,
     return j.filter(F.col("n") > F.col("budget"))
 
 
+def budget_table_audit(requests, budgets):
+    """(epoch, host_hash) groups of a request log that exceed an EXPLICIT
+    per-host budget table (host_hash, budget) — the audit for jobs that
+    hand budgets to ``priority_drain`` directly (the scale bench) rather
+    than deriving them from politeness state. Must return zero rows for a
+    healthy run; tools/bench_scaling.py records the count in every
+    BASELINE.md trial row so the north_rule's "same politeness budget"
+    claim is log-verified at 3M-URL scale, not just in the toy e2e
+    (r4 VERDICT next-round #5). One groupBy + one broadcast-class join;
+    hosts missing from the budget table audit as budget 0 (any request is
+    a violation — absent budget means no permission to fetch)."""
+    from pyspark.sql import functions as F
+
+    counts = requests.groupBy("epoch", "host_hash").agg(F.count("*").alias("n"))
+    return counts.join(budgets, "host_hash", "left").filter(
+        F.col("n") > F.coalesce(F.col("budget"), F.lit(0))
+    )
+
+
 def asof_throttle_audit(
     requests,
     updates,

@@ -70,3 +70,46 @@ def test_fraction_does_not_grow_with_corpus(fractions, lane):
         f"{lane} candidate fraction grew {small:.4f} → {large:.4f} with "
         f"corpus size — candidate generation is losing concentration"
     )
+
+
+def test_angular_fraction_on_clustered_corpus(spark):
+    """r4 VERDICT next-round #4: the 0.46 fraction at the 0.95 operating
+    point on the DIFFUSE synthetic corpus is sphere geometry, not a
+    regression — but the operator's production claim is for clustered
+    embeddings. Measure it on a clustered fixture (the separated-blob
+    generator family from ann_kmeans_topk's recall test, widened to 16
+    blobs so the clustered mass itself is 1/16): the fraction must be
+    ≤ 0.1 AND the candidate set must stay lossless (every true ≥ 0.95
+    pair present — the dual triangle bound's contract)."""
+    import numpy as np
+
+    from europarl_crawler_spark.operators import similarity
+
+    n, dims, blobs = 512, 32, 16
+    rows = []
+    for i in range(n):
+        c = i % blobs
+        vec = [0.0] * dims
+        vec[c] = 1.0
+        for d in range(dims):
+            vec[d] += ((i * 31 + d * 7) % 13 - 6) / 150.0
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = similarity.angular_candidates(emb, threshold=0.95, n=n)
+    pairs = {
+        (min(r.ida, r.idb), max(r.ida, r.idb))
+        for r in cand.select("ida", "idb").collect()
+    }
+    frac = diagnostics.candidate_fraction(cand, n)
+    assert frac <= 0.10, (
+        f"angular candidate fraction {frac:.4f} on the clustered fixture — "
+        "cell pruning is not concentrating on clustered data"
+    )
+    V = np.array([r[1] for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    true_pairs = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if S[a, b] >= 0.95
+    }
+    assert true_pairs - pairs == set(), "lossless contract violated"
+    assert len(true_pairs) > 1000  # the fixture genuinely has near-dups

@@ -235,6 +235,11 @@ def run_cluster(n_procs: int, pkg_zip: Path, web_dir: str, workdir: Path) -> dic
         "executors": n_procs,
         "cores_per_executor": CORES_PER_PROC,
         "urls_fetched": urls,
+        # per-leg politeness audit (plans/politeness.budget_table_audit run
+        # by each shard over its own request log) — MUST be 0
+        "politeness_violations": sum(
+            r.get("politeness_violations", 0) for r in runs
+        ),
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(urls / wall, 2),
         "cpu": cpu,
@@ -344,7 +349,8 @@ def main_procs() -> None:
             f"| {lvl}×local[{CORES_PER_PROC}] | {r['trial']} | "
             f"{r['urls_fetched']} | {r['wall_sec']} | {r['urls_per_sec']} | "
             f"{r['probe_sec']} | {r['cpu']['user']} | {r['cpu']['system']} | "
-            f"{r['cpu']['steal']} | {r['urls_per_user_cpu_sec']} |"
+            f"{r['cpu']['steal']} | {r['urls_per_user_cpu_sec']} | "
+            f"{r.get('politeness_violations', 'n/a')} |"
             for r in trials[lvl]
         )
 
@@ -446,10 +452,17 @@ scaling number: 1.0 means 4× parallelism added zero engine work per URL, and
 any wall-efficiency gap below it is host scheduling, quantified in the same
 row.
 
+**Politeness audit.** After its timed epochs, every executor-process runs
+`plans/politeness.budget_table_audit` over the request log it wrote: the
+count of (epoch, host) groups exceeding the budget table handed to
+`priority_drain` (must be 0 — the log-side proof that the throughput above
+was earned under the north_rule's politeness budget, not by ignoring it).
+The per-trial column is the sum across the leg's shards.
+
 ## Trials
 
-| level | trial | URLs fetched+extracted | wall (s) | throughput (URLs/s) | probe (s) | user cpu (s) | sys cpu (s) | steal (s) | URLs/user-cpu-s |
-|---|---|---|---|---|---|---|---|---|---|
+| level | trial | URLs fetched+extracted | wall (s) | throughput (URLs/s) | probe (s) | user cpu (s) | sys cpu (s) | steal (s) | URLs/user-cpu-s | politeness violations |
+|---|---|---|---|---|---|---|---|---|---|---|
 {rows(1)}
 {rows(4)}
 
