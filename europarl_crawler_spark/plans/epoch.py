@@ -19,7 +19,7 @@ assert against the reference-semantics simulator.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -179,9 +179,15 @@ class CrawlEngine:
 
     def bootstrap(self, days: DataFrame) -> None:
         """Initial load: seed-day domain (reference table bootstrap +
-        rule-registry upsert, jobs/crawler.py:47-56)."""
+        rule-registry upsert, jobs/crawler.py:47-56). The calendar is
+        written RANGE-CLUSTERED by ``dates`` so each file's footer bounds
+        cover a tight date span — what makes the publication-lag cutoff
+        read (run_epoch's ``dates <= now - offset`` predicate) prune at
+        the manifest level instead of opening every calendar file."""
         if self.store.latest("session_days") is None:
-            self.store.overwrite("session_days", days, 0, keys=["date_id"])
+            n_files = max(days.rdd.getNumPartitions(), 1)
+            clustered = days.repartitionByRange(n_files, "dates")
+            self.store.overwrite("session_days", clustered, 0, keys=["date_id"])
 
     def current_epoch(self) -> int:
         return self.store.latest("epochs") or 0
@@ -214,9 +220,24 @@ class CrawlEngine:
         #    anti-joined against the frontier on their natural keys. All
         #    derivations read the O(urls) url_state summary, never the
         #    unbounded request log.
+        # fresh-probe calendar read with the publication-lag cutoff pushed
+        # to the store: files whose date range is wholly inside the lag
+        # window are pruned at the manifest level (EpochStore.read
+        # predicates; store.last_prune records kept/total — surfaced in
+        # this epoch's stats). Retry keeps the full calendar (see
+        # session_day_probes docstring).
+        cutoff = now.date() - timedelta(days=self.config.probe_offset_days)
+        days_fresh = self.store.read(
+            "session_days",
+            spark,
+            schema=S.SESSION_DAYS,
+            predicates=[("dates", None, cutoff)],
+        ).drop("_epoch", "_deleted")
+        days_prune = dict(getattr(self.store, "last_prune", {}) or {})
         probes = session_day_probes(
             spark, days, url_state, frontier, self.prefetch_limit, e,
             now_date=now.date(), offset_days=self.config.probe_offset_days,
+            fresh_source=days_fresh,
         )
         combos = todo_combos(
             spark, days, url_state, frontier, self.prefetch_limit, e
@@ -354,6 +375,9 @@ class CrawlEngine:
             "drained": agg["drained"] or 0,
             "fetched_ok": agg["ok"] or 0,
             "dead_letter": agg["dead"] or 0,
+            # manifest-pruning counter of the cutoff calendar read
+            "days_files_kept": days_prune.get("kept"),
+            "days_files_total": days_prune.get("total"),
         }
         ledger = spark.createDataFrame(
             [

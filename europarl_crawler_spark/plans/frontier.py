@@ -192,8 +192,18 @@ def session_day_probes(
     epoch: int,
     now_date=None,
     offset_days: int = 30,
+    fresh_source: DataFrame | None = None,
 ) -> DataFrame:
     """The unchecked-days batch (O3): fresh ∪ retry, probed newest-first.
+
+    ``fresh_source`` — optional pre-pruned view of ``days`` for the FRESH
+    lane only (the engine passes a store read with the ``dates <= cutoff``
+    predicate pushed to the manifest level, so calendar files wholly
+    inside the publication-lag window are never opened). The cutoff filter
+    below still applies — pruning is file skipping, never the exactness
+    mechanism. The retry lane keeps the FULL calendar: a probed day
+    predates some past cutoff but a widened ``offset_days`` could move
+    today's cutoff behind it, and retries must never silently vanish.
 
     fresh  = days never probed (J5 anti join) AND older than
              ``now − offset_days`` (the reference's publication-lag guard:
@@ -219,7 +229,9 @@ def session_day_probes(
     terminal_days = (
         probe_state.filter(F.col("terminal")).select("dates").distinct()
     )
-    fresh_days = days.join(probed_days, "dates", "left_anti")
+    fresh_days = (fresh_source if fresh_source is not None else days).join(
+        probed_days, "dates", "left_anti"
+    )
     if now_date is not None:
         cutoff = now_date - timedelta(days=offset_days)
         fresh_days = fresh_days.filter(F.col("dates") <= F.lit(cutoff))

@@ -365,36 +365,15 @@ class EpochStore:
     ) -> DataFrame:
         """``read`` + filter ``lo <= col <= hi`` (AND any ``extra``
         (col, lo, hi) conjuncts), but files whose footer bounds exclude
-        the range are never opened. Sound for append tables and
-        single-snapshot (post-compaction) keyed tables; when unresolved
-        keyed DELTAS are live it falls back to the full merge-on-read
-        resolve — pruning before latest-wins could resurrect a superseded
-        row whose newer version sits in a pruned file."""
-        ms = self.manifests(table)
-        if as_of is not None:
-            ms = [m for m in ms if m["epoch"] <= as_of]
-        base_idx = max(
-            (i for i, m in enumerate(ms) if m["kind"] == "base"), default=None
+        the range are never opened. Since r5 this is a thin alias for
+        ``read(..., predicates=...)`` — pruning is part of the ordinary
+        read path, not an opt-in API."""
+        return self.read(
+            table,
+            spark,
+            as_of=as_of,
+            predicates=[(col, lo, hi)] + [tuple(e) for e in (extra or [])],
         )
-        live = ms if base_idx is None else ms[base_idx:]
-        keyed_deltas = self._keys(table) and any(
-            m["kind"] == "delta" for m in live
-        )
-        pred = F.lit(True)
-        for c, l, h in [(col, lo, hi)] + [tuple(e) for e in (extra or [])]:
-            if l is not None:
-                pred = pred & (F.col(c) >= F.lit(l))
-            if h is not None:
-                pred = pred & (F.col(c) <= F.lit(h))
-        if keyed_deltas:
-            return self.read(table, spark, as_of=as_of).filter(pred)
-        kept, _total = self.prune_files(
-            table, col, lo, hi, as_of=as_of, extra=extra
-        )
-        if not kept:
-            return self.read(table, spark, as_of=as_of).filter(pred).limit(0)
-        df = spark.read.option("mergeSchema", "true").parquet(*kept)
-        return df.filter(~F.col("_deleted")).filter(pred)
 
     def expire(self, table: str) -> dict:
         """Iceberg ``expire_snapshots`` analog: physically drop every epoch
@@ -447,12 +426,24 @@ class EpochStore:
         spark: SparkSession,
         schema: T.StructType | None = None,
         as_of: int | None = None,
+        predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Resolved view of the table at snapshot ``as_of`` (default: latest).
 
         Time travel = replay manifests up to as_of, exactly like reading an
         older Iceberg snapshot.
-        """
+
+        ``predicates`` — optional conjuncts ``[(col, lo, hi), ...]``
+        (either bound may be None) pushed into the read: the residual
+        filter ALWAYS applies (exactness never depends on stats), and when
+        pruning is sound — append tables, or keyed tables with no live
+        deltas past the newest base — files whose footer bounds exclude
+        the range are never opened (the Iceberg manifest-pruning step in
+        the ordinary read path, r4 VERDICT next-round #8). With live keyed
+        deltas the prune is skipped: dropping a file before latest-wins
+        could resurrect a superseded row. Every predicated read records
+        ``self.last_prune = {table, kept, total}`` so callers/tests can
+        see the file skipping actually happen."""
         wm = self._expiry_watermark(table)
         if as_of is not None and wm is not None and as_of < wm:
             raise ValueError(
@@ -468,18 +459,49 @@ class EpochStore:
             (i for i, m in enumerate(ms) if m["kind"] == "base"), default=None
         )
         live = ms if base_idx is None else ms[base_idx:]
+        keys = self._keys(table)
+        need_resolve = keys and any(m["kind"] in ("delta", "base") for m in live)
+        pred = None
+        if predicates:
+            pred = F.lit(True)
+            for c, l, h in predicates:
+                if l is not None:
+                    pred = pred & (F.col(c) >= F.lit(l))
+                if h is not None:
+                    pred = pred & (F.col(c) <= F.lit(h))
+        keyed_deltas = keys and any(m["kind"] == "delta" for m in live)
+        if pred is not None and not keyed_deltas:
+            first, *extra = list(predicates)
+            kept, total = self.prune_files(
+                table, first[0], first[1], first[2], as_of=as_of, extra=extra
+            )
+            self.last_prune = {"table": table, "kept": len(kept), "total": total}
+            if not kept:
+                empty = self.read(table, spark, schema=schema, as_of=as_of)
+                return empty.filter(pred).limit(0)
+            # no latest-wins window here: no live deltas ⇒ at most one
+            # version per key already (live is a single base, or an
+            # append-only chain) — the same reasoning the pre-r5 scan used
+            df = spark.read.option("mergeSchema", "true").parquet(*kept)
+            return df.filter(~F.col("_deleted")).filter(pred)
+        if pred is not None:
+            self.last_prune = {
+                "table": table,
+                "kept": None,  # prune skipped: live keyed deltas
+                "total": None,
+            }
         parts = [str(self.root / table / f"epoch={m['epoch']}") for m in live]
         # tombstone deltas carry only key columns → schemas differ per epoch
         df = spark.read.option("mergeSchema", "true").parquet(*parts)
-        keys = self._keys(table)
-        if keys and any(m["kind"] in ("delta", "base") for m in live):
+        if need_resolve:
             w = Window.partitionBy(*keys).orderBy(F.desc("_epoch"))
             df = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        return df.filter(~F.col("_deleted"))
+        out = df.filter(~F.col("_deleted"))
+        return out.filter(pred) if pred is not None else out
 
     def snapshot_diff(
         self,
