@@ -4366,25 +4366,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query catalog. ORDER MATTERS for the driver's correctness gate, which
     value-checks the FIRST 50 entries only: rounds rotate lanes through that
     window so every lane accrues a driver-recorded green row (r3 gated the
-    crawl/TPC-H parity + early LLM lanes; r4's window leads with the
-    invariants + codec/corpus/text flagships r3 left judge-verified-only and
-    closes with every lane born this round — bucketed join, streaming
-    quantiles, grouped HLL, tf-idf, as-of batch+streaming, range join,
-    salted skew join, Z-order scan, snapshot diff, cross-modal groups; the
-    remaining lanes past the window are the r5 rotation set).
-    Lanes 51+ hold green rows in CORRECTNESS_r03.json or in the committed
-    full-catalog artifact BENCH/ORACLE_FULL_r04.json; tools/check_oracle.py
-    gates ALL entries."""
+    crawl/TPC-H parity + early LLM lanes; r4 gated the invariants +
+    codec/corpus/text flagships + every lane born that round; r5 leads with
+    the 4 oracle-typing-repaired lanes + the 3 latent carriers + the 3
+    plan-changed/new lanes, then clears the never-gated backlog — see the
+    window comment below). Lanes 51+ hold driver-green rows in
+    CORRECTNESS_r04.json or CORRECTNESS_r03.json plus a value-checked row
+    in the committed full-catalog artifact BENCH/ORACLE_FULL_r05.json;
+    tools/check_oracle.py gates ALL entries with a type-signature check at
+    least as strict as the driver's value hash."""
     return {
-        # -- r4 gate window (FINAL, end-of-round curation): the 50 lanes
-        # the external driver value-checks. Composition: the three
-        # empty-set invariants, one codec lane per real bitstream family,
-        # the corpus/text/sketch flagships r3 left judge-verified-only,
-        # and EVERY lane new this round (bucketed join, streaming
-        # quantiles, grouped HLL, tf-idf, as-of batch+streaming, range
-        # join, salted skew join, Z-order scan, snapshot diff,
-        # cross-modal groups). Displaced to 51+ with documented
-        # subsumption: see the rotation comment below.
+        # -- r5 gate window (the 50 lanes the external driver value-checks).
+        # Composition (r4 VERDICT next-round #1/#3): the 4 lanes whose
+        # DuckDB oracle bodies carried the decimal-typed SUM bug and went
+        # red in CORRECTNESS_r04 (repaired: CAST ... AS BIGINT; kept IN
+        # window to prove the fix in the driver record), the 3 latent
+        # carriers of the same bug, the 3 lanes whose PLANS changed this
+        # round (t7_crawl_streaming is new; j2_anti_seen_cuckoo now runs
+        # the executor-resident shard store; t6_windowed_streaming merges
+        # by last emission), and EVERY remaining lane that has never held
+        # a driver-green row — 44 of the 45 never-gated lanes, the r5
+        # rotation set included. The one displaced never-gated lane is
+        # multimodal_binary_meta (subsumed: same byte-walk machinery as
+        # in-gate multimodal_media_probe, r4 driver-green, plus its own
+        # full-catalog row in BENCH/ORACLE_FULL_r05.json).
+        "j15_skew_salted": q_j15_skew_salted,
+        "store_zorder_scan": q_store_zorder_scan,
+        "corpus_sequence_pack": q_corpus_sequence_pack,
+        "corpus_export_webdataset": q_corpus_export_webdataset,
+        "g1_pagerank": q_g1_pagerank,
+        "corpus_export_manifest": q_corpus_export_manifest,
+        "corpus_export_warc": q_corpus_export_warc,
+        "t7_crawl_streaming": q_t7_crawl_streaming,
+        "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,
+        "t6_windowed_streaming": q_t6_windowed_streaming,
+        "t5_interval_join_streaming": q_t5_interval_join_streaming,
+        "corpus_datasheet": q_corpus_datasheet,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "sketch_kmv_streaming": q_sketch_kmv_streaming,
+        "p14_asof_throttle_audit": q_p14_asof_throttle_audit,
+        "video_frame_ahash": q_video_frame_ahash,
+        "audio_fingerprint": q_audio_fingerprint,
+        "multimodal_jpeg_variants": q_multimodal_jpeg_variants,
+        "multimodal_avi_codec": q_multimodal_avi_codec,
+        "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
+        "corpus_split": q_corpus_split,
+        "multimodal_png_meta": q_multimodal_png_meta,
+        "corpus_sample": q_corpus_sample,
+        "text_pii_scan": q_text_pii_scan,
+        "store_time_travel": q_store_time_travel,
+        "multimodal_y4m_codec": q_multimodal_y4m_codec,
+        "text_fingerprint": q_text_fingerprint,
+        "text_substring_dedup": q_text_substring_dedup,
+        "t2_events_sessionize": q_t2_events_sessionize,
+        "p12_politeness_audit": q_p12_politeness_audit,
+        "multimodal_tiff_codec": q_multimodal_tiff_codec,
+        "dedup_semantic": q_dedup_semantic,
+        "o9_adaptive_refresh": q_o9_adaptive_refresh,
+        "multimodal_qoi_codec": q_multimodal_qoi_codec,
+        "s11_sitemap_ingest": q_s11_sitemap_ingest,
+        "corpus_dsir_select": q_corpus_dsir_select,
+        "multimodal_format_sniff": q_multimodal_format_sniff,
+        "p13_robots_wildcard": q_p13_robots_wildcard,
+        "f8_html_extract": q_f8_html_extract,
+        "url_domain_rollup": q_url_domain_rollup,
+        "multimodal_ogg_probe": q_multimodal_ogg_probe,
+        "multimodal_exif_orient": q_multimodal_exif_orient,
+        "text_bpe_encode": q_text_bpe_encode,
+        "sketch_countmin_tokens": q_sketch_countmin_tokens,
+        "multimodal_exif_scrub": q_multimodal_exif_scrub,
+        "ann_kmeans_topk": q_ann_kmeans_topk,
+        "t3_events_quantiles": q_t3_events_quantiles,
+        "sketch_hll_streaming": q_sketch_hll_streaming,
+        "corpus_chunk_windows": q_corpus_chunk_windows,
+        "multimodal_corruption_scan": q_multimodal_corruption_scan,
+        # ---- end of the driver's 50-lane window (#50 = multimodal_corruption_scan)
+        # Everything below holds a driver-green row in CORRECTNESS_r04
+        # (first block) or CORRECTNESS_r03 (second block) AND a
+        # value-checked row in the committed full-catalog artifact
+        # BENCH/ORACLE_FULL_r05.json (tools/check_oracle.py gates ALL
+        # entries, every run, with the r5 type-signature hardening that
+        # makes the mimic strictly as strict as the driver hash). The 50
+        # r3-gated lanes are two rounds stale by round close — a 50-lane
+        # window cannot clear a 95-lane backlog in one round; never-gated
+        # lanes were prioritized (policy per r4 VERDICT #3).
+        # displaced never-gated (subsumption documented above):
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+        # -- r4-gated lanes (driver-green in CORRECTNESS_r04) ----------
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
         "ann_ivf_valid": q_ann_ivf_valid,
@@ -4405,8 +4473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mixture_repeat": q_corpus_mixture_repeat,
-        "corpus_export_webdataset": q_corpus_export_webdataset,
-        "corpus_sequence_pack": q_corpus_sequence_pack,
         "store_incremental_read": q_store_incremental_read,
         "text_paragraph_dedup": q_text_paragraph_dedup,
         "text_pii_redact": q_text_pii_redact,
@@ -4422,7 +4488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "sketch_hll_custkeys": q_sketch_hll_custkeys,
         "emb_kmeans": q_emb_kmeans,
-        "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,
         "dedup_image_phash": q_dedup_image_phash,
         "j12_bucketed_join": q_j12_bucketed_join,
         "t3_quantiles_streaming": q_t3_quantiles_streaming,
@@ -4431,75 +4496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j13_asof_throttle": q_j13_asof_throttle,
         "t4_asof_streaming": q_t4_asof_streaming,
         "j14_range_ip_asn": q_j14_range_ip_asn,
-        "j15_skew_salted": q_j15_skew_salted,
-        "store_zorder_scan": q_store_zorder_scan,
         "store_snapshot_diff": q_store_snapshot_diff,
         "dedup_crossmodal_groups": q_dedup_crossmodal_groups,
-        "t7_crawl_streaming": q_t7_crawl_streaming,
-        # ---- end of the driver's 50-lane window (#50 = dedup_crossmodal_groups)
-        # Everything below EITHER holds a green driver row in
-        # CORRECTNESS_r03.json OR a value-checked row in the committed
-        # full-catalog artifact BENCH/ORACLE_FULL_r04.json
-        # (tools/check_oracle.py gates every entry, every run).
-        # Rotated out for the session-new operator lanes — each is
-        # subsumed by an in-window sibling exercising the same machinery:
-        # caption_align/curation_full (r3 driver rows; r4 plan change is
-        # bench+oracle-evidenced), video_frame_ahash ⊂ dedup_video_pairs,
-        # audio_fingerprint ⊂ dedup_audio_pairs, jpeg_variants ⊂
-        # jpeg_codec, avi ⊂ mp4 (same MJPEG walk), adpcm ⊂ wav (same
-        # RIFF kit), corpus_split ⊂ stratified (same id_hash), 
-        # export_manifest ⊂ export_webdataset, png_meta ⊂ jpeg_meta,
-        # binary_meta ⊂ media_probe.
-        "t5_interval_join_streaming": q_t5_interval_join_streaming,
-        "corpus_datasheet": q_corpus_datasheet,
-        "sketch_kmv_overlap": q_sketch_kmv_overlap,
-        "sketch_kmv_streaming": q_sketch_kmv_streaming,
-        "t6_windowed_streaming": q_t6_windowed_streaming,
-        "p14_asof_throttle_audit": q_p14_asof_throttle_audit,
+        # -- r3-gated lanes (driver-green in CORRECTNESS_r03) ----------
         "image_caption_align": q_image_caption_align,
         "image_curation_full": q_image_curation_full,
-        "video_frame_ahash": q_video_frame_ahash,
-        "audio_fingerprint": q_audio_fingerprint,
-        "multimodal_jpeg_variants": q_multimodal_jpeg_variants,
-        "multimodal_avi_codec": q_multimodal_avi_codec,
-        "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
-        "corpus_split": q_corpus_split,
-        "corpus_export_manifest": q_corpus_export_manifest,
-        "multimodal_png_meta": q_multimodal_png_meta,
-        "multimodal_binary_meta": q_multimodal_binary_meta,
         "dedup_image_pairs_blocked": q_dedup_image_pairs_blocked,
-        "corpus_sample": q_corpus_sample,
-        "text_pii_scan": q_text_pii_scan,
-        "store_time_travel": q_store_time_travel,
-        "multimodal_y4m_codec": q_multimodal_y4m_codec,
         "image_curation": q_image_curation,
-        "text_fingerprint": q_text_fingerprint,
-        "text_substring_dedup": q_text_substring_dedup,
-        "t2_events_sessionize": q_t2_events_sessionize,
-        "p12_politeness_audit": q_p12_politeness_audit,
-        "corpus_export_warc": q_corpus_export_warc,
-        "multimodal_tiff_codec": q_multimodal_tiff_codec,
-        "dedup_semantic": q_dedup_semantic,
-        "o9_adaptive_refresh": q_o9_adaptive_refresh,
-        "multimodal_qoi_codec": q_multimodal_qoi_codec,
-        "g1_pagerank": q_g1_pagerank,
-        "s11_sitemap_ingest": q_s11_sitemap_ingest,
-        "corpus_dsir_select": q_corpus_dsir_select,
-        "multimodal_format_sniff": q_multimodal_format_sniff,
-        "p13_robots_wildcard": q_p13_robots_wildcard,
-        "f8_html_extract": q_f8_html_extract,
-        "url_domain_rollup": q_url_domain_rollup,
-        "multimodal_ogg_probe": q_multimodal_ogg_probe,
-        "multimodal_exif_orient": q_multimodal_exif_orient,
-        "text_bpe_encode": q_text_bpe_encode,
-        "sketch_countmin_tokens": q_sketch_countmin_tokens,
-        "multimodal_exif_scrub": q_multimodal_exif_scrub,
-        "ann_kmeans_topk": q_ann_kmeans_topk,
-        "t3_events_quantiles": q_t3_events_quantiles,
-        "sketch_hll_streaming": q_sketch_hll_streaming,
-        "corpus_chunk_windows": q_corpus_chunk_windows,
-        "multimodal_corruption_scan": q_multimodal_corruption_scan,
-        # -- r3-recorded lanes ----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_exact_streaming": q_dedup_exact_streaming,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

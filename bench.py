@@ -161,9 +161,9 @@ HEADLINE = [
 # ann_ivf_valid — 0-row correctness checks, not workloads), the streaming
 # twins (dedup_exact_streaming, dedup_image_pairs_streaming,
 # sketch_hll_streaming, t3_quantiles_streaming, t4_asof_streaming,
-# t5_interval_join_streaming, sketch_kmv_streaming, t6_windowed_streaming —
-# identical
-# compute to their benched batch twins plus harness overhead), fingerprint
+# t5_interval_join_streaming, sketch_kmv_streaming, t6_windowed_streaming,
+# t7_crawl_streaming — identical compute to their benched batch twins (for
+# t7, the bench's own crawl-epoch section) plus harness overhead), fingerprint
 # sub-lanes subsumed by their benched dedup-pair composites
 # (dedup_image_ahash, image_resize_hash, video_frame_ahash,
 # audio_fingerprint, multimodal_jpeg_meta ⊂ jpeg_exif/variants), and the
