@@ -3785,6 +3785,38 @@ def q_dedup_incremental(spark, sf_dir):
     return tag(e1, "e1").unionByName(tag(e2, "e2"))
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Cross-epoch incremental NEAR-dup maintenance
+    (operators/dedup.py:incremental_minhash_dedup): epoch 1 bands the
+    even-doc_id increment against empty history; epoch 2 bands the odds
+    and joins their buckets against epoch 1's persisted bucket table —
+    history text is never re-shingled, history shingles are read only for
+    docs that land in a candidate pair (semi-join). Because signatures
+    are purely per-document (no df-cap), e1 ∪ e2 equals the full-corpus
+    banding with each pair tagged by the first epoch that could see it:
+    both-even ⇒ e1, else e2 — which is exactly what the DuckDB oracle
+    recomputes from the raw table."""
+    import tempfile
+
+    from europarl_crawler_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = EpochStore(tempfile.mkdtemp(prefix="incminhash-"))
+    e1 = incremental_minhash_dedup(
+        store, spark, d.filter(F.col("doc_id") % 2 == 0), 1, threshold=0.4
+    )
+    e2 = incremental_minhash_dedup(
+        store, spark, d.filter(F.col("doc_id") % 2 == 1), 2, threshold=0.4
+    )
+    tag = lambda df, t: df.select(
+        F.lit(t).alias("epoch"), "id_a", "id_b", "jaccard"
+    )
+    return tag(e1, "e1").unionByName(tag(e2, "e2"))
+
+
 def q_corpus_sample_stratified(spark, sf_dir):
     """Per-language deterministic rebalancing sample
     (operators/sampling.py:stratified_sample): keep u(doc_id) <
@@ -4386,10 +4418,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the executor-resident shard store; t6_windowed_streaming merges
         # by last emission), and EVERY remaining lane that has never held
         # a driver-green row — 44 of the 45 never-gated lanes, the r5
-        # rotation set included. The one displaced never-gated lane is
-        # multimodal_binary_meta (subsumed: same byte-walk machinery as
-        # in-gate multimodal_media_probe, r4 driver-green, plus its own
-        # full-catalog row in BENCH/ORACLE_FULL_r05.json).
+        # rotation set included. Two never-gated lanes are displaced with
+        # documented subsumption (each also holds its own full-catalog row
+        # in BENCH/ORACLE_FULL_r05.json): multimodal_binary_meta (same
+        # byte-walk machinery as multimodal_media_probe, r4 driver-green)
+        # and corpus_sample (same id-unit hash machinery as
+        # corpus_sample_stratified, r4 driver-green) — displaced for the
+        # r5-born dedup_minhash_incremental.
         "j15_skew_salted": q_j15_skew_salted,
         "store_zorder_scan": q_store_zorder_scan,
         "corpus_sequence_pack": q_corpus_sequence_pack,
@@ -4400,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_crawl_streaming": q_t7_crawl_streaming,
         "j2_anti_seen_cuckoo": q_j2_anti_seen_cuckoo,
         "t6_windowed_streaming": q_t6_windowed_streaming,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "t5_interval_join_streaming": q_t5_interval_join_streaming,
         "corpus_datasheet": q_corpus_datasheet,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
@@ -4412,7 +4448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_adpcm_codec": q_multimodal_adpcm_codec,
         "corpus_split": q_corpus_split,
         "multimodal_png_meta": q_multimodal_png_meta,
-        "corpus_sample": q_corpus_sample,
         "text_pii_scan": q_text_pii_scan,
         "store_time_travel": q_store_time_travel,
         "multimodal_y4m_codec": q_multimodal_y4m_codec,
@@ -4452,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lanes were prioritized (policy per r4 VERDICT #3).
         # displaced never-gated (subsumption documented above):
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "corpus_sample": q_corpus_sample,
         # -- r4-gated lanes (driver-green in CORRECTNESS_r04) ----------
         "dedup_lsh_precision": q_dedup_lsh_precision,
         "ann_lsh_valid": q_ann_lsh_valid,
@@ -4632,6 +4668,19 @@ g AS (
         )
         for b in range(bands)
     )
+    # no-df-cap shingle CTE: the incremental minhash twin runs uncapped
+    # (an increment cannot know corpus-wide document frequencies — see the
+    # operator docstring), so its mirror must too
+    port_shingles_nocap = f"""
+g AS (
+  SELECT doc_id, substr(text, i, 5) AS s
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+        FROM documents)
+  WHERE length(substr(text, i, 5)) = 5
+), sh AS (
+  SELECT DISTINCT doc_id, {psh} AS sh FROM g
+)"""
     minhash_sql = f"""
 WITH {port_shingles},
 sig AS (
@@ -4650,6 +4699,35 @@ inter AS (
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
+       round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sz za ON za.doc_id = c.id_a JOIN sz zb ON zb.doc_id = c.id_b
+WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= 0.4
+"""
+    # incremental minhash twin: the full-corpus UNCAPPED banding, each pair
+    # tagged by the first increment that could see it (evens land in epoch
+    # 1, so both-even pairs are e1; anything touching an odd doc is e2)
+    minhash_incremental_sql = f"""
+WITH {port_shingles_nocap},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+), bk AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT CASE WHEN c.id_a % 2 = 0 AND c.id_b % 2 = 0 THEN 'e1' ELSE 'e2' END
+         AS epoch,
+       c.id_a, c.id_b,
        round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
 FROM cand c
 JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
@@ -5106,6 +5184,7 @@ FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
         """,
         "dedup_ngram_jaccard": shingle_sql,
         "dedup_minhash_lsh": minhash_sql,
+        "dedup_minhash_incremental": minhash_incremental_sql,
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fingerprint_sql,
         "text_vocab_topk": vocab_topk_sql,

@@ -797,3 +797,126 @@ SELECT b.{id_col},
        coalesce(k.cleaned, '') AS cleaned
 FROM b LEFT JOIN kept k USING ({id_col})
 """
+
+
+def incremental_minhash_dedup(
+    store,
+    spark,
+    new_docs: DataFrame,
+    epoch: int,
+    bucket_table: str = "mh_buckets",
+    shingle_table: str = "mh_shingles",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-epoch incremental NEAR-dup maintenance: band only the crawl
+    INCREMENT and join its band buckets against the persisted bucket table
+    — the history's text is never re-shingled, its signatures never
+    recomputed. The MinHash sibling of :func:`incremental_dedup` (exact),
+    i.e. the pattern a daily 100 TB crawl runs for fuzzy dedup.
+
+    Per epoch: (1) shingle+sign the increment (portable hashes, so the
+    whole loop is DuckDB-oracle-checkable); (2) candidates = increment
+    buckets ⋈ (history ∪ increment) buckets on (band, bucket) — every
+    returned pair involves ≥1 new doc, and because signatures are purely
+    per-document the pair set equals the full-corpus banding restricted to
+    such pairs; (3) exact-verify candidates with n-gram Jaccard, reading
+    history shingles ONLY for docs that appear in a candidate pair (a
+    semi-join — O(candidates · doc_size), never a history scan); (4) MERGE
+    the increment's buckets and shingle rows so the next epoch sees them.
+
+    Run WITHOUT a df-cap: the cap's document frequencies are corpus-wide
+    state, so a capped incremental run would diverge from the capped batch
+    run (an increment can't know a shingle later becomes a stop-shingle).
+    At corpus scale pair the loop with a periodic stop-shingle blacklist
+    rebuilt from the persisted shingle table instead.
+
+    Scale shape: bucket/shingle tables are thin int64 columns keyed for
+    idempotent re-merge; both joins key on uniform hashes (no salting
+    needed); candidate arrays attach per surviving pair exactly as in
+    ``minhash_lsh_pairs``. Returns (id_a, id_b, jaccard) pairs involving
+    the increment.
+    """
+    from ..functions import porthash
+
+    r = k // bands
+    sh_new = shingle_hashes(new_docs, n, text_col, id_col, None, portable=True)
+    sig = _signatures_from_hashes(sh_new, k, portable=True)
+    band_cols = [
+        porthash.fold_bucket(
+            [F.col(f"mh_{b * r + j}") for j in range(r)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    new_buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    hist_b = store.read(
+        bucket_table, spark, schema="doc_id long, band int, bucket long"
+    ).select("doc_id", "band", "bucket")
+    all_b = new_buckets.unionByName(hist_b)
+    cand = (
+        new_buckets.alias("a")
+        .join(all_b.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    hist_sh = store.read(
+        shingle_table, spark, schema="doc_id long, sh long"
+    ).select("doc_id", "sh")
+    sh_needed = sh_new.unionByName(
+        hist_sh.join(cand_ids, "doc_id", "left_semi")
+    )
+    arrs = sh_needed.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("sz")
+    )
+    pairs = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    store.merge(bucket_table, new_buckets, epoch, keys=["doc_id", "band"])
+    store.merge(
+        shingle_table,
+        sh_new.select("doc_id", "sh"),
+        epoch,
+        keys=["doc_id", "sh"],
+    )
+    return pairs

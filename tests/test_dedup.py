@@ -336,3 +336,46 @@ def test_crossmodal_groups_transitive_across_modalities(spark):
         for r in dedup.crossmodal_groups(img, txt).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_incremental_minhash_matches_full_corpus_banding(spark, tmp_path):
+    """incremental_minhash_dedup: epoch increments' pair sets union to the
+    FULL-corpus banding (per-doc signatures, no df-cap => increment
+    banding is exact), with every e2 pair touching an e2 doc and
+    cross-epoch pairs found WITHOUT re-shingling epoch-1 text."""
+    from europarl_crawler_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+    from europarl_crawler_spark.sources.epochstore import EpochStore
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark woods tonight"
+    )
+    rows = []
+    for i in range(40):
+        # pairs of near-identical docs (2k, 2k+1 share a long prefix)
+        txt = base + f" variant {i // 2} " + ("x" if i % 2 else "y") * 3
+        rows.append((i, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = EpochStore(tmp_path / "store")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    e1 = incremental_minhash_dedup(store, spark, evens, 1, threshold=0.4)
+    e2 = incremental_minhash_dedup(store, spark, odds, 2, threshold=0.4)
+    p1 = {(r.id_a, r.id_b, r.jaccard) for r in e1.collect()}
+    p2 = {(r.id_a, r.id_b, r.jaccard) for r in e2.collect()}
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.4, df_cap=None, portable=True
+        ).collect()
+    }
+    assert p1 | p2 == full and p1.isdisjoint(p2)
+    # every (2k, 2k+1) near-identical pair is cross-epoch and must be in e2
+    assert any(a % 2 == 0 and b % 2 == 1 for a, b, _ in p2)
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b, _ in p2)
+    # history state persisted: bucket and shingle tables carry both epochs
+    bk = store.read("mh_buckets", spark)
+    assert bk.select("doc_id").distinct().count() == 40
