@@ -4414,10 +4414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # red in CORRECTNESS_r04 (repaired: CAST ... AS BIGINT; kept IN
         # window to prove the fix in the driver record), the 3 latent
         # carriers of the same bug, the 3 lanes whose PLANS changed this
-        # round (t7_crawl_streaming is new; j2_anti_seen_cuckoo now runs
-        # the executor-resident shard store; t6_windowed_streaming merges
-        # by last emission), and EVERY remaining lane that has never held
-        # a driver-green row — 44 of the 45 never-gated lanes, the r5
+        # round (t7_crawl_streaming and dedup_minhash_incremental are new;
+        # j2_anti_seen_cuckoo now runs the executor-resident shard store;
+        # t6_windowed_streaming merges by last emission), and EVERY
+        # remaining lane that has never held a driver-green row — 43 of
+        # the 45 never-gated lanes, the r5
         # rotation set included. Two never-gated lanes are displaced with
         # documented subsumption (each also holds its own full-catalog row
         # in BENCH/ORACLE_FULL_r05.json): multimodal_binary_meta (same
