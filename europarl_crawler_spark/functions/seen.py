@@ -111,7 +111,7 @@ def anti_join_seen(
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
 
     if hasattr(sketch, "tag_maybe"):
-        # executor-resident shard store (functions/cuckoo.CuckooShardStore):
+        # executor-resident shard store (CuckooShardStore / BloomShardStore):
         # candidates route to their shard's partition and each task loads
         # ONLY its shards from files — no whole-filter broadcast, per-task
         # memory O(frontier / n_shards). The scale path at 10^10 URLs.
@@ -131,3 +131,195 @@ def anti_join_seen(
         .join(seen.select(hash_col), hash_col, "left_anti")
     )
     return fresh.unionByName(rechecked)
+
+
+class BloomShardStore:
+    """Executor-resident sharded Bloom filter: one uint8 bitset file per
+    shard (``root/shard_NNNNN.npy`` + ``root/meta.json``) — the insert-only
+    twin of :class:`~europarl_crawler_spark.functions.cuckoo.
+    CuckooShardStore`, closing the same 10^10-URL residency hole for the
+    bloom backend (a whole-frontier Bloom at 1% fpp is ~12 GB; the r4 path
+    built it on the driver and broadcast it to every probe task).
+
+    Same physical contract as the cuckoo store: probes repartition by
+    ``pmod(url_hash, n_shards)`` and each task loads ONLY its shards
+    (shared mtime-keyed LRU); builds write shard files from the executors
+    that built them (tmp + atomic rename, idempotent under task retry);
+    incremental adds OR bits into one touched shard at a time. No delete —
+    Bloom bits can't be removed (the deletable backend is the cuckoo
+    store). Strictly a pre-filter: any lost/corrupt shard only costs extra
+    maybe-seen rechecks in the exact anti-join.
+    """
+
+    def __init__(self, root):
+        import json
+        from pathlib import Path
+
+        self.root = Path(root)
+        with open(self.root / "meta.json") as fh:
+            meta = json.load(fh)
+        self.n_shards = int(meta["n_shards"])
+        self.n_bits = int(meta["n_bits"])
+        self.k = int(meta["k"])
+        self.stamp = meta.get("stamp")
+
+    def _shard_path(self, sid: int):
+        return self.root / f"shard_{sid:05d}.npy"
+
+    def set_stamp(self, stamp) -> None:
+        import json
+        import os
+
+        self.stamp = stamp
+        tmp = self.root / "meta.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "n_shards": self.n_shards,
+                    "n_bits": self.n_bits,
+                    "k": self.k,
+                    "stamp": stamp,
+                },
+                fh,
+            )
+        os.replace(tmp, self.root / "meta.json")
+
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        root,
+        hash_col: str = "url_hash",
+        expected: int | None = None,
+        n_shards: int = 16,
+        fpp: float = 0.01,
+    ) -> "BloomShardStore":
+        """Distributed build, executor-write: every shard's bitset is sized
+        for expected/n_shards keys and written straight to its file; only
+        per-shard stats reach the driver."""
+        import json
+        import os
+        from pathlib import Path
+
+        if expected is None:
+            expected = max(seen.count(), 1)
+        proto = BloomFilter.sized(max(expected // n_shards, 1), fpp)
+        n_bits, k = proto.n_bits, proto.k
+        rootp = Path(root)
+        rootp.mkdir(parents=True, exist_ok=True)
+        for old in rootp.glob("shard_*.npy"):
+            old.unlink()
+        root_s = str(rootp)
+
+        rows = seen.select(
+            F.col(hash_col).alias("h"),
+            F.pmod(F.col(hash_col), F.lit(n_shards)).alias("s"),
+        ).repartition(n_shards, "s")
+
+        def part(it):
+            chunks: dict[int, list[np.ndarray]] = {}
+            for pdf in it:
+                sh = pdf["s"].to_numpy(dtype=np.int64)
+                hv = pdf["h"].to_numpy(dtype=np.int64)
+                for sid in np.unique(sh):
+                    chunks.setdefault(int(sid), []).append(hv[sh == sid])
+            for sid, parts_ in chunks.items():
+                bf = BloomFilter(n_bits, k)
+                bf.add_many(np.concatenate(parts_))
+                p = os.path.join(root_s, f"shard_{sid:05d}.npy")
+                tmp = p + f".tmp-{os.getpid()}"
+                np.save(tmp, bf.bits)
+                os.replace(tmp + ".npy", p)
+                yield pd.DataFrame(
+                    {"shard": [sid], "n_keys": [sum(map(len, parts_))]}
+                )
+
+        rows.mapInPandas(part, schema="shard int, n_keys long").collect()
+        with open(rootp / "meta.json", "w") as fh:
+            json.dump(
+                {
+                    "n_shards": int(n_shards),
+                    "n_bits": int(n_bits),
+                    "k": int(k),
+                    "stamp": None,
+                },
+                fh,
+            )
+        return cls(rootp)
+
+    # -- probe ---------------------------------------------------------------
+
+    def tag_maybe(self, candidates: DataFrame, hash_col: str) -> DataFrame:
+        """candidates + boolean ``_maybe``, shard-local probe (see
+        CuckooShardStore.tag_maybe — same routing, Bloom membership)."""
+        from pyspark.sql import types as T
+
+        from .cuckoo import _load_shard_table
+
+        n_shards, n_bits, k = self.n_shards, self.n_bits, self.k
+        root_s = str(self.root)
+        out_schema = T.StructType(
+            candidates.schema.fields
+            + [T.StructField("_maybe", T.BooleanType())]
+        )
+
+        def probe(it):
+            import os
+
+            for pdf in it:
+                h = pdf[hash_col].to_numpy(dtype=np.int64)
+                maybe = np.zeros(len(h), dtype=bool)
+                s = np.mod(h, n_shards)
+                for sid in np.unique(s):
+                    p = os.path.join(root_s, f"shard_{int(sid):05d}.npy")
+                    if not os.path.exists(p):
+                        continue  # nothing inserted in this shard => all new
+                    bf = BloomFilter(n_bits, k, _load_shard_table(p))
+                    m = s == sid
+                    maybe[m] = bf.might_contain(h[m])
+                out = pdf.copy()
+                out["_maybe"] = pd.Series(maybe, index=pdf.index)
+                yield out
+
+        return (
+            candidates.repartition(
+                n_shards, F.pmod(F.col(hash_col), F.lit(n_shards))
+            ).mapInPandas(probe, schema=out_schema)
+        )
+
+    # -- driver-side (delta-bounded / tests) ---------------------------------
+
+    def add_many(self, hashes) -> None:
+        """Incremental insert: OR bits into one touched shard at a time."""
+        import os
+
+        from .cuckoo import _load_shard_table
+
+        h = np.asarray(hashes, dtype=np.int64)
+        s = np.mod(h, self.n_shards)
+        for sid in np.unique(s):
+            p = self._shard_path(int(sid))
+            bf = BloomFilter(
+                self.n_bits,
+                self.k,
+                _load_shard_table(p).copy() if p.exists() else None,
+            )
+            bf.add_many(h[s == sid])
+            tmp = str(p) + f".tmp-{os.getpid()}"
+            np.save(tmp, bf.bits)
+            os.replace(tmp + ".npy", p)
+
+    def might_contain(self, hashes) -> np.ndarray:
+        from .cuckoo import _load_shard_table
+
+        h = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        s = np.mod(h, self.n_shards)
+        for sid in np.unique(s):
+            p = self._shard_path(int(sid))
+            if not p.exists():
+                continue
+            bf = BloomFilter(self.n_bits, self.k, _load_shard_table(p))
+            m = s == sid
+            out[m] = bf.might_contain(h[m])
+        return out

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..functions.cuckoo import CuckooShardStore
 from ..functions.rules import rules_df
-from ..functions.seen import anti_join_seen, build_bloom
+from ..functions.seen import BloomShardStore, anti_join_seen
 from ..sources import schema as S
 from ..sources.epochstore import EpochStore
 from .fetch import extract_documents, requests_log, simulate_requests
@@ -257,7 +257,16 @@ class CrawlEngine:
             sketch = self._cuckoo
         elif mode == "bloom" and self.store.latest("frontier") is not None:
             expected = sum(m["rows"] for m in self.store.manifests("frontier")) or 1
-            sketch = build_bloom(frontier, "url_id", expected=expected)
+            # executor-resident shard store (r5): the per-epoch rebuild is
+            # unchanged, but the bitsets live as files and probes load only
+            # their shard — no whole-filter broadcast (see BloomShardStore)
+            sketch = BloomShardStore.build(
+                frontier,
+                self._sketch_dir() / "bloom",
+                "url_id",
+                expected=expected,
+                n_shards=self.config.cuckoo_shards,
+            )
         fresh = anti_join_seen(new_urls, frontier, sketch, hash_col="url_id")
         if self._cuckoo is not None:
             fresh = fresh.persist()
