@@ -266,3 +266,23 @@ def test_shard_store_delete_and_stamp_roundtrip(tmp_path, spark):
     back = CuckooShardStore(tmp_path / "store")
     assert back.stamp == 7 and back.n_shards == 4
     assert back.might_contain(keys[500:]).all()
+
+
+def test_shard_store_probe_plan_shape(spark, tmp_path):
+    """Pin the residency design in the PLAN: the shard-store probe's
+    physical plan must carry the pmod-keyed exchange (candidates routed to
+    their shard's partition) and exactly one Arrow/Python stage (the
+    shard-local probe) — a regression to a broadcast-UDF probe or a
+    per-row UDF would change both."""
+    from europarl_crawler_spark.functions.cuckoo import CuckooShardStore
+
+    keys = _keys(2000, 61)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    st = CuckooShardStore.build(df, tmp_path / "store", n_shards=8)
+    tagged = st.tag_maybe(df, "url_hash")
+    tagged.collect()
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "pmod" in plan and "Exchange" in plan, plan[:500]
+    assert plan.count("MapInPandas") == 1, plan[:500]
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
