@@ -8,11 +8,13 @@ is strictly a *pre-filter* that lets most provably-new candidates skip the
 anti-join shuffle. False positives only cost a recheck; false negatives are
 impossible, so correctness never depends on the sketch (SURVEY §4.2).
 
-Build is a per-partition numpy bitset OR-reduced driver-side (treeReduce — the
-only RDD use in the engine, justified: it *is* per-partition imperative sketch
-building). Probe is an Arrow-vectorized pandas UDF over a broadcast bitset.
-At cluster scale the bitset persists as an epoch artifact alongside the
-manifest and is rebuilt only on compaction.
+Two physical forms: ``build_bloom`` (per-partition numpy bitsets OR-reduced
+driver-side via treeReduce, probed through a broadcast pandas UDF — the
+small-sketch path), and ``BloomShardStore`` (r5 — per-shard bitset FILES
+written by the executors that built them, probed shard-locally after a
+pmod repartition; no process ever holds more than one shard, the form that
+survives a 10^10-URL frontier). The crawl engine's bloom mode uses the
+shard store; both are strictly pre-filters for the exact anti-join.
 """
 
 from __future__ import annotations
